@@ -1,0 +1,134 @@
+"""Core tetrahedral mesh data model.
+
+The reference keeps its mesh in the on-disk Elmer mesh DB (four text files,
+format documented at reference step01_box/find_boundaries.py:17-41 and
+setup_case.py:35-63) and re-parses it per stage.  Here the mesh is a single
+in-memory array bundle — the TPU-native equivalent of that DB — built once
+on the host (numpy) and shipped to device as jnp arrays inside a Case.
+
+Arrays:
+  nodes      (N, 3) float64   node coordinates [m]
+  tets       (M, 4) int32     node indices per tetrahedron
+  tet_body   (M,)   int32     1-based body/material id per tet
+                              (ref: Physical Volume ids, e.g. 1=muscle,
+                               2=fat, 3=skin, 4/5=contact —
+                               step03 run_layered_sweep.py:128-133)
+  faces      (B, 3) int32     boundary (external) triangle faces
+  face_bcid  (B,)   int32     boundary-condition id per face
+                              (1=active electrode, 2=return electrode,
+                               3=insulated — the semantic of the reference's
+                               Physical Surface 101/102/103)
+  face_parent(B,)   int32     index of the tet owning each boundary face
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# Canonical boundary-condition ids (semantics of the reference's physical
+# surface tags 101/102/103 — step02 run_sweep.py:102-106).
+BC_ACTIVE = 1
+BC_RETURN = 2
+BC_INSULATED = 3
+
+# Canonical body ids (ref step03 run_layered_sweep.py:128-133).
+BODY_MUSCLE = 1
+BODY_FAT = 2
+BODY_SKIN = 3
+BODY_CONTACT_ACTIVE = 4
+BODY_CONTACT_RETURN = 5
+# step01/step02 single-tissue box:
+BODY_TISSUE = 1
+
+
+@dataclasses.dataclass
+class TetMesh:
+    """Host-side tetrahedral mesh (numpy)."""
+
+    nodes: np.ndarray        # (N, 3) f64
+    tets: np.ndarray         # (M, 4) i32
+    tet_body: np.ndarray     # (M,)   i32
+    faces: np.ndarray        # (B, 3) i32
+    face_bcid: np.ndarray    # (B,)   i32
+    face_parent: np.ndarray  # (B,)   i32
+
+    @property
+    def n_nodes(self) -> int:
+        return int(self.nodes.shape[0])
+
+    @property
+    def n_tets(self) -> int:
+        return int(self.tets.shape[0])
+
+    @property
+    def n_faces(self) -> int:
+        return int(self.faces.shape[0])
+
+    def validate(self) -> None:
+        """Structural sanity checks (cheap; raises AssertionError)."""
+        assert self.nodes.ndim == 2 and self.nodes.shape[1] == 3
+        assert self.tets.ndim == 2 and self.tets.shape[1] == 4
+        assert self.tet_body.shape == (self.n_tets,)
+        assert self.faces.ndim == 2 and self.faces.shape[1] == 3
+        assert self.face_bcid.shape == (self.n_faces,)
+        assert self.face_parent.shape == (self.n_faces,)
+        assert self.tets.min() >= 0 and self.tets.max() < self.n_nodes
+        if self.n_faces:
+            assert self.faces.min() >= 0 and self.faces.max() < self.n_nodes
+            assert self.face_parent.min() >= 0
+            assert self.face_parent.max() < self.n_tets
+        vols = tet_volumes(self.nodes, self.tets)
+        assert (vols > 0).all(), "all tets must have positive volume"
+
+    def with_positive_volumes(self) -> "TetMesh":
+        """Return a copy with node order flipped on negative-volume tets."""
+        vols = tet_volumes(self.nodes, self.tets)
+        tets = self.tets.copy()
+        neg = vols < 0
+        tets[neg, 2], tets[neg, 3] = self.tets[neg, 3], self.tets[neg, 2]
+        return dataclasses.replace(self, tets=tets)
+
+    def face_areas_normals(self):
+        """Areas and *outward* unit normals of boundary faces.
+
+        Outward orientation is fixed geometrically against the parent tet
+        centroid (the reference instead relies on VTK cell types and z-sign —
+        compute_injected_current, step03 run_layered_sweep.py:704-761).
+        """
+        p = self.nodes[self.faces]                       # (B, 3, 3)
+        cross = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        areas = 0.5 * np.linalg.norm(cross, axis=1)
+        normals = cross / np.maximum(np.linalg.norm(cross, axis=1),
+                                     1e-300)[:, None]
+        face_cen = p.mean(axis=1)
+        tet_cen = self.nodes[self.tets[self.face_parent]].mean(axis=1)
+        outward = ((face_cen - tet_cen) * normals).sum(axis=1)
+        normals = np.where(outward[:, None] >= 0, normals, -normals)
+        return areas, normals
+
+
+def tet_volumes(nodes: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Signed tet volumes det([x1-x0, x2-x0, x3-x0]) / 6."""
+    x = nodes[tets]                                       # (M, 4, 3)
+    d = x[:, 1:] - x[:, :1]                               # (M, 3, 3)
+    return np.linalg.det(d) / 6.0
+
+
+def compact(nodes: np.ndarray, tets: np.ndarray, *extra_index_arrays):
+    """Drop unreferenced nodes and renumber.
+
+    Returns (nodes, tets, remapped_extras...). Used after masking out lattice
+    elements (the structured-mesh analogue of Gmsh only meshing the geometry —
+    e.g. contact-layer cells outside electrode footprints are removed, ref
+    step03 run_layered_sweep.py:213-227 creates contact volumes only under
+    the electrodes).
+    """
+    used = np.unique(tets)
+    remap = -np.ones(nodes.shape[0], dtype=np.int32)
+    remap[used] = np.arange(used.size, dtype=np.int32)
+    out = [nodes[used], remap[tets].astype(np.int32)]
+    for arr in extra_index_arrays:
+        out.append(remap[arr].astype(np.int32))
+    return tuple(out)

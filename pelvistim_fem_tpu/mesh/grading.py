@@ -1,0 +1,107 @@
+"""1-D graded knot generators for tensor-product lattice meshes.
+
+The reference controls resolution through Gmsh characteristic lengths and
+Distance/Threshold fields (lc_global / lc_electrode / lc_skin_min —
+step03 params.yaml:67-70, step02 run_sweep.py:112-121).  The lattice mesher
+gets the same effect from graded 1-D knot vectors: fine spacing inside
+"refinement regions" (electrode footprints, thin skin/contact layers) and
+geometric coarsening outside, while keeping the grid conforming.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def uniform_axis(a: float, b: float, h: float) -> np.ndarray:
+    """Uniform knots covering [a, b] with spacing <= h (>= 1 cell)."""
+    n = max(1, int(np.ceil((b - a) / h - 1e-9)))
+    return np.linspace(a, b, n + 1)
+
+
+def _fill_segment(a: float, b: float, h_start: float, h_end: float,
+                  ratio: float) -> np.ndarray:
+    """Knots strictly inside (a, b) grading from spacing ~h_start at `a`
+    to ~h_end at `b` with growth factor <= ratio, then uniform at h_end."""
+    L = b - a
+    if L <= min(h_start, h_end) * 1.01:
+        return np.empty(0)
+    # Build step sizes greedily from the fine side.
+    if h_start <= h_end:
+        steps = []
+        h = h_start
+        pos = 0.0
+        while pos + h < L - 1e-12:
+            steps.append(h)
+            pos += h
+            h = min(h * ratio, h_end)
+        # stretch steps to exactly fill L
+        steps = np.asarray(steps + [L - pos])
+        steps *= L / steps.sum()
+        return a + np.cumsum(steps)[:-1]
+    # fine side at b: mirror
+    inner = _fill_segment(0.0, L, h_end, h_start, ratio)
+    return b - inner[::-1]
+
+
+def graded_axis(a: float, b: float, fine_regions, h_fine: float,
+                h_coarse: float, ratio: float = 1.35) -> np.ndarray:
+    """Monotone knot vector on [a, b].
+
+    fine_regions: iterable of (lo, hi) intervals meshed at spacing h_fine
+    (clipped to [a, b]); gaps are graded geometrically up to h_coarse.
+    Interval endpoints become exact knots, so features such as electrode
+    footprint extents land on grid lines.
+    """
+    regions = []
+    for lo, hi in fine_regions:
+        lo, hi = max(a, lo), min(b, hi)
+        if hi - lo > 1e-12:
+            regions.append((lo, hi))
+    regions.sort()
+    # merge overlaps
+    merged: list[list[float]] = []
+    for lo, hi in regions:
+        if merged and lo <= merged[-1][1] + 1e-12:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+
+    knots = [a]
+    cursor = a
+    h_at_cursor = h_coarse
+    for lo, hi in merged:
+        if lo > cursor + 1e-12:
+            inner = _fill_segment(cursor, lo, h_at_cursor, h_fine, ratio)
+            knots.extend(inner.tolist())
+            knots.append(lo)
+        elif lo > cursor:
+            knots.append(lo)
+        fine = uniform_axis(lo, hi, h_fine)
+        knots.extend(fine[1:].tolist())
+        cursor = hi
+        h_at_cursor = h_fine
+    if b > cursor + 1e-12:
+        inner = _fill_segment(cursor, b, h_at_cursor, h_coarse, ratio)
+        knots.extend(inner.tolist())
+        knots.append(b)
+
+    out = np.asarray(knots)
+    out = np.unique(np.clip(out, a, b))
+    return out
+
+
+def layered_z_axis(layer_interfaces, layer_h) -> np.ndarray:
+    """Knots along z honoring exact layer interfaces.
+
+    layer_interfaces: sorted [z0, z1, ..., zK] (K layers).
+    layer_h: spacing target per layer (len K) — e.g. coarse muscle, fine
+    skin/contact (ref step03 lc_skin_min=0.5 mm resolves the 1.5 mm skin and
+    0.5 mm contact layers, params.yaml:67-70).
+    """
+    zs = [np.asarray([layer_interfaces[0]])]
+    for k in range(len(layer_h)):
+        seg = uniform_axis(layer_interfaces[k], layer_interfaces[k + 1],
+                           layer_h[k])
+        zs.append(seg[1:])
+    return np.concatenate(zs)

@@ -1,0 +1,91 @@
+"""P1 tetrahedral FEM assembly, matrix-free and TPU-first.
+
+The reference delegates assembly of  div(sigma grad phi) = 0  to
+ElmerSolver's Fortran StatCurrentSolve module (configured via .sif —
+step01_box/case.sif:33-46) and factorizes with UMFPACK.  Here assembly is
+split into a one-time geometric factor computation (host, float64) and a
+matrix-free SpMV used inside CG:
+
+  For tet e with vertices x0..x3, the P1 shape-function gradients
+  G_e = [grad lambda_0 .. grad lambda_3]  (4, 3) are constant, and the
+  element stiffness is  K_e = sigma_e * V_e * G_e @ G_e.T  (4, 4).
+
+  K @ x is evaluated WITHOUT materializing K:
+      q_e = G_e.T @ x[tets_e]            (M, 3)   gather + small einsum
+      y_e = sigma_e V_e * G_e @ q_e      (M, 4)
+      y   = segment_sum(y_e, tets)       scatter (pre-sorted, TPU-friendly)
+
+  This keeps sigma a *leaf input*, so a conductivity sweep (step04's
+  15-point sigma_contact sweep, run_pressure_sweep.py:664-740) is a pure
+  vmap over the material table with zero re-assembly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def element_gradients(nodes: np.ndarray, tets: np.ndarray):
+    """Per-element shape-function gradients and volumes (host, float64).
+
+    Returns (grads (M, 4, 3), vol (M,)).  grads[m, i] = grad lambda_i on
+    tet m; vol must be positive (mesh generators guarantee orientation).
+    """
+    x = nodes[tets].astype(np.float64)               # (M, 4, 3)
+    d = x[:, 1:] - x[:, :1]                          # (M, 3, 3) rows = edges
+    det = np.linalg.det(d)
+    vol = det / 6.0
+    # inv(d) via adjugate; grad lambda_i (i=1..3) are the COLUMNS of inv(d)
+    # (rows of inv(d).T):  lambda_i(x) = [d^{-1} (x - x0)]_i.
+    dinv = np.linalg.inv(d)                          # (M, 3, 3)
+    g123 = np.transpose(dinv, (0, 2, 1))             # (M, 3, 3) rows=grads
+    g0 = -g123.sum(axis=1, keepdims=True)            # (M, 1, 3)
+    grads = np.concatenate([g0, g123], axis=1)       # (M, 4, 3)
+    return grads, vol
+
+
+def scatter_plan(tets: np.ndarray, n_nodes: int):
+    """Precompute the sorted segment-sum plan for element→node scatter.
+
+    TPUs dislike random scatter; sorting element-node contributions once on
+    the host turns every scatter into a sorted `segment_sum`
+    (indices_are_sorted=True), which XLA lowers efficiently.
+    """
+    flat = tets.reshape(-1).astype(np.int32)
+    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    segids = flat[perm]
+    return perm, segids
+
+
+def scatter_to_nodes(values_per_elem_node, perm, segids, n_nodes):
+    """segment-sum (M, 4) element-node values into (N,) nodal values."""
+    flat = values_per_elem_node.reshape(-1)[perm]
+    return jax.ops.segment_sum(flat, segids, num_segments=n_nodes,
+                               indices_are_sorted=True)
+
+
+def spmv(phi, tets, grads, sigvol, perm, segids, n_nodes):
+    """Matrix-free y = K @ phi.   sigvol = sigma_e * V_e  (M,)."""
+    xe = phi[tets]                                    # (M, 4)
+    q = jnp.einsum("mid,mi->md", grads, xe)           # (M, 3)
+    ye = jnp.einsum("mid,md->mi", grads,
+                    sigvol[:, None] * q)              # (M, 4)
+    return scatter_to_nodes(ye, perm, segids, n_nodes)
+
+
+def stiffness_diagonal(tets, grads, sigvol, perm, segids, n_nodes):
+    """diag(K) for Jacobi preconditioning: sum_e sigma V |grad lambda_i|^2."""
+    de = sigvol[:, None] * jnp.sum(grads * grads, axis=2)   # (M, 4)
+    return scatter_to_nodes(de, perm, segids, n_nodes)
+
+
+def element_matrices(grads, sigvol):
+    """Dense per-element stiffness K_e = sigma V G G^T (M, 4, 4).
+
+    Not used on the CG hot path (matrix-free is cheaper in HBM traffic) but
+    handy for tests against scipy/dense references.
+    """
+    return jnp.einsum("mid,mjd->mij", grads, grads) * sigvol[:, None, None]

@@ -1,0 +1,154 @@
+"""Linear solvers: Jacobi-preconditioned CG in `lax.while_loop`.
+
+This replaces the reference's UMFPACK sparse direct LU (selected at
+step01_box/case.sif:41-42, parameterized at step03 params.yaml:91-93).
+The conduction system is SPD, so preconditioned CG is the TPU-idiomatic
+choice: the whole iteration is gathers, small einsums, a sorted
+segment-sum and dot products — no factorization, no dynamic sparsity.
+
+Convergence target mirrors the reference solver tolerance 1e-8
+(params.yaml:92) as a relative residual ||r|| / ||b|| <= tol.  A
+mixed-precision mode (f32 inner CG + f64 residual/iterative refinement)
+is provided for TPU where native f64 is emulated and slow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.ops import assembly, bc as bc_ops
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolveResult:
+    phi: jax.Array          # (N,) potential
+    iterations: jax.Array   # scalar i32
+    residual: jax.Array     # scalar — final ||r|| / ||b||
+    converged: jax.Array    # scalar bool
+
+
+def jacobi_pcg(op, b, diag, x0, *, tol=1e-8, maxiter=10_000):
+    """Preconditioned CG for SPD `op` with Jacobi preconditioner diag.
+
+    Runs in the dtype of `b`. Returns SolveResult. `tol` is relative to
+    ||b|| (matching the Elmer linear-system convergence semantics).
+    """
+    dtype = b.dtype
+    minv = jnp.where(diag > 0, 1.0 / diag, jnp.asarray(1.0, dtype))
+    bnorm = jnp.linalg.norm(b)
+    tol_abs = jnp.maximum(tol * bnorm, jnp.asarray(0.0, dtype))
+
+    r0 = b - op(x0)
+    z0 = minv * r0
+    rz0 = jnp.vdot(r0, z0)
+    state0 = (x0, r0, z0, rz0, z0, jnp.int32(0))
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return (jnp.linalg.norm(r) > tol_abs) & (k < maxiter)
+
+    def body(state):
+        x, r, z, rz, p, k = state
+        ap = op(p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = minv * r
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, rz_new, p, k + 1)
+
+    x, r, _, _, _, k = jax.lax.while_loop(cond, body, state0)
+    rel = jnp.linalg.norm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+    return SolveResult(phi=x, iterations=k, residual=rel,
+                       converged=rel <= tol)
+
+
+def _case_operator(case, sigma_table):
+    """(spmv closure incl. Dirichlet projection, diag, b_eff) for a Case."""
+    sigma_e = sigma_table[case.tet_body]
+    sigvol = sigma_e * case.vol
+    n = case.free_mask.shape[0]
+
+    def raw_spmv(x):
+        return assembly.spmv(x, case.tets, case.grads, sigvol,
+                             case.scatter_perm, case.scatter_segids, n)
+
+    op = bc_ops.make_projected_operator(raw_spmv, case.free_mask)
+    diag_raw = assembly.stiffness_diagonal(
+        case.tets, case.grads, sigvol,
+        case.scatter_perm, case.scatter_segids, n)
+    diag = jnp.where(case.free_mask, diag_raw, 1.0)
+    b_eff = bc_ops.effective_rhs(raw_spmv, case.free_mask,
+                                 case.dirichlet_vals, case.b_neumann)
+    return op, diag, b_eff
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def solve_case(case, sigma_table=None, *, tol=1e-8, maxiter=10_000):
+    """Solve div(sigma grad phi) = 0 with the Case's BCs.
+
+    sigma_table (T,) overrides case.sigma_table — keep it a traced argument
+    to vmap conductivity sweeps with zero re-assembly (the TPU-native form
+    of step04's 15-case sigma_contact loop, run_pressure_sweep.py:709-738).
+    """
+    if sigma_table is None:
+        sigma_table = case.sigma_table
+    op, diag, b_eff = _case_operator(case, sigma_table)
+    x0 = jnp.where(case.free_mask, 0.0, case.dirichlet_vals)
+    return jacobi_pcg(op, b_eff, diag, x0, tol=tol, maxiter=maxiter)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "inner_tol",
+                                   "max_refinements"))
+def solve_case_refined(case, sigma_table=None, *, tol=1e-8,
+                       inner_tol=1e-6, maxiter=10_000, max_refinements=4):
+    """Mixed-precision solve: f32 CG inner iterations, f64 residual
+    correction (iterative refinement) until the f64 relative residual
+    meets `tol`.
+
+    On TPU native f64 is software-emulated, so running the O(maxiter) CG
+    loop in f32 and only the few refinement residuals in f64 reaches the
+    reference's 1e-8 tolerance at f32 speed.
+    """
+    if sigma_table is None:
+        sigma_table = case.sigma_table
+
+    case64 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64) if jnp.issubdtype(a.dtype,
+                                                          jnp.floating) else a,
+        case)
+    case32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if jnp.issubdtype(a.dtype,
+                                                          jnp.floating) else a,
+        case)
+    op64, _, b64 = _case_operator(case64, sigma_table.astype(jnp.float64))
+    op32, diag32, _ = _case_operator(case32, sigma_table.astype(jnp.float32))
+
+    bnorm = jnp.linalg.norm(b64)
+    x = jnp.where(case.free_mask, 0.0, case64.dirichlet_vals)
+
+    def refine(carry):
+        x, _, total_it, k = carry
+        r64 = b64 - op64(x)
+        res = jacobi_pcg(op32, r64.astype(jnp.float32), diag32,
+                         jnp.zeros_like(r64, jnp.float32),
+                         tol=inner_tol, maxiter=maxiter)
+        x = x + res.phi.astype(jnp.float64)
+        rel = jnp.linalg.norm(b64 - op64(x)) / jnp.where(bnorm > 0, bnorm, 1.0)
+        return (x, rel, total_it + res.iterations, k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = jax.lax.while_loop(
+        cond, refine, (x, jnp.float64(jnp.inf), jnp.int32(0), jnp.int32(0)))
+    return SolveResult(phi=x, iterations=total_it, residual=rel,
+                       converged=rel <= tol)

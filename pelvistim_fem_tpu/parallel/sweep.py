@@ -1,0 +1,73 @@
+"""Sweep engine: vmapped and device-mesh-sharded batched solves.
+
+The reference's sweeps are serial Python loops over independent subprocess
+solves (step02 run_sweep.py:301-341, step03 run_layered_sweep.py:1061-1124,
+step04 run_pressure_sweep.py:709-738).  TPU-natively:
+
+  * material sweeps (fixed mesh, e.g. step04 sigma_contact) are ONE
+    vmapped PCG over the (S, T) table batch — identical sparsity, one
+    compiled executable;
+  * the batch axis shards across the device mesh with jax.sharding, so a
+    100-case sweep on a v5e-8 runs 8 lanes of cases in parallel over ICI
+    (this layer is the TPU analogue of the reference's absent
+    communication backend — SURVEY.md section 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pelvistim_fem_tpu.ops.solve import solve_case
+
+
+def device_mesh(n_devices: int | None = None, axis: str = "case") -> Mesh:
+    """1-D device mesh over the available chips."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def batched_material_solve(case, sigma_tables, *, tol=1e-8, maxiter=10_000):
+    """Solve the same Case for S material tables at once.
+
+    sigma_tables: (S, T).  Returns a batched SolveResult with phi (S, N).
+    This is step04's 15-subprocess loop as one vmap
+    (run_pressure_sweep.py:709-738 → SURVEY.md section 3.3).
+    """
+    return jax.vmap(
+        lambda s: solve_case(case, s, tol=tol, maxiter=maxiter)
+    )(sigma_tables)
+
+
+def sharded_material_solve(case, sigma_tables, mesh: Mesh | None = None,
+                           *, tol=1e-8, maxiter=10_000, axis: str = "case"):
+    """batched_material_solve with the S axis sharded over a device mesh.
+
+    Pads S up to a multiple of the mesh size (padded lanes re-solve the
+    last table; results are sliced off).  Case arrays are replicated.
+    """
+    if mesh is None:
+        mesh = device_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    S = sigma_tables.shape[0]
+    S_pad = -(-S // n_dev) * n_dev
+    if S_pad != S:
+        pad = jnp.repeat(sigma_tables[-1:], S_pad - S, axis=0)
+        sigma_tables = jnp.concatenate([sigma_tables, pad], axis=0)
+
+    batch_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    sigma_tables = jax.device_put(sigma_tables, batch_sharding)
+    case = jax.device_put(case, repl)
+
+    out = batched_material_solve(case, sigma_tables, tol=tol,
+                                 maxiter=maxiter)
+    return jax.tree_util.tree_map(lambda a: a[:S], out)
