@@ -1,0 +1,74 @@
+"""Benchmark: 100-case conductivity sweep throughput on one chip.
+
+Workload: the step04 pressure-sweep structure at full reference resolution
+(~172k tets / ~32k nodes — the reference solves this per case via
+ElmerSolver+UMFPACK subprocesses) generalized to 100 log-spaced
+sigma_contact points, solved as ONE vmapped Jacobi-PCG batch with zero
+re-assembly.
+
+Baseline: the reference reports only qualitative runtimes — 9 cases in
+20-60 min on a laptop (step03_ankle_layers/README.md:106) => 0.225
+solves/min at the 40-min midpoint.  vs_baseline is measured solves/min
+over that number.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.parallel.sweep import batched_material_solve
+
+    n_cases = 100
+    tol = 1e-6
+    t0 = time.perf_counter()
+    case, params = build_pressure_case(coarse=False, dtype=jnp.float32)
+    t_build = time.perf_counter() - t0
+
+    sweep = params["pressure_sweep"]["sigma_contact_Spm"]
+    sigmas = np.logspace(np.log10(sweep[0]), np.log10(sweep[-1]), n_cases)
+    base = np.asarray(case.sigma_table)
+    tables = np.tile(base, (n_cases, 1))
+    tables[:, core.BODY_CONTACT_ACTIVE] = sigmas
+    tables[:, core.BODY_CONTACT_RETURN] = sigmas
+    tables = jnp.asarray(tables, jnp.float32)
+
+    # Warm-up / compile.
+    out = batched_material_solve(case, tables, tol=tol, maxiter=20_000)
+    jax.block_until_ready(out.phi)
+
+    t0 = time.perf_counter()
+    out = batched_material_solve(case, tables, tol=tol, maxiter=20_000)
+    jax.block_until_ready(out.phi)
+    t_solve = time.perf_counter() - t0
+
+    assert bool(out.converged.all()), "bench solves did not converge"
+    solves_per_min = n_cases * 60.0 / t_solve
+    baseline = 9 / 40.0  # reference: 9 cases / 20-60 min midpoint
+    print(json.dumps({
+        "metric": "sweep_solves_per_min",
+        "value": round(solves_per_min, 2),
+        "unit": "solves/min",
+        "vs_baseline": round(solves_per_min / baseline, 1),
+        "n_cases": n_cases,
+        "n_tets": int(case.n_tets),
+        "n_nodes": int(case.n_nodes),
+        "tol": tol,
+        "max_iters": int(np.asarray(out.iterations).max()),
+        "mesh_build_s": round(t_build, 2),
+        "sweep_wall_s": round(t_solve, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,11 +68,18 @@ def scatter_to_nodes(values_per_elem_node, perm, segids, n_nodes):
 
 
 def spmv(phi, tets, grads, sigvol, perm, segids, n_nodes):
-    """Matrix-free y = K @ phi.   sigvol = sigma_e * V_e  (M,)."""
+    """Matrix-free y = K @ phi.   sigvol = sigma_e * V_e  (M,).
+
+    precision=HIGHEST: on TPU the default f32 contraction precision is
+    bf16-based on the MXU; with contraction dims of only 3/4 these einsums
+    are bandwidth-bound anyway, and full f32 keeps CG convergence intact
+    (especially under vmap, where XLA batches them into MXU matmuls).
+    """
+    hi = jax.lax.Precision.HIGHEST
     xe = phi[tets]                                    # (M, 4)
-    q = jnp.einsum("mid,mi->md", grads, xe)           # (M, 3)
+    q = jnp.einsum("mid,mi->md", grads, xe, precision=hi)   # (M, 3)
     ye = jnp.einsum("mid,md->mi", grads,
-                    sigvol[:, None] * q)              # (M, 4)
+                    sigvol[:, None] * q, precision=hi)      # (M, 4)
     return scatter_to_nodes(ye, perm, segids, n_nodes)
 
 

@@ -39,33 +39,49 @@ def jacobi_pcg(op, b, diag, x0, *, tol=1e-8, maxiter=10_000):
     ||b|| (matching the Elmer linear-system convergence semantics).
     """
     dtype = b.dtype
+
+    # Elementwise multiply-reduce dots: under vmap, jnp.vdot would batch
+    # into an MXU matmul at default (bf16-ish) precision and wreck CG
+    # convergence; sum(a*b) stays a full-precision VPU reduction.
+    dot = lambda a, b: jnp.sum(a * b)
+    nrm = lambda a: jnp.sqrt(jnp.sum(a * a))
+
     minv = jnp.where(diag > 0, 1.0 / diag, jnp.asarray(1.0, dtype))
-    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
     tol_abs = jnp.maximum(tol * bnorm, jnp.asarray(0.0, dtype))
 
     r0 = b - op(x0)
     z0 = minv * r0
-    rz0 = jnp.vdot(r0, z0)
-    state0 = (x0, r0, z0, rz0, z0, jnp.int32(0))
+    rz0 = dot(r0, z0)
+    done0 = nrm(r0) <= tol_abs
+    state0 = (x0, r0, z0, rz0, z0, jnp.int32(0), done0)
 
     def cond(state):
-        _, r, _, _, _, k = state
-        return (jnp.linalg.norm(r) > tol_abs) & (k < maxiter)
+        *_, k, done = state
+        return jnp.logical_not(done) & (k < maxiter)
 
     def body(state):
-        x, r, z, rz, p, k = state
+        # Once `done`, the state is frozen.  Under vmap the batched loop
+        # runs until ALL lanes finish; without freezing, finished lanes
+        # would keep iterating and (in f32) drift back above tolerance,
+        # livelocking the batch at maxiter.
+        x, r, z, rz, p, k, done = state
         ap = op(p)
-        alpha = rz / jnp.vdot(p, ap)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = minv * r
-        rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
-        p = z + beta * p
-        return (x, r, z, rz_new, p, k + 1)
+        alpha = rz / dot(p, ap)
+        x_n = x + alpha * p
+        r_n = r - alpha * ap
+        z_n = minv * r_n
+        rz_n = dot(r_n, z_n)
+        beta = rz_n / rz
+        p_n = z_n + beta * p
+        sel = lambda new, old: jnp.where(done, old, new)
+        x, r, z = sel(x_n, x), sel(r_n, r), sel(z_n, z)
+        rz, p, k = sel(rz_n, rz), sel(p_n, p), sel(k + 1, k)
+        done = done | (nrm(r) <= tol_abs)
+        return (x, r, z, rz, p, k, done)
 
-    x, r, _, _, _, k = jax.lax.while_loop(cond, body, state0)
-    rel = jnp.linalg.norm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+    x, r, _, _, _, k, _ = jax.lax.while_loop(cond, body, state0)
+    rel = nrm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
     return SolveResult(phi=x, iterations=k, residual=rel,
                        converged=rel <= tol)
 
