@@ -1,10 +1,11 @@
 """Benchmark: 100-case conductivity sweep throughput on one chip.
 
 Workload: the step04 pressure-sweep structure at full reference resolution
-(~172k tets / ~32k nodes — the reference solves this per case via
-ElmerSolver+UMFPACK subprocesses) generalized to 100 log-spaced
-sigma_contact points, solved as ONE vmapped Jacobi-PCG batch with zero
-re-assembly.
+(~172k tets / ~32k nodes — the reference solves each case via
+ElmerSolver+UMFPACK subprocesses, step04 run_pressure_sweep.py:709-738)
+generalized to 100 log-spaced sigma_contact points, solved as ONE vmapped
+Jacobi-PCG batch on the structured 27-point stencil operator
+(ops/stencil.py) with zero re-assembly.
 
 Baseline: the reference reports only qualitative runtimes — 9 cases in
 20-60 min on a laptop (step03_ankle_layers/README.md:106) => 0.225
@@ -26,12 +27,16 @@ import jax.numpy as jnp
 def main():
     from pelvistim_fem_tpu.mesh import core
     from pelvistim_fem_tpu.models.pressure import build_pressure_case
-    from pelvistim_fem_tpu.parallel.sweep import batched_material_solve
+    from pelvistim_fem_tpu.ops.stencil import (batched_stencil_solve,
+                                               build_stencil_case)
 
     n_cases = 100
     tol = 1e-6
     t0 = time.perf_counter()
-    case, params = build_pressure_case(coarse=False, dtype=jnp.float32)
+    case, params, mesh = build_pressure_case(coarse=False,
+                                             dtype=jnp.float32,
+                                             with_mesh=True)
+    scase = build_stencil_case(case, mesh, dtype=jnp.float32)
     t_build = time.perf_counter() - t0
 
     sweep = params["pressure_sweep"]["sigma_contact_Spm"]
@@ -43,17 +48,18 @@ def main():
     tables = jnp.asarray(tables, jnp.float32)
 
     # Warm-up / compile.
-    out = batched_material_solve(case, tables, tol=tol, maxiter=20_000)
+    out = batched_stencil_solve(scase, tables, tol=tol, maxiter=20_000)
     jax.block_until_ready(out.phi)
 
     t0 = time.perf_counter()
-    out = batched_material_solve(case, tables, tol=tol, maxiter=20_000)
+    out = batched_stencil_solve(scase, tables, tol=tol, maxiter=20_000)
     jax.block_until_ready(out.phi)
     t_solve = time.perf_counter() - t0
 
     assert bool(out.converged.all()), "bench solves did not converge"
     solves_per_min = n_cases * 60.0 / t_solve
     baseline = 9 / 40.0  # reference: 9 cases / 20-60 min midpoint
+    it = np.asarray(out.iterations)
     print(json.dumps({
         "metric": "sweep_solves_per_min",
         "value": round(solves_per_min, 2),
@@ -63,9 +69,10 @@ def main():
         "n_tets": int(case.n_tets),
         "n_nodes": int(case.n_nodes),
         "tol": tol,
-        "max_iters": int(np.asarray(out.iterations).max()),
-        "mesh_build_s": round(t_build, 2),
-        "sweep_wall_s": round(t_solve, 2),
+        "max_iters": int(it.max()),
+        "mean_iters": round(float(it.mean()), 1),
+        "build_s": round(t_build, 2),
+        "sweep_wall_s": round(t_solve, 3),
         "device": str(jax.devices()[0]),
     }))
 

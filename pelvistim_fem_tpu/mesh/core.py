@@ -44,6 +44,24 @@ BODY_TISSUE = 1
 
 
 @dataclasses.dataclass
+class LatticeInfo:
+    """Provenance of a mesh generated from a tensor-product lattice.
+
+    Enables the structured-stencil fast path (ops/stencil.py): node
+    adjacency is a 27-point stencil on the grid, so SpMV needs no
+    gather/scatter at all — the genuinely TPU-native representation.
+
+    grid_shape: (nx+1, ny+1, nz+1) lattice node counts.
+    grid_index: (N,) linear lattice index of each (compacted) mesh node,
+                with x-major ordering  lin = (i*(ny+1) + j)*(nz+1) + k.
+    axes:       the (xs, ys, zs) knot vectors.
+    """
+    grid_shape: tuple
+    grid_index: np.ndarray
+    axes: tuple
+
+
+@dataclasses.dataclass
 class TetMesh:
     """Host-side tetrahedral mesh (numpy)."""
 
@@ -53,6 +71,7 @@ class TetMesh:
     faces: np.ndarray        # (B, 3) i32
     face_bcid: np.ndarray    # (B,)   i32
     face_parent: np.ndarray  # (B,)   i32
+    lattice: LatticeInfo | None = None
 
     @property
     def n_nodes(self) -> int:

@@ -87,14 +87,24 @@ def build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn,
     body/bc classification on the undeformed lattice (analogue of the
     post-mesh ankle z-deformation, run_layered_sweep.py:329-340).
     """
-    nodes, tets = lattice_tets(np.asarray(xs, float), np.asarray(ys, float),
-                               np.asarray(zs, float))
+    xs = np.asarray(xs, float)
+    ys = np.asarray(ys, float)
+    zs = np.asarray(zs, float)
+    nodes, tets = lattice_tets(xs, ys, zs)
     cen = nodes[tets].mean(axis=1)
     body = np.asarray(body_fn(cen[:, 0], cen[:, 1], cen[:, 2]),
                       dtype=np.int32)
     keep = body > 0
     tets, body = tets[keep], body[keep]
+    # compact() keeps grid ordering: `used` below IS the lattice linear
+    # index of each surviving node (lattice_tets emits nodes x-major).
+    used = np.unique(tets)
     nodes, tets = compact(nodes, tets)
+    lattice = core.LatticeInfo(
+        grid_shape=(len(xs), len(ys), len(zs)),
+        grid_index=used.astype(np.int64),
+        axes=(xs, ys, zs),
+    )
 
     faces, parent = extract_boundary(tets)
     p = nodes[faces]
@@ -110,7 +120,7 @@ def build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn,
         nodes = deform_fn(nodes)
 
     mesh = TetMesh(nodes=nodes, tets=tets, tet_body=body, faces=faces,
-                   face_bcid=bcid, face_parent=parent)
+                   face_bcid=bcid, face_parent=parent, lattice=lattice)
     mesh = mesh.with_positive_volumes()
     return mesh
 

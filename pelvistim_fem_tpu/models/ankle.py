@@ -56,7 +56,8 @@ def build_layered_case(params: dict | None = None, *,
                        sigma_skin: float | None = None,
                        sigma_contact: float | None = None,
                        coarse: bool = False,
-                       dtype=jnp.float64):
+                       dtype=jnp.float64,
+                       with_mesh: bool = False):
     """Build a solver-ready Case for one (t_fat, elec_r) sweep point.
 
     Mirrors build_mesh + detect_elec_bc_ids + write_sif of the reference
@@ -158,4 +159,6 @@ def build_layered_case(params: dict | None = None, *,
         meta_extra=meta_extra,
         dtype=dtype,
     )
+    if with_mesh:
+        return case, params, mesh
     return case, params

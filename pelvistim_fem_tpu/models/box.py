@@ -16,7 +16,7 @@ from pelvistim_fem_tpu.utils.config import default_params
 
 
 def build_box_case(params: dict | None = None, *, h: float | None = None,
-                   dtype=jnp.float64):
+                   dtype=jnp.float64, with_mesh: bool = False):
     params = params or default_params("step01_box")
     g = params["geometry"]
     h = h or params["mesh"]["lc_m"]
@@ -30,4 +30,6 @@ def build_box_case(params: dict | None = None, *, h: float | None = None,
         meta_extra=dict(z_skin_top=g["Lz"]),
         dtype=dtype,
     )
+    if with_mesh:
+        return case, params, mesh
     return case, params

@@ -34,6 +34,7 @@ class CaseMeta:
     (run_layered_sweep.py:344-358, params.yaml stim block).
     """
     mode: str = "voltage"              # "voltage" | "current"
+    active_V: float = 1.0              # Dirichlet level (voltage mode)
     I_target_A: float = 0.0            # injected current (current mode)
     jn_used: float = 0.0               # applied Neumann density [A/m^2]
     elec_shape: str = "circle"
@@ -50,6 +51,8 @@ class CaseMeta:
     t_fat: float = 0.0
     compliance_limit_V: float = 100.0
     n_bodies: int = 1
+    sigma_table_host: tuple = ()       # host copy (avoids device readback,
+                                       # which is erratically slow on axon)
 
 
 @jax.tree_util.register_dataclass
@@ -89,6 +92,52 @@ class Case:
         return self.tets.shape[0]
 
 
+def compute_bc_host(mesh: TetMesh, *, mode: str, active_V: float = 1.0,
+                    injected_current_A: float = 0.0,
+                    strict_area_check: bool = True, face_areas=None):
+    """Host-side BC assembly shared by the element Case and the stencil
+    case (avoids any device round-trips — notably bool-array readback,
+    which is pathologically slow on the axon TPU backend).
+
+    Returns (free (N,) bool, dirichlet (N,), b_neumann (N,), jn,
+    area_active, area_return)."""
+    n = mesh.n_nodes
+    if face_areas is None:
+        face_areas, _ = mesh.face_areas_normals()
+    active_nodes, return_nodes = bc_ops.electrode_node_masks(
+        mesh.faces, mesh.face_bcid, n)
+    a_act, a_ret = bc_ops.electrode_mesh_areas(face_areas, mesh.face_bcid)
+
+    dirichlet = np.zeros(n)
+    free = np.ones(n, dtype=bool)
+    b_neu = np.zeros(n)
+    jn = 0.0
+    if mode == "voltage":
+        free[active_nodes] = False
+        free[return_nodes] = False
+        dirichlet[active_nodes] = active_V
+    elif mode == "current":
+        if a_act <= 0:
+            raise ValueError("current mode requires a nonzero active "
+                             "electrode patch")
+        # Jn from TRUE mesh area so sum(Jn * A_f) == I exactly
+        # (ref lesson: run_layered_sweep.py:594-611).
+        jn = injected_current_A / a_act
+        b_neu = bc_ops.neumann_current_load(
+            mesh.faces, face_areas, mesh.face_bcid, jn, n)
+        if strict_area_check:
+            got = b_neu.sum()
+            if abs(got - injected_current_A) > 1e-9 * max(
+                    abs(injected_current_A), 1.0):
+                raise ValueError(
+                    f"Neumann load integrates to {got}, expected "
+                    f"{injected_current_A}")
+        free[return_nodes] = False
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return free, dirichlet, b_neu, jn, a_act, a_ret
+
+
 def build_case(
     mesh: TetMesh,
     sigma_by_body: dict,
@@ -117,46 +166,21 @@ def build_case(
     for b, s in sigma_by_body.items():
         sig[b] = s
 
-    active_nodes, return_nodes = bc_ops.electrode_node_masks(
-        mesh.faces, mesh.face_bcid, n)
-    a_act, a_ret = bc_ops.electrode_mesh_areas(areas, mesh.face_bcid)
-
-    dirichlet = np.zeros(n)
-    free = np.ones(n, dtype=bool)
-    b_neu = np.zeros(n)
-    jn = 0.0
-    if mode == "voltage":
-        free[active_nodes] = False
-        free[return_nodes] = False
-        dirichlet[active_nodes] = active_V
-    elif mode == "current":
-        if a_act <= 0:
-            raise ValueError("current mode requires a nonzero active "
-                             "electrode patch")
-        # Jn from TRUE mesh area so sum(Jn * A_f) == I exactly
-        # (ref lesson: run_layered_sweep.py:594-611).
-        jn = injected_current_A / a_act
-        b_neu = bc_ops.neumann_current_load(
-            mesh.faces, areas, mesh.face_bcid, jn, n)
-        if strict_area_check:
-            got = b_neu.sum()
-            if abs(got - injected_current_A) > 1e-9 * max(
-                    abs(injected_current_A), 1.0):
-                raise ValueError(
-                    f"Neumann load integrates to {got}, expected "
-                    f"{injected_current_A}")
-        free[return_nodes] = False
-    else:
-        raise ValueError(f"unknown mode {mode!r}")
+    free, dirichlet, b_neu, jn, a_act, a_ret = compute_bc_host(
+        mesh, mode=mode, active_V=active_V,
+        injected_current_A=injected_current_A,
+        strict_area_check=strict_area_check, face_areas=areas)
 
     meta_extra = dict(meta_extra or {})
     meta = CaseMeta(
         mode=mode,
+        active_V=float(active_V),
         I_target_A=injected_current_A,
         jn_used=float(jn),
         elec_area_mesh=a_act,
         return_area_mesh=a_ret,
         n_bodies=n_bodies,
+        sigma_table_host=tuple(float(v) for v in sig),
         **meta_extra,
     )
 

@@ -19,7 +19,7 @@ from pelvistim_fem_tpu.utils.config import default_params, get_placement
 
 def build_electrode_case(params: dict | None = None, *,
                          shape: str = "circle", r: float = 0.01,
-                         dtype=jnp.float64):
+                         dtype=jnp.float64, with_mesh: bool = False):
     params = params or default_params("step02_electrodes")
     g = params["geometry"]
     Lx, Ly, Lz = g["Lx"], g["Ly"], g["Lz"]
@@ -64,4 +64,6 @@ def build_electrode_case(params: dict | None = None, *,
         ),
         dtype=dtype,
     )
+    if with_mesh:
+        return case, params, mesh
     return case, params

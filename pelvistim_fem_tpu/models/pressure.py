@@ -19,12 +19,17 @@ from pelvistim_fem_tpu.utils.config import default_params, get_placement
 
 
 def build_pressure_case(params: dict | None = None, *, coarse: bool = False,
-                        dtype=jnp.float64):
+                        dtype=jnp.float64, with_mesh: bool = False):
     """One Case for the fixed step04 geometry (rect slab, t_fat = 5 mm,
     r = 10 mm, contact layers on)."""
     params = params or default_params("step04_pressure")
     pl = get_placement(params)
     elec_r = pl.get("electrode_r_mm", 10.0) * 1e-3
+    if with_mesh:
+        case, _, mesh = build_layered_case(params, elec_r=elec_r,
+                                           coarse=coarse, dtype=dtype,
+                                           with_mesh=True)
+        return case, params, mesh
     case, _ = build_layered_case(params, elec_r=elec_r, coarse=coarse,
                                  dtype=dtype)
     return case, params

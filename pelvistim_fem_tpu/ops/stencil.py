@@ -1,0 +1,236 @@
+"""Structured 27-point stencil operator — the TPU-native fast path.
+
+Every mesh this framework generates is a (graded, possibly carved and
+deformed) tensor-product lattice, so the P1 stiffness matrix is exactly a
+27-point stencil on the grid: K phi at node (i,j,k) only references
+neighbors (i+di, j+dj, k+dk), di,dj,dk in {-1,0,1}.  Stored as 27
+coefficient arrays, SpMV becomes 27 shifted multiply-adds — pure VPU
+work, zero gather/scatter, bandwidth-bound at speed-of-light.  This is
+the representation an unstructured CUDA/CSR port could never reach and
+the core TPU-first design decision of this framework (vs the reference's
+UMFPACK LU on Elmer's general sparse matrices).
+
+Conductivity stays factored per body:  C(sigma) = sum_b sigma_b C_b,
+so material sweeps (step04) combine coefficients with one einsum and
+never re-assemble.
+
+Carved lattice nodes (outside the geometry) have all-zero rows and are
+held at 0 via the same projection used for Dirichlet nodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.ops import assembly
+from pelvistim_fem_tpu.ops.solve import SolveResult, jacobi_pcg
+
+# Offset order: o = (dx+1)*9 + (dy+1)*3 + (dz+1);  o == 13 is the diagonal.
+OFFSETS = [(dx, dy, dz)
+           for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+DIAG_OFFSET = 13
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StencilCase:
+    """Device-ready structured-operator problem instance."""
+    coeff: jax.Array          # (n_bodies, 27, X, Y, Z) per-body stencils
+    free: jax.Array           # (X, Y, Z) bool — solve dofs (active, not BC)
+    dirichlet: jax.Array      # (X, Y, Z) prescribed values (0 elsewhere)
+    b_neumann: jax.Array      # (X, Y, Z) load
+    grid_index: jax.Array     # (N,) i32 — mesh node -> flat grid position
+    sigma_table: jax.Array    # (n_bodies + 1,)
+
+    @property
+    def grid_shape(self):
+        return self.free.shape
+
+
+def assemble_stencil_coeffs(mesh, n_bodies: int) -> np.ndarray:
+    """Host assembly of per-body stencil coefficients.
+
+    Returns (n_bodies, 27, X, Y, Z) float64.  Each element's 4x4 stiffness
+    (sans sigma) scatters into (offset-class, origin-node) slots; the
+    offset between two lattice nodes of one Kuhn tet is always in
+    {-1,0,1}^3 (cite: Kuhn cells span one lattice cell —
+    mesh/generate.py)."""
+    lat = mesh.lattice
+    if lat is None:
+        raise ValueError("mesh has no lattice provenance; use the "
+                         "element-based operator instead")
+    X, Y, Z = lat.grid_shape
+    G = X * Y * Z
+
+    grads, vol = assembly.element_gradients(mesh.nodes, mesh.tets)
+    ke = np.einsum("mid,mjd->mij", grads, grads) * vol[:, None, None]
+
+    gidx = lat.grid_index[mesh.tets]                     # (M, 4) flat grid
+    gi = np.empty(gidx.shape + (3,), np.int64)
+    gi[..., 0] = gidx // (Y * Z)
+    gi[..., 1] = (gidx // Z) % Y
+    gi[..., 2] = gidx % Z
+
+    out = np.zeros(n_bodies * 27 * G)
+    body0 = (mesh.tet_body.astype(np.int64) - 1)          # 0-based
+    for a in range(4):
+        for b in range(4):
+            d = gi[:, b] - gi[:, a]                       # (M, 3)
+            off = (d[:, 0] + 1) * 9 + (d[:, 1] + 1) * 3 + (d[:, 2] + 1)
+            flat = (body0 * 27 + off) * G + gidx[:, a]
+            np.add.at(out, flat, ke[:, a, b])
+    return out.reshape(n_bodies, 27, X, Y, Z)
+
+
+def build_stencil_case(case, mesh, dtype=None,
+                       sigma_table_host=None) -> StencilCase:
+    """Lift an assembled Case (BCs, loads, materials) onto the lattice.
+
+    BCs are recomputed on the host from the mesh + case metadata rather
+    than read back from device: bool-array device->host transfers are
+    pathologically slow (~minutes) on the axon TPU backend."""
+    from pelvistim_fem_tpu.models.case import compute_bc_host
+
+    lat = mesh.lattice
+    X, Y, Z = lat.grid_shape
+    n_bodies = int(case.meta.n_bodies)
+    coeff = assemble_stencil_coeffs(mesh, n_bodies)
+
+    dtype = dtype or case.nodes.dtype
+    free_n, diri_n, b_n, _, _, _ = compute_bc_host(
+        mesh, mode=case.meta.mode, active_V=case.meta.active_V,
+        injected_current_A=case.meta.I_target_A)
+    if sigma_table_host is None:
+        sigma_table_host = np.asarray(case.meta.sigma_table_host)
+
+    def to_grid(vec, fill=0.0, dt=None):
+        g = np.full(X * Y * Z, fill, dt or np.float64)
+        g[lat.grid_index] = np.asarray(vec)
+        return g.reshape(X, Y, Z)
+
+    return StencilCase(
+        coeff=jnp.asarray(coeff, dtype),
+        free=jnp.asarray(to_grid(free_n, fill=False, dt=bool)),
+        dirichlet=jnp.asarray(to_grid(diri_n), dtype),
+        b_neumann=jnp.asarray(to_grid(b_n), dtype),
+        grid_index=jnp.asarray(lat.grid_index, jnp.int32),
+        sigma_table=jnp.asarray(sigma_table_host, dtype),
+    )
+
+
+def combine_coeffs(coeff, sigma_table):
+    """C(sigma) = sum_b sigma_b C_b  ->  (27, X, Y, Z).
+
+    precision=HIGHEST is load-bearing: under vmap this contraction lowers
+    to an MXU matmul whose default f32 precision is bf16-based; a ~0.4%
+    coefficient perturbation on a kappa ~ 1e6 system yields O(1) solution
+    error WITH a converged residual (observed on TPU before this fix).
+    """
+    return jnp.einsum("b,bo...->o...", sigma_table[1:], coeff,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def stencil_spmv(x, C):
+    """y = K x via 27 shifted multiply-adds.  x (X, Y, Z), C (27, X, Y, Z).
+
+    Shifts use static slices of a 1-padded copy — XLA fuses the whole
+    expression into one elementwise kernel; no dynamic addressing.
+    """
+    X, Y, Z = x.shape
+    xp = jnp.pad(x, 1)
+    y = jnp.zeros_like(x)
+    for o, (dx, dy, dz) in enumerate(OFFSETS):
+        shifted = jax.lax.slice(
+            xp, (1 + dx, 1 + dy, 1 + dz), (1 + dx + X, 1 + dy + Y, 1 + dz + Z))
+        y = y + C[o] * shifted
+    return y
+
+
+def _operator(scase, sigma_table):
+    C = combine_coeffs(scase.coeff, sigma_table)
+    free = scase.free
+
+    def raw(x):
+        return stencil_spmv(x, C)
+
+    def op(x):
+        return jnp.where(free, raw(jnp.where(free, x, 0.0)), x)
+
+    diag = jnp.where(free, C[DIAG_OFFSET], 1.0)
+    phi_d = jnp.where(free, 0.0, scase.dirichlet)
+    b_eff = jnp.where(free, scase.b_neumann - raw(phi_d), scase.dirichlet)
+    return op, diag, b_eff
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def solve_stencil(scase: StencilCase, sigma_table=None, *, tol=1e-8,
+                  maxiter=10_000) -> SolveResult:
+    """Jacobi-PCG on the stencil operator; phi returned in MESH NODE
+    ordering (gathered off the grid) for drop-in parity with solve_case."""
+    if sigma_table is None:
+        sigma_table = scase.sigma_table
+    op, diag, b_eff = _operator(scase, sigma_table)
+    x0 = jnp.where(scase.free, 0.0, scase.dirichlet)
+    res = jacobi_pcg(op, b_eff, diag, x0, tol=tol, maxiter=maxiter)
+    phi_nodes = res.phi.reshape(-1)[scase.grid_index]
+    return SolveResult(phi=phi_nodes, iterations=res.iterations,
+                       residual=res.residual, converged=res.converged)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def batched_stencil_solve(scase: StencilCase, sigma_tables, *, tol=1e-8,
+                          maxiter=10_000):
+    """vmapped material sweep on the stencil operator (step04 fast path)."""
+    return jax.vmap(
+        lambda s: solve_stencil(scase, s, tol=tol, maxiter=maxiter)
+    )(sigma_tables)
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter",
+                                   "max_refinements"))
+def solve_stencil_refined(scase: StencilCase, sigma_table=None, *,
+                          tol=1e-8, inner_tol=1e-6, maxiter=10_000,
+                          max_refinements=6) -> SolveResult:
+    """Mixed-precision stencil solve: f32 CG inner sweeps, f64 residual
+    correction until the f64 relative residual meets `tol` (requires
+    jax_enable_x64; on TPU the f64 work is a handful of emulated SpMVs
+    per refinement).  phi returned in mesh node ordering."""
+    if sigma_table is None:
+        sigma_table = scase.sigma_table
+    to = lambda a, dt: jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, a)
+    sc64, sc32 = to(scase, jnp.float64), to(scase, jnp.float32)
+    op64, _, b64 = _operator(sc64, sigma_table.astype(jnp.float64))
+    op32, diag32, _ = _operator(sc32, sigma_table.astype(jnp.float32))
+
+    bnorm = jnp.sqrt(jnp.sum(b64 * b64))
+    x = jnp.where(scase.free, 0.0, sc64.dirichlet)
+
+    def refine(carry):
+        x, _, total_it, k = carry
+        r64 = b64 - op64(x)
+        res = jacobi_pcg(op32, r64.astype(jnp.float32), diag32,
+                         jnp.zeros_like(r64, jnp.float32),
+                         tol=inner_tol, maxiter=maxiter)
+        x = x + res.phi.astype(jnp.float64)
+        rel = jnp.sqrt(jnp.sum((b64 - op64(x)) ** 2)) / jnp.where(
+            bnorm > 0, bnorm, 1.0)
+        return (x, rel, total_it + res.iterations, k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = jax.lax.while_loop(
+        cond, refine, (x, jnp.float64(jnp.inf), jnp.int32(0),
+                       jnp.int32(0)))
+    phi_nodes = x.reshape(-1)[scase.grid_index]
+    return SolveResult(phi=phi_nodes, iterations=total_it, residual=rel,
+                       converged=rel <= tol)
