@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""step02 — bipolar electrode shape x radius sweep (8 cases).
+
+TPU-native replacement for step02_electrodes/run_sweep.py:299-341: the
+geometry varies per case, so each case is its own lattice build + stencil
+solve (jit-cached per grid shape).  Extracts top-surface |J| and the
+peak/mean-J-vs-area summary the reference plots (:286-295, :346-472).
+
+Usage:  python apps/run_step02.py [--outdir results_step02] [--plot]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def extract_top_J(case, mesh, phi):
+    """(x, y, |J|) at nodes on the top face z > 0.99 Lz
+    (ref run_sweep.py:286-295)."""
+    from pelvistim_fem_tpu.ops import fields
+    Lz = case.meta.z_skin_top
+    pts = mesh.nodes
+    Jn = np.asarray(fields.nodal_average(
+        case, fields.cell_J(case, phi)))
+    Jmag = np.linalg.norm(Jn, axis=1)
+    m = pts[:, 2] > Lz * 0.99
+    return pts[m, 0], pts[m, 1], Jmag[m]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default="results_step02")
+    ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="2 cases only (circle/square at r=10mm)")
+    args = ap.parse_args()
+
+    from pelvistim_fem_tpu.models.electrodes import build_electrode_case
+    from pelvistim_fem_tpu.ops import metrics
+    from pelvistim_fem_tpu.runner import preferred_dtype, solve_auto
+    from pelvistim_fem_tpu.utils.config import default_params, get_placement
+    from pelvistim_fem_tpu.utils.summary import save_results
+
+    p = default_params("step02_electrodes")
+    pl = get_placement(p)
+    shapes = pl.get("shapes", ["circle", "square"])
+    radii = pl.get("radii_m", [0.005, 0.010, 0.015, 0.020])
+    if args.quick:
+        shapes, radii = ["circle", "square"], [0.010]
+
+    out_root = Path(args.outdir)
+    rows, maps = [], {}
+    t_start = time.perf_counter()
+    for shape in shapes:
+        for r in radii:
+            label = f"{shape}_r{int(r*1000)}mm"
+            print(f"\n[{label}]")
+            case, _, mesh = build_electrode_case(
+                p, shape=shape, r=r, dtype=preferred_dtype(),
+                with_mesh=True)
+            print(f"    {case.n_nodes} nodes, {case.n_tets} tets")
+            res = solve_auto(case, mesh, tol=1e-8)
+            x, y, J = extract_top_J(case, mesh, res.phi)
+            maps[label] = (x, y, J)
+            cur = metrics.injected_currents(case, res.phi)
+            area = np.pi * r * r if shape == "circle" else (2 * r) ** 2
+            rows.append({
+                "shape": shape,
+                "r_mm": r * 1000,
+                "area_cm2": area * 1e4,
+                "area_mesh_cm2": case.meta.elec_area_mesh * 1e4,
+                "peak_J": float(J.max()),
+                "mean_J_top": float(J.mean()),
+                "I_total_A": cur["I_active"],
+                "I_consistent_A": cur["I_active_consistent"],
+                "flux_err": cur["flux_err"],
+            })
+            print(f"    peak_J={J.max():.3f} A/m2  I={cur['I_active']:.4e} A"
+                  f"  flux_err={cur['flux_err']:.2e}")
+
+    wall = time.perf_counter() - t_start
+    save_results(rows, out_root)
+    print(f"\n  {len(rows)} cases in {wall:.1f} s")
+
+    if args.plot:
+        from pelvistim_fem_tpu.viz.plots import plot_step02_sweep
+        plot_step02_sweep(rows, maps, p, out_root)
+
+
+if __name__ == "__main__":
+    main()

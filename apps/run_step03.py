@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""step03 — layered ankle sweep (fat thickness x electrode radius).
+
+TPU-native replacement for the reference's run_layered_sweep.py main loop
+(mesh -> ElmerGrid -> detect BCs -> write sif -> ElmerSolver -> extract,
+:1034-1126): each case is one in-memory build + stencil PCG solve; output
+contract (per-case dir with bc_debug_report.txt, results/summary.csv,
+summary.json, run summary) matches the reference.
+
+Usage:  python apps/run_step03.py [--smoke] [--outdir results_step03]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Ankle layered slab sweep")
+    ap.add_argument("--smoke", action="store_true",
+                    help="Single coarse case for quick pipeline check")
+    ap.add_argument("--outdir", default="results_step03")
+    ap.add_argument("--params", default=None,
+                    help="params.yaml path (default: bundled step03)")
+    ap.add_argument("--plot", action="store_true",
+                    help="write the step03 figure families")
+    args = ap.parse_args()
+
+    from pelvistim_fem_tpu.models.ankle import build_layered_case
+    from pelvistim_fem_tpu.ops.metrics import extract_results
+    from pelvistim_fem_tpu.runner import preferred_dtype, solve_auto
+    from pelvistim_fem_tpu.utils.config import (default_params,
+                                                get_placement, get_stim,
+                                                load_params)
+    from pelvistim_fem_tpu.utils.report import (print_run_summary,
+                                                save_bc_debug_report)
+    from pelvistim_fem_tpu.utils.summary import save_results
+    from pelvistim_fem_tpu.utils.timing import PhaseTimer
+
+    p = (load_params(args.params) if args.params
+         else default_params("step03_ankle_layers"))
+    pl = get_placement(p)
+    st = get_stim(p)
+
+    if args.smoke:
+        t_fat_list = [p["layers"]["t_fat"]]
+        r_list_mm = [pl.get("electrode_r_mm_list", [5, 10, 15])[1]]
+        coarse = True
+        print("=== SMOKE TEST (1 coarse case) ===")
+    else:
+        t_fat_list = p["layers"]["t_fat_sweep"]
+        r_list_mm = pl.get("electrode_r_mm_list", [5, 10, 15])
+        coarse = False
+        print(f"=== FULL SWEEP: {len(t_fat_list)} fat thicknesses x "
+              f"{len(r_list_mm)} electrode sizes = "
+              f"{len(t_fat_list)*len(r_list_mm)} cases ===")
+
+    mode = st.get("control_mode", "voltage")
+    print(f"\n{'='*60}")
+    if mode == "current":
+        print("  CONTROL MODE : current")
+        print(f"  Injected I   : {st.get('injected_current_mA', 5.0):.1f}"
+              f" mA  (Neumann BC at active electrode)")
+        print(f"  Compliance   : warn if V_active > "
+              f"{st.get('compliance_voltage_V', 100.0):.0f} V")
+    else:
+        print("  CONTROL MODE : voltage")
+        print("  V_active = 1.0 V  |  V_return = 0 V  (Dirichlet BCs)")
+    print(f"{'='*60}\n")
+
+    out_root = Path(args.outdir)
+    timer = PhaseTimer(verbose=False)
+    results = []
+    solutions = []   # kept for --plot
+    t_start = time.perf_counter()
+    for t_fat in t_fat_list:
+        for r_mm in r_list_mm:
+            elec_r = r_mm * 1e-3
+            label = f"tfat{int(t_fat*1e6):04d}um_r{int(elec_r*1e6):04d}um"
+            run_dir = out_root / label
+            print(f"\n[{label}]  t_fat={t_fat*1000:.1f}mm  "
+                  f"r={r_mm:.1f}mm")
+            with timer.phase("mesh+assemble"):
+                case, _, mesh = build_layered_case(
+                    p, t_fat=t_fat, elec_r=elec_r, coarse=coarse,
+                    dtype=preferred_dtype(), with_mesh=True)
+            print(f"    {case.n_nodes} nodes, {case.n_tets} tets, "
+                  f"A_active={case.meta.elec_area_mesh*1e4:.4f} cm2")
+            save_bc_debug_report(run_dir, label, case, p)
+            res = solve_auto(case, mesh, tol=1e-8, timer=timer)
+            with timer.phase("metrics"):
+                row = extract_results(case, res.phi, p)
+            results.append(row)
+            if args.plot:
+                solutions.append((label, case, mesh, res.phi))
+            print(f"    peak_J_no_elec={row['peak_J_skin_no_elec']:.4f}  "
+                  f"roi_mean_E={row['roi_mean_E']:.4f}  "
+                  f"flux_err={row['flux_err']:.3e}")
+
+    wall = time.perf_counter() - t_start
+    save_results(results, out_root)
+    print_run_summary(results, p)
+    if args.plot and solutions:
+        from pelvistim_fem_tpu.utils.report import print_sanity_table
+        from pelvistim_fem_tpu.viz.plots import (plot_depth_slice_E_maps,
+                                                 plot_J_surface_maps,
+                                                 plot_model_diagram,
+                                                 plot_summary_metrics,
+                                                 plot_3d_representative)
+        plot_J_surface_maps(solutions, p, out_root)
+        plot_summary_metrics(results, p, out_root)
+        plot_depth_slice_E_maps(solutions, p, out_root)
+        mid = solutions[len(solutions) // 2]
+        plot_model_diagram(mid[1], mid[2], mid[3], p, out_root)
+        plot_3d_representative(mid[1], mid[2], mid[3], out_root)
+        print_sanity_table(results, p)
+    n = len(results)
+    print(f"  {n} case(s) in {wall:.1f} s = "
+          f"{n*60/wall:.1f} solves/min   phases: "
+          + ", ".join(f"{k}={v:.1f}s" for k, v in timer.report().items()))
+
+
+if __name__ == "__main__":
+    main()

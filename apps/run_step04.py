@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""step04 — pressure-dependent contact-impedance sweep.
+
+The reference builds its mesh once and re-runs ElmerSolver 15 times with
+one material edited (run_pressure_sweep.py:664-740).  Here the whole sweep
+is ONE vmapped stencil PCG batch over the sigma_contact material tables.
+Output contract (summary.csv/json with the step04 column set, sanity
+prints) matches the reference.
+
+Usage:  python apps/run_step04.py [--smoke] [--outdir results_step04]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Pressure sweep")
+    ap.add_argument("--smoke", action="store_true",
+                    help="coarse mesh for a quick pipeline check")
+    ap.add_argument("--outdir", default="results_step04")
+    ap.add_argument("--params", default=None)
+    ap.add_argument("--plot", action="store_true",
+                    help="write the 4-panel pressure figure")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.models.pressure import (build_pressure_case,
+                                                   sigma_tables_for_sweep)
+    from pelvistim_fem_tpu.ops.metrics import extract_results
+    from pelvistim_fem_tpu.ops.stencil import (batched_stencil_solve,
+                                               build_stencil_case)
+    from pelvistim_fem_tpu.utils.config import default_params, load_params
+    from pelvistim_fem_tpu.utils.report import print_sanity_table
+    from pelvistim_fem_tpu.utils.summary import save_results
+
+    p = (load_params(args.params) if args.params
+         else default_params("step04_pressure"))
+    sweep = p["pressure_sweep"]["sigma_contact_Spm"]
+    labels = p["pressure_sweep"]["labels"]
+    print(f"=== PRESSURE SWEEP: {len(sweep)} sigma_contact levels "
+          f"({sweep[0]:g} .. {sweep[-1]:g} S/m) ===")
+
+    t0 = time.perf_counter()
+    case, _, mesh = build_pressure_case(coarse=args.smoke,
+                                        dtype=jnp.float32, with_mesh=True)
+    scase = build_stencil_case(case, mesh, dtype=jnp.float32)
+    tables = sigma_tables_for_sweep(case, p).astype(jnp.float32)
+    t_build = time.perf_counter() - t0
+    print(f"  mesh+assemble (ONCE, reused for all {len(sweep)} cases): "
+          f"{case.n_nodes} nodes, {case.n_tets} tets, {t_build:.1f} s")
+
+    t0 = time.perf_counter()
+    out = batched_stencil_solve(scase, tables, tol=1e-6, maxiter=30_000)
+    jax.block_until_ready(out.phi)
+    t_solve = time.perf_counter() - t0
+    conv = np.asarray(out.converged)
+    print(f"  batched solve: {len(sweep)} cases in {t_solve:.2f} s = "
+          f"{len(sweep)*60/t_solve:.1f} solves/min "
+          f"(iters {np.asarray(out.iterations).tolist()})")
+    if not conv.all():
+        print(f"  WARNING: lanes not converged: {np.where(~conv)[0]}")
+
+    results = []
+    for i, (lab, s) in enumerate(zip(labels, sweep)):
+        print(f"\n[{lab}] sigma_contact = {s:g} S/m")
+        row = extract_results(case, out.phi[i], p, sigma_table=tables[i],
+                              pressure_label=lab, sigma_contact=s)
+        results.append(row)
+        print(f"    compliance_V={row['compliance_V']:.1f} V  "
+              f"Z={row['contact_impedance_ohm']:.0f} ohm  "
+              f"roi_E={row['roi_mean_E']:.2f} V/m  "
+              f"Q={row['charge_density_mC_cm2']:.6f} mC/cm2")
+
+    out_root = Path(args.outdir)
+    save_results(results, out_root)
+    print_sanity_table(results, p)
+    if args.plot:
+        from pelvistim_fem_tpu.viz.plots import plot_pressure_results
+        plot_pressure_results(results, p, out_root)
+
+    # End-of-run trend summary (ref run_pressure_sweep.py:762-779).
+    print(f"  compliance_V : {results[0]['compliance_V']:.1f} -> "
+          f"{results[-1]['compliance_V']:.1f} V")
+    print(f"  impedance    : {results[0]['contact_impedance_ohm']:.0f} -> "
+          f"{results[-1]['contact_impedance_ohm']:.0f} ohm")
+    print(f"  roi_mean_E   : {results[0]['roi_mean_E']:.2f} -> "
+          f"{results[-1]['roi_mean_E']:.2f} V/m")
+
+
+if __name__ == "__main__":
+    main()
