@@ -1,0 +1,176 @@
+// Native mesh kernels for pelvistim_fem_tpu.
+//
+// The reference delegates its mesh-heavy work to external native tools
+// (Gmsh C++ mesher, ElmerGrid converter — SURVEY.md EXT-A/EXT-B); here the
+// equivalent hot host-side passes are in-framework C++, called through
+// ctypes (pelvistim_fem_tpu/native.py) with a pure-numpy fallback:
+//
+//   extract_boundary     external faces = faces appearing in exactly one
+//                        tet (the invariant of the reference's
+//                        find_boundaries.py:48-59), via a radix-style sort
+//   accumulate_stencil   scatter element stiffnesses into per-body
+//                        27-point stencil coefficient stacks (the host
+//                        assembly feeding ops/stencil.py)
+//   parse_elmer_nodes /  fast text parsing of the Elmer mesh DB
+//   parse_elmer_elements (setup_case.py:35-63 formats)
+//
+// Build: make -C csrc   (produces ../pelvistim_fem_tpu/_native.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Local faces of a tet, outward-oriented for positive volumes
+// (must match pelvistim_fem_tpu/mesh/boundary.py TET_FACES).
+static const int TET_FACES[4][3] = {
+    {1, 2, 3}, {0, 3, 2}, {0, 1, 3}, {0, 2, 1}};
+
+struct FaceKey {
+  int32_t a, b, c;   // sorted node ids
+  int64_t src;       // 4*tet + local face
+};
+
+// Find faces appearing exactly once.  tets: (m,4) int32.
+// out_faces: caller-allocated (4m,3); out_parent: (4m,).
+// Returns the number of boundary faces written.
+int64_t extract_boundary(const int32_t* tets, int64_t m,
+                         int32_t* out_faces, int32_t* out_parent) {
+  std::vector<FaceKey> keys(4 * m);
+  for (int64_t t = 0; t < m; ++t) {
+    const int32_t* nd = tets + 4 * t;
+    for (int f = 0; f < 4; ++f) {
+      int32_t v0 = nd[TET_FACES[f][0]];
+      int32_t v1 = nd[TET_FACES[f][1]];
+      int32_t v2 = nd[TET_FACES[f][2]];
+      if (v0 > v1) std::swap(v0, v1);
+      if (v1 > v2) std::swap(v1, v2);
+      if (v0 > v1) std::swap(v0, v1);
+      keys[4 * t + f] = {v0, v1, v2, 4 * t + f};
+    }
+  }
+  std::sort(keys.begin(), keys.end(),
+            [](const FaceKey& x, const FaceKey& y) {
+              if (x.a != y.a) return x.a < y.a;
+              if (x.b != y.b) return x.b < y.b;
+              return x.c < y.c;
+            });
+  int64_t nb = 0;
+  const int64_t n = 4 * m;
+  for (int64_t i = 0; i < n;) {
+    int64_t j = i + 1;
+    while (j < n && keys[j].a == keys[i].a && keys[j].b == keys[i].b &&
+           keys[j].c == keys[i].c)
+      ++j;
+    if (j - i == 1) {  // singleton -> boundary face, original orientation
+      const int64_t src = keys[i].src;
+      const int64_t t = src / 4, f = src % 4;
+      const int32_t* nd = tets + 4 * t;
+      out_faces[3 * nb + 0] = nd[TET_FACES[f][0]];
+      out_faces[3 * nb + 1] = nd[TET_FACES[f][1]];
+      out_faces[3 * nb + 2] = nd[TET_FACES[f][2]];
+      out_parent[nb] = (int32_t)t;
+      ++nb;
+    }
+    i = j;
+  }
+  return nb;
+}
+
+// Scatter per-element 4x4 stiffness blocks into per-body 27-stencil
+// coefficient stacks.
+//   gidx : (m,4) int64 flat lattice index of each element node
+//   ke   : (m,16) double element stiffness (row-major 4x4, sans sigma)
+//   body0: (m,)  int32 0-based body id
+//   out  : (nbodies*27*G) double, zero-initialized by caller
+// Lattice layout: lin = (i*Y + j)*Z + k  (x-major).
+void accumulate_stencil(const int64_t* gidx, const double* ke,
+                        const int32_t* body0, int64_t m, int64_t G,
+                        int64_t Y, int64_t Z, int32_t nbodies,
+                        double* out) {
+  (void)nbodies;
+  const int64_t YZ = Y * Z;
+  for (int64_t e = 0; e < m; ++e) {
+    const int64_t* g = gidx + 4 * e;
+    const double* k = ke + 16 * e;
+    const int64_t base_body = (int64_t)body0[e] * 27 * G;
+    int ix[4], iy[4], iz[4];
+    for (int a = 0; a < 4; ++a) {
+      ix[a] = (int)(g[a] / YZ);
+      iy[a] = (int)((g[a] / Z) % Y);
+      iz[a] = (int)(g[a] % Z);
+    }
+    for (int a = 0; a < 4; ++a) {
+      const int64_t base = base_body + g[a];
+      for (int b = 0; b < 4; ++b) {
+        const int off = (ix[b] - ix[a] + 1) * 9 + (iy[b] - iy[a] + 1) * 3 +
+                        (iz[b] - iz[a] + 1);
+        out[base + (int64_t)off * G] += k[4 * a + b];
+      }
+    }
+  }
+}
+
+// Parse mesh.nodes text ("id partition x y z" per line).  Returns count;
+// coords: caller-allocated (max_nodes,3); ids: (max_nodes,).
+int64_t parse_elmer_nodes(const char* text, int64_t len, int64_t max_nodes,
+                          int64_t* ids, double* coords) {
+  int64_t n = 0;
+  const char* p = text;
+  const char* end = text + len;
+  while (p < end && n < max_nodes) {
+    char* next;
+    long id = strtol(p, &next, 10);
+    if (next == p) {  // skip to next line
+      while (p < end && *p != '\n') ++p;
+      ++p;
+      continue;
+    }
+    p = next;
+    strtol(p, &next, 10);  // partition (ignored)
+    p = next;
+    double x = strtod(p, &next); p = next;
+    double y = strtod(p, &next); p = next;
+    double z = strtod(p, &next); p = next;
+    ids[n] = id;
+    coords[3 * n] = x; coords[3 * n + 1] = y; coords[3 * n + 2] = z;
+    ++n;
+    while (p < end && *p != '\n') ++p;
+    ++p;
+  }
+  return n;
+}
+
+// Parse mesh.elements ("id body 504 n1..n4").  Returns count of tet4.
+int64_t parse_elmer_elements(const char* text, int64_t len,
+                             int64_t max_elems, int32_t* bodies,
+                             int64_t* nodes4) {
+  int64_t n = 0;
+  const char* p = text;
+  const char* end = text + len;
+  while (p < end && n < max_elems) {
+    char* next;
+    strtol(p, &next, 10);               // id
+    if (next == p) { while (p < end && *p != '\n') ++p; ++p; continue; }
+    p = next;
+    long body = strtol(p, &next, 10); p = next;
+    long etype = strtol(p, &next, 10); p = next;
+    if (etype == 504) {
+      bodies[n] = (int32_t)body;
+      for (int k = 0; k < 4; ++k) {
+        nodes4[4 * n + k] = strtol(p, &next, 10);
+        p = next;
+      }
+      ++n;
+    }
+    while (p < end && *p != '\n') ++p;
+    ++p;
+  }
+  return n;
+}
+
+}  // extern "C"

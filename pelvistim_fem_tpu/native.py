@@ -1,0 +1,116 @@
+"""ctypes bindings for the native C++ mesh kernels (csrc/meshkernels.cpp).
+
+Loads pelvistim_fem_tpu/_native.so when present (build: `make -C csrc`);
+every entry point has a pure-numpy fallback so the package works without
+the native library.  Callers use `native.available()` or just call the
+wrappers, which dispatch automatically.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = Path(__file__).resolve().parent / "_native.so"
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.extract_boundary.restype = ctypes.c_int64
+    lib.extract_boundary.argtypes = [i32p, ctypes.c_int64, i32p, i32p]
+    lib.accumulate_stencil.restype = None
+    lib.accumulate_stencil.argtypes = [
+        i64p, f64p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, f64p]
+    lib.parse_elmer_nodes.restype = ctypes.c_int64
+    lib.parse_elmer_nodes.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, f64p]
+    lib.parse_elmer_elements.restype = ctypes.c_int64
+    lib.parse_elmer_elements.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i32p, i64p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def extract_boundary(tets: np.ndarray):
+    """Native external-face extraction; numpy fallback in
+    mesh/boundary.py."""
+    lib = _load()
+    if lib is None:
+        from pelvistim_fem_tpu.mesh import boundary
+        return boundary._extract_boundary_numpy(tets)
+    tets = np.ascontiguousarray(tets, np.int32)
+    m = tets.shape[0]
+    faces = np.empty((4 * m, 3), np.int32)
+    parent = np.empty(4 * m, np.int32)
+    nb = lib.extract_boundary(tets, m, faces, parent)
+    return faces[:nb].copy(), parent[:nb].copy()
+
+
+def accumulate_stencil(gidx, ke, body0, G, Y, Z, n_bodies):
+    """Native stencil scatter; returns (n_bodies*27*G,) float64."""
+    lib = _load()
+    gidx = np.ascontiguousarray(gidx, np.int64)
+    ke = np.ascontiguousarray(ke.reshape(len(ke), 16), np.float64)
+    body0 = np.ascontiguousarray(body0, np.int32)
+    out = np.zeros(n_bodies * 27 * G)
+    if lib is None:
+        # numpy fallback (the original add.at path)
+        gi = np.empty(gidx.shape + (3,), np.int64)
+        gi[..., 0] = gidx // (Y * Z)
+        gi[..., 1] = (gidx // Z) % Y
+        gi[..., 2] = gidx % Z
+        b64 = body0.astype(np.int64)
+        for a in range(4):
+            for b in range(4):
+                d = gi[:, b] - gi[:, a]
+                off = ((d[:, 0] + 1) * 9 + (d[:, 1] + 1) * 3
+                       + (d[:, 2] + 1))
+                flat = (b64 * 27 + off) * G + gidx[:, a]
+                np.add.at(out, flat, ke[:, 4 * a + b])
+        return out
+    lib.accumulate_stencil(gidx, ke, body0, len(gidx), G, Y, Z,
+                           n_bodies, out)
+    return out
+
+
+def parse_elmer_nodes(text: bytes):
+    lib = _load()
+    if lib is None:
+        return None
+    max_n = text.count(b"\n") + 1
+    ids = np.empty(max_n, np.int64)
+    coords = np.empty((max_n, 3))
+    n = lib.parse_elmer_nodes(text, len(text), max_n, ids, coords)
+    return ids[:n].copy(), coords[:n].copy()
+
+
+def parse_elmer_elements(text: bytes):
+    lib = _load()
+    if lib is None:
+        return None
+    max_n = text.count(b"\n") + 1
+    bodies = np.empty(max_n, np.int32)
+    nodes4 = np.empty((max_n, 4), np.int64)
+    n = lib.parse_elmer_elements(text, len(text), max_n, bodies, nodes4)
+    return bodies[:n].copy(), nodes4[:n].copy()

@@ -72,19 +72,9 @@ def assemble_stencil_coeffs(mesh, n_bodies: int) -> np.ndarray:
     ke = np.einsum("mid,mjd->mij", grads, grads) * vol[:, None, None]
 
     gidx = lat.grid_index[mesh.tets]                     # (M, 4) flat grid
-    gi = np.empty(gidx.shape + (3,), np.int64)
-    gi[..., 0] = gidx // (Y * Z)
-    gi[..., 1] = (gidx // Z) % Y
-    gi[..., 2] = gidx % Z
-
-    out = np.zeros(n_bodies * 27 * G)
-    body0 = (mesh.tet_body.astype(np.int64) - 1)          # 0-based
-    for a in range(4):
-        for b in range(4):
-            d = gi[:, b] - gi[:, a]                       # (M, 3)
-            off = (d[:, 0] + 1) * 9 + (d[:, 1] + 1) * 3 + (d[:, 2] + 1)
-            flat = (body0 * 27 + off) * G + gidx[:, a]
-            np.add.at(out, flat, ke[:, a, b])
+    body0 = (mesh.tet_body.astype(np.int32) - 1)          # 0-based
+    from pelvistim_fem_tpu import native
+    out = native.accumulate_stencil(gidx, ke, body0, G, Y, Z, n_bodies)
     return out.reshape(n_bodies, 27, X, Y, Z)
 
 
