@@ -60,6 +60,27 @@ def main():
     solves_per_min = n_cases * 60.0 / t_solve
     baseline = 9 / 40.0  # reference: 9 cases / 20-60 min midpoint
     it = np.asarray(out.iterations)
+
+    # Secondary metric: the BASELINE.json north-star single case — a
+    # ~1.8M-tet layered ankle model, assemble (host) + solve (chip).
+    from pelvistim_fem_tpu.models.ankle import build_layered_case
+    from pelvistim_fem_tpu.ops.stencil import solve_stencil
+    from pelvistim_fem_tpu.utils.config import default_params
+    p3 = default_params("step03_ankle_layers")
+    p3["mesh"] = {"lc_global_mm": 1.1, "lc_electrode_mm": 0.7,
+                  "lc_skin_min": 0.4}
+    t0 = time.perf_counter()
+    case_m, _, mesh_m = build_layered_case(p3, dtype=jnp.float32,
+                                           with_mesh=True)
+    scase_m = build_stencil_case(case_m, mesh_m, dtype=jnp.float32)
+    t_asm_m = time.perf_counter() - t0
+    r = solve_stencil(scase_m, tol=1e-6, maxiter=30_000)
+    jax.block_until_ready(r.phi)
+    float(np.asarray(r.phi[0]))  # warm/compile
+    t0 = time.perf_counter()
+    r = solve_stencil(scase_m, tol=1e-6, maxiter=30_000)
+    float(np.asarray(r.phi[0]))  # force completion (axon block quirk)
+    t_solve_m = time.perf_counter() - t0
     print(json.dumps({
         "metric": "sweep_solves_per_min",
         "value": round(solves_per_min, 2),
@@ -73,6 +94,10 @@ def main():
         "mean_iters": round(float(it.mean()), 1),
         "build_s": round(t_build, 2),
         "sweep_wall_s": round(t_solve, 3),
+        "megatet_case_tets": int(case_m.n_tets),
+        "megatet_assemble_s": round(t_asm_m, 2),
+        "megatet_solve_s": round(t_solve_m, 3),
+        "megatet_iters": int(np.asarray(r.iterations)),
         "device": str(jax.devices()[0]),
     }))
 

@@ -115,6 +115,43 @@ void accumulate_stencil(const int64_t* gidx, const double* ke,
   }
 }
 
+// Same scatter as accumulate_stencil, but computes the element stiffness
+// on the fly from shape-function gradients:  k_ab = vol * (g_a . g_b).
+// Avoids materializing the (m,16) ke array on the Python side (~230 MB at
+// 1.8M tets) and the numpy einsum that builds it.
+//   grads: (m,4,3) double, vol: (m,) double.
+void accumulate_stencil_grads(const int64_t* gidx, const double* grads,
+                              const double* vol, const int32_t* body0,
+                              int64_t m, int64_t G, int64_t Y, int64_t Z,
+                              int32_t nbodies, double* out) {
+  (void)nbodies;
+  const int64_t YZ = Y * Z;
+  for (int64_t e = 0; e < m; ++e) {
+    const int64_t* g = gidx + 4 * e;
+    const double* gr = grads + 12 * e;
+    const double v = vol[e];
+    const int64_t base_body = (int64_t)body0[e] * 27 * G;
+    int ix[4], iy[4], iz[4];
+    for (int a = 0; a < 4; ++a) {
+      ix[a] = (int)(g[a] / YZ);
+      iy[a] = (int)((g[a] / Z) % Y);
+      iz[a] = (int)(g[a] % Z);
+    }
+    for (int a = 0; a < 4; ++a) {
+      const int64_t base = base_body + g[a];
+      const double* ga = gr + 3 * a;
+      for (int b = 0; b < 4; ++b) {
+        const double* gb = gr + 3 * b;
+        const double kab =
+            v * (ga[0] * gb[0] + ga[1] * gb[1] + ga[2] * gb[2]);
+        const int off = (ix[b] - ix[a] + 1) * 9 + (iy[b] - iy[a] + 1) * 3 +
+                        (iz[b] - iz[a] + 1);
+        out[base + (int64_t)off * G] += kab;
+      }
+    }
+  }
+}
+
 // Parse mesh.nodes text ("id partition x y z" per line).  Returns count;
 // coords: caller-allocated (max_nodes,3); ids: (max_nodes,).
 int64_t parse_elmer_nodes(const char* text, int64_t len, int64_t max_nodes,

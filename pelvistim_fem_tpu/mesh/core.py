@@ -72,6 +72,19 @@ class TetMesh:
     face_bcid: np.ndarray    # (B,)   i32
     face_parent: np.ndarray  # (B,)   i32
     lattice: LatticeInfo | None = None
+    _geom: tuple | None = dataclasses.field(default=None, repr=False,
+                                            compare=False)
+
+    def geometry(self):
+        """Cached (grads (M,4,3), vol (M,)) P1 element geometry —
+        computed once per mesh, shared by the element Case build and the
+        stencil assembly (each needs it; recomputing cost seconds at
+        million-tet scale)."""
+        if self._geom is None:
+            from pelvistim_fem_tpu.ops.assembly import element_gradients
+            object.__setattr__(self, "_geom",
+                               element_gradients(self.nodes, self.tets))
+        return self._geom
 
     @property
     def n_nodes(self) -> int:
@@ -98,7 +111,7 @@ class TetMesh:
             assert self.faces.min() >= 0 and self.faces.max() < self.n_nodes
             assert self.face_parent.min() >= 0
             assert self.face_parent.max() < self.n_tets
-        vols = tet_volumes(self.nodes, self.tets)
+        vols = self.geometry()[1]   # cached; reused by build_case
         assert (vols > 0).all(), "all tets must have positive volume"
 
     def with_positive_volumes(self) -> "TetMesh":
@@ -107,7 +120,7 @@ class TetMesh:
         tets = self.tets.copy()
         neg = vols < 0
         tets[neg, 2], tets[neg, 3] = self.tets[neg, 3], self.tets[neg, 2]
-        return dataclasses.replace(self, tets=tets)
+        return dataclasses.replace(self, tets=tets, _geom=None)
 
     def face_areas_normals(self):
         """Areas and *outward* unit normals of boundary faces.
@@ -129,10 +142,12 @@ class TetMesh:
 
 
 def tet_volumes(nodes: np.ndarray, tets: np.ndarray) -> np.ndarray:
-    """Signed tet volumes det([x1-x0, x2-x0, x3-x0]) / 6."""
+    """Signed tet volumes det([x1-x0, x2-x0, x3-x0]) / 6 (closed form)."""
     x = nodes[tets]                                       # (M, 4, 3)
-    d = x[:, 1:] - x[:, :1]                               # (M, 3, 3)
-    return np.linalg.det(d) / 6.0
+    e1 = x[:, 1] - x[:, 0]
+    e2 = x[:, 2] - x[:, 0]
+    e3 = x[:, 3] - x[:, 0]
+    return np.einsum("md,md->m", e1, np.cross(e2, e3)) / 6.0
 
 
 def compact(nodes: np.ndarray, tets: np.ndarray, *extra_index_arrays):

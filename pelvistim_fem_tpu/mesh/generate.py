@@ -39,7 +39,15 @@ for perm in itertools.permutations(range(3)):
     c1 = c0.copy(); c1[perm[0]] = 1
     c2 = c1.copy(); c2[perm[1]] = 1
     c3 = np.ones(3, dtype=np.int64)
-    _KUHN.append(np.stack([c0, c1, c2, c3]))
+    # Odd permutations produce negatively-oriented tets on any grid with
+    # positive spacings; swap the last two vertices statically so every
+    # generated tet is positive without a per-tet volume check.
+    parity = sum(1 for i in range(3) for j in range(i + 1, 3)
+                 if perm[i] > perm[j]) % 2
+    tet = np.stack([c0, c1, c2, c3])
+    if parity == 1:
+        tet = tet[[0, 1, 3, 2]]
+    _KUHN.append(tet)
 _KUHN = np.stack(_KUHN)  # (6, 4, 3)
 
 
@@ -64,11 +72,6 @@ def lattice_tets(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray):
         for v in range(4):
             dx, dy, dz = _KUHN[t, v]
             tets[t::6, v] = nid(ii + dx, jj + dy, kk + dz)
-
-    # Fix orientation (half the Kuhn tets come out negative).
-    vols = tet_volumes(nodes, tets)
-    neg = vols < 0
-    tets[neg, 2], tets[neg, 3] = tets[neg, 3].copy(), tets[neg, 2].copy()
     return nodes, tets.astype(np.int32)
 
 
@@ -121,7 +124,10 @@ def build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn,
 
     mesh = TetMesh(nodes=nodes, tets=tets, tet_body=body, faces=faces,
                    face_bcid=bcid, face_parent=parent, lattice=lattice)
-    mesh = mesh.with_positive_volumes()
+    if deform_fn is not None:
+        # deformation could in principle invert sheared cells; re-orient.
+        # Undeformed lattices are positively oriented by construction.
+        mesh = mesh.with_positive_volumes()
     return mesh
 
 

@@ -157,7 +157,7 @@ def build_case(
     """
     mesh.validate()
     n = mesh.n_nodes
-    grads, vol = assembly.element_gradients(mesh.nodes, mesh.tets)
+    grads, vol = mesh.geometry()
     perm, segids = assembly.scatter_plan(mesh.tets, n)
     areas, normals = mesh.face_areas_normals()
 

@@ -38,6 +38,10 @@ def _load():
     lib.accumulate_stencil.argtypes = [
         i64p, f64p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, f64p]
+    lib.accumulate_stencil_grads.restype = None
+    lib.accumulate_stencil_grads.argtypes = [
+        i64p, f64p, f64p, i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, f64p]
     lib.parse_elmer_nodes.restype = ctypes.c_int64
     lib.parse_elmer_nodes.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, f64p]
@@ -91,6 +95,24 @@ def accumulate_stencil(gidx, ke, body0, G, Y, Z, n_bodies):
         return out
     lib.accumulate_stencil(gidx, ke, body0, len(gidx), G, Y, Z,
                            n_bodies, out)
+    return out
+
+
+def accumulate_stencil_from_grads(gidx, grads, vol, body0, G, Y, Z,
+                                  n_bodies):
+    """Native stencil scatter with inline k_ab = vol * g_a.g_b; falls back
+    to materializing ke + accumulate_stencil."""
+    lib = _load()
+    if lib is None:
+        ke = np.einsum("mid,mjd->mij", grads, grads) * vol[:, None, None]
+        return accumulate_stencil(gidx, ke, body0, G, Y, Z, n_bodies)
+    gidx = np.ascontiguousarray(gidx, np.int64)
+    grads = np.ascontiguousarray(grads, np.float64)
+    vol = np.ascontiguousarray(vol, np.float64)
+    body0 = np.ascontiguousarray(body0, np.int32)
+    out = np.zeros(n_bodies * 27 * G)
+    lib.accumulate_stencil_grads(gidx, grads, vol, body0, len(gidx), G,
+                                 Y, Z, n_bodies, out)
     return out
 
 

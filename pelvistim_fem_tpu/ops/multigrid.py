@@ -1,0 +1,359 @@
+"""Geometric multigrid preconditioner for the stencil operator.
+
+The thin high-contrast layers of the reference problem (0.5 mm contact at
+sigma 5e-5 S/m over muscle at 0.35 — a 7000x jump, step04 params.yaml)
+make Jacobi-CG iteration counts grow into the hundreds.  A V-cycle over
+the lattice hierarchy cuts that by an order of magnitude and is the
+standard replacement for the reference's UMFPACK direct factorization at
+scale.
+
+Design (TPU-first, all static shapes):
+  * Coarsening: every-other-knot on each lattice axis (factor ~2,
+    non-uniform axes fine).
+  * Transfers: trilinear prolongation P from knot positions; restriction
+    R = P^T (rows renormalized on the coarse side).
+  * Coarse operators by GALERKIN PROBING: a 27-point stencil is closed
+    under R A P with factor-2 trilinear transfers (reach <= 3 fine cells
+    = 1 coarse offset), so each coarse stencil entry is read off by
+    applying the fine operator to 27 period-3 comb vectors.  Probing the
+    PROJECTED operator folds Dirichlet/carved masks in automatically,
+    and doing it per conductivity body keeps C_c(sigma) = sum_b sigma_b
+    C_c_b — material sweeps reuse one hierarchy.
+  * Smoother: damped Jacobi (omega = 0.7), fixed nu1 = nu2 = 2 so the
+    V-cycle is a fixed SPD linear operator usable inside CG.
+  * Coarsest level: fixed-iteration-count CG.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.ops.solve import SolveResult, jacobi_pcg
+from pelvistim_fem_tpu.ops.stencil import (DIAG_OFFSET, OFFSETS,
+                                           StencilCase, combine_coeffs,
+                                           stencil_spmv)
+
+
+def _axis_weights(fine: np.ndarray, coarse_idx: np.ndarray):
+    """Per-fine-knot (left_coarse_slot, w_left) trilinear weights."""
+    coarse = fine[coarse_idx]
+    # fine knot positions between coarse knots
+    slot = np.searchsorted(coarse, fine, side="right") - 1
+    slot = np.clip(slot, 0, len(coarse) - 2)
+    x0 = coarse[slot]
+    x1 = coarse[slot + 1]
+    t = (fine - x0) / np.maximum(x1 - x0, 1e-300)
+    t = np.clip(t, 0.0, 1.0)
+    return slot, 1.0 - t
+
+
+def make_transfers(axes):
+    """Build (coarse_axes, prolong_fn, restrict_fn) for one coarsening.
+
+    prolong: (Xc,Yc,Zc) -> (X,Y,Z); restrict = P^T.
+    Implemented as three 1-D interpolation passes (each a gather of two
+    slabs along one axis) — static shapes, XLA-friendly.
+    """
+    idxs, slots, wls = [], [], []
+    for ax in axes:
+        n = len(ax)
+        ci = np.arange(0, n, 2)
+        if ci[-1] != n - 1:
+            ci = np.append(ci, n - 1)
+        slot, wl = _axis_weights(ax, ci)
+        idxs.append(ci)
+        slots.append(slot.astype(np.int32))
+        wls.append(wl)
+    coarse_axes = tuple(a[i] for a, i in zip(axes, idxs))
+
+    s0, s1, s2 = slots
+    w0, w1, w2 = wls
+
+    def prolong(xc):
+        # numpy index arrays + operator overloading: works for BOTH
+        # numpy arrays (hierarchy probing) and jnp tracers (V-cycle).
+        a = xc[s0] * w0[:, None, None] + xc[s0 + 1] * (1 - w0)[:, None,
+                                                               None]
+        b = (a[:, s1] * w1[None, :, None]
+             + a[:, s1 + 1] * (1 - w1)[None, :, None])
+        c = (b[:, :, s2] * w2[None, None, :]
+             + b[:, :, s2 + 1] * (1 - w2)[None, None, :])
+        return c
+
+    nc = tuple(len(i) for i in idxs)
+
+    def restrict(xf):
+        # transpose of prolong; dual numpy / jnp implementation.
+        if isinstance(xf, np.ndarray):
+            y = np.zeros((nc[0],) + xf.shape[1:], xf.dtype)
+            np.add.at(y, s0, xf * w0[:, None, None])
+            np.add.at(y, s0 + 1, xf * (1 - w0)[:, None, None])
+            y2 = np.zeros((nc[0], nc[1], y.shape[2]), xf.dtype)
+            np.add.at(y2, (slice(None), s1), y * w1[None, :, None])
+            np.add.at(y2, (slice(None), s1 + 1),
+                      y * (1 - w1)[None, :, None])
+            y3 = np.zeros(nc, xf.dtype)
+            np.add.at(y3, (slice(None), slice(None), s2),
+                      y2 * w2[None, None, :])
+            np.add.at(y3, (slice(None), slice(None), s2 + 1),
+                      y2 * (1 - w2)[None, None, :])
+            return y3
+        dt = xf.dtype
+        y = (jnp.zeros((nc[0],) + xf.shape[1:], dt)
+             .at[s0].add(xf * w0[:, None, None].astype(dt))
+             .at[s0 + 1].add(xf * (1 - w0)[:, None, None].astype(dt)))
+        y = (jnp.zeros((nc[0], nc[1], y.shape[2]), dt)
+             .at[:, s1].add(y * w1[None, :, None].astype(dt))
+             .at[:, s1 + 1].add(y * (1 - w1)[None, :, None].astype(dt)))
+        y = (jnp.zeros(nc, dt)
+             .at[:, :, s2].add(y * w2[None, None, :].astype(dt))
+             .at[:, :, s2 + 1].add(y * (1 - w2)[None, None, :]
+                                   .astype(dt)))
+        return y
+
+    return coarse_axes, prolong, restrict
+
+
+def _np_spmv(x, C):
+    """Numpy twin of stencil_spmv for host-side probing."""
+    X, Y, Z = x.shape
+    xp = np.pad(x, 1)
+    y = np.zeros_like(x)
+    for o, (dx, dy, dz) in enumerate(OFFSETS):
+        y += C[o] * xp[1 + dx:1 + dx + X, 1 + dy:1 + dy + Y,
+                       1 + dz:1 + dz + Z]
+    return y
+
+
+def _probe_coarse_stencils(coeffs, free, prolong, restrict, coarse_shape,
+                           dtype):
+    """Read off the 27-point coarse Galerkin stencils R A_b P for ALL
+    bodies by probing with period-3 combs.
+
+    One batched device call per level: vmap over (n_bodies, 27 combs) —
+    anything finer-grained suffers badly from per-dispatch compile
+    latency on the axon TPU backend (observed 327 s vs ~5 s).
+    """
+    n_bodies = coeffs.shape[0]
+    Xc, Yc, Zc = coarse_shape
+    ix = np.arange(Xc)
+    iy = np.arange(Yc)
+    iz = np.arange(Zc)
+
+    combs = np.zeros((27,) + coarse_shape)
+    for c, (px, py, pz) in enumerate(OFFSETS):
+        px, py, pz = px + 1, py + 1, pz + 1
+        combs[c][np.ix_(ix[ix % 3 == px % 3], iy[iy % 3 == py % 3],
+                        iz[iz % 3 == pz % 3])] = 1.0
+    comb_phase = [((p[0] + 1) % 3, (p[1] + 1) % 3, (p[2] + 1) % 3)
+                  for p in OFFSETS]
+
+    # Pure numpy probing: hierarchy setup is one-time host work; routing
+    # it through the device would pay erratic remote-compile latency on
+    # the axon backend (observed minutes) for milliseconds of math.
+    free_np = np.asarray(free)
+    coeffs_np = np.asarray(coeffs, np.float64)
+    ys = np.empty((n_bodies, 27) + coarse_shape)
+    for c in range(27):
+        pf = np.where(free_np, prolong(combs[c]), 0.0)
+        for b in range(n_bodies):
+            y = np.where(free_np, _np_spmv(pf, coeffs_np[b]), 0.0)
+            ys[b, c] = restrict(y)
+
+    out = np.zeros((n_bodies, 27) + coarse_shape)
+    for c, (px, py, pz) in enumerate(comb_phase):
+        y = ys[:, c]
+        for o, (dx, dy, dz) in enumerate(OFFSETS):
+            # target n receives from source s = n + (dx,dy,dz) on comb c
+            nx = ix[(ix + dx) % 3 == px]
+            ny = iy[(iy + dy) % 3 == py]
+            nz = iz[(iz + dz) % 3 == pz]
+            nx = nx[(nx + dx >= 0) & (nx + dx < Xc)]
+            ny = ny[(ny + dy >= 0) & (ny + dy < Yc)]
+            nz = nz[(nz + dz >= 0) & (nz + dz < Zc)]
+            sel = np.ix_(nx, ny, nz)
+            out[(slice(None), o) + sel] = y[(slice(None),) + sel]
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MGLevel:
+    coeff: jax.Array      # (n_bodies, 27, X, Y, Z)
+    free: jax.Array       # (X, Y, Z) bool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MGHierarchy:
+    levels: tuple            # tuple[MGLevel] finest -> coarsest
+    # transfer closures are static (captured arrays are jnp constants)
+    prolongs: tuple = dataclasses.field(metadata=dict(static=True),
+                                        default=())
+    restricts: tuple = dataclasses.field(metadata=dict(static=True),
+                                         default=())
+
+
+def build_hierarchy(host_data: dict, *, dtype=None, min_nodes=800,
+                    max_levels=6) -> MGHierarchy:
+    """Build per-body Galerkin-coarsened levels from stencil HOST data
+    (ops.stencil.stencil_host_data output: numpy coeff/free + lattice
+    axes).  All probing runs in numpy — one-time setup must not pay
+    device round-trips or remote-compile latency.  Independent of sigma:
+    one hierarchy serves a whole material sweep.
+    """
+    coeff0 = np.asarray(host_data["coeff"], np.float64)
+    free0 = np.asarray(host_data["free"], bool)
+    dtype = dtype or jnp.float32
+    levels = [MGLevel(coeff=jnp.asarray(coeff0, dtype),
+                      free=jnp.asarray(free0))]
+    prolongs, restricts = [], []
+    cur_axes = tuple(np.asarray(a) for a in host_data["axes"])
+    cur_free = free0
+    cur_coeff = coeff0
+
+    while len(levels) < max_levels:
+        shape = tuple(len(a) for a in cur_axes)
+        if int(np.prod(shape)) <= min_nodes:
+            break
+        coarse_axes, prolong, restrict = make_transfers(cur_axes)
+        cshape = tuple(len(a) for a in coarse_axes)
+
+        coarse_coeff = _probe_coarse_stencils(
+            cur_coeff, cur_free, prolong, restrict, cshape, dtype)
+
+        # Coarse "free" = nodes with any stiffness (all-zero rows are
+        # carved/fully-constrained regions -> identity).
+        diag_sum = np.abs(coarse_coeff).sum(axis=(0, 1))
+        coarse_free = diag_sum > 1e-300
+
+        levels.append(MGLevel(coeff=jnp.asarray(coarse_coeff, dtype),
+                              free=jnp.asarray(coarse_free)))
+        prolongs.append(prolong)
+        restricts.append(restrict)
+        cur_axes = coarse_axes
+        cur_free = coarse_free
+        cur_coeff = coarse_coeff
+
+    return MGHierarchy(levels=tuple(levels), prolongs=tuple(prolongs),
+                       restricts=tuple(restricts))
+
+
+def _level_op(level: MGLevel, sigma_table):
+    C = combine_coeffs(level.coeff, sigma_table)
+    free = level.free
+    diag = jnp.where(free & (C[DIAG_OFFSET] != 0), C[DIAG_OFFSET], 1.0)
+
+    def op(x):
+        xm = jnp.where(free, x, 0.0)
+        return jnp.where(free, stencil_spmv(xm, C), x)
+
+    return op, diag
+
+
+def make_v_cycle(hier: MGHierarchy, sigma_table, *, nu=2, omega=0.7,
+                 coarse_iters=24):
+    """Return an SPD preconditioner apply(r) -> z (one V-cycle)."""
+    ops_diags = [_level_op(lv, sigma_table) for lv in hier.levels]
+    n_levels = len(hier.levels)
+
+    def smooth(op, dinv, x, b, n):
+        for _ in range(n):
+            x = x + omega * dinv * (b - op(x))
+        return x
+
+    def cycle(level, b):
+        op, diag = ops_diags[level]
+        dinv = 1.0 / diag
+        if level == n_levels - 1:
+            # coarsest: fixed-iteration CG (deterministic SPD approx)
+            x = jnp.zeros_like(b)
+            r = b
+            z = dinv * r
+            p = z
+            rz = jnp.sum(r * z)
+            for _ in range(coarse_iters):
+                ap = op(p)
+                denom = jnp.sum(p * ap)
+                alpha = rz / jnp.where(denom != 0, denom, 1.0)
+                x = x + alpha * p
+                r = r - alpha * ap
+                z = dinv * r
+                rz_n = jnp.sum(r * z)
+                beta = rz_n / jnp.where(rz != 0, rz, 1.0)
+                p = z + beta * p
+                rz = rz_n
+            return x
+        x = smooth(op, dinv, jnp.zeros_like(b), b, nu)
+        r = b - op(x)
+        rc = hier.restricts[level](r)
+        rc = jnp.where(hier.levels[level + 1].free, rc, 0.0)
+        xc = cycle(level + 1, rc)
+        x = x + hier.prolongs[level](xc)
+        x = smooth(op, dinv, x, b, nu)
+        return x
+
+    def apply(r):
+        return cycle(0, r)
+
+    return apply
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "nu",
+                                   "coarse_iters"))
+def solve_stencil_mg(scase: StencilCase, hier: MGHierarchy,
+                     sigma_table=None, *, tol=1e-8, maxiter=2_000,
+                     nu=2, coarse_iters=24) -> SolveResult:
+    """MG-preconditioned CG on the stencil operator (phi in mesh node
+    ordering, drop-in for solve_stencil)."""
+    from pelvistim_fem_tpu.ops import stencil as st
+    if sigma_table is None:
+        sigma_table = scase.sigma_table
+    op, diag, b_eff = st._operator(scase, sigma_table)
+    M = make_v_cycle(hier, sigma_table, nu=nu, coarse_iters=coarse_iters)
+    x0 = jnp.where(scase.free, 0.0, scase.dirichlet)
+
+    # PCG with the V-cycle preconditioner (generalizes jacobi_pcg's M).
+    dot = lambda a, b: jnp.sum(a * b)
+    nrm = lambda a: jnp.sqrt(jnp.sum(a * a))
+    bnorm = nrm(b_eff)
+    tol_abs = tol * bnorm
+
+    r0 = b_eff - op(x0)
+    z0 = jnp.where(scase.free, M(jnp.where(scase.free, r0, 0.0)), r0)
+    rz0 = dot(r0, z0)
+    done0 = nrm(r0) <= tol_abs
+    state0 = (x0, r0, z0, rz0, z0, jnp.int32(0), done0)
+
+    def cond(state):
+        *_, k, done = state
+        return jnp.logical_not(done) & (k < maxiter)
+
+    def body(state):
+        x, r, z, rz, p, k, done = state
+        ap = op(p)
+        alpha = rz / dot(p, ap)
+        x_n = x + alpha * p
+        r_n = r - alpha * ap
+        z_n = jnp.where(scase.free, M(jnp.where(scase.free, r_n, 0.0)),
+                        r_n)
+        rz_n = dot(r_n, z_n)
+        beta = rz_n / rz
+        p_n = z_n + beta * p
+        sel = lambda new, old: jnp.where(done, old, new)
+        x, r, z = sel(x_n, x), sel(r_n, r), sel(z_n, z)
+        rz, p, k = sel(rz_n, rz), sel(p_n, p), sel(k + 1, k)
+        done = done | (nrm(r) <= tol_abs)
+        return (x, r, z, rz, p, k, done)
+
+    x, r, *_ , k, _ = jax.lax.while_loop(cond, body, state0)
+    rel = nrm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+    phi_nodes = x.reshape(-1)[scase.grid_index]
+    return SolveResult(phi=phi_nodes, iterations=k, residual=rel,
+                       converged=rel <= tol)

@@ -68,48 +68,59 @@ def assemble_stencil_coeffs(mesh, n_bodies: int) -> np.ndarray:
     X, Y, Z = lat.grid_shape
     G = X * Y * Z
 
-    grads, vol = assembly.element_gradients(mesh.nodes, mesh.tets)
-    ke = np.einsum("mid,mjd->mij", grads, grads) * vol[:, None, None]
-
+    grads, vol = mesh.geometry()
     gidx = lat.grid_index[mesh.tets]                     # (M, 4) flat grid
     body0 = (mesh.tet_body.astype(np.int32) - 1)          # 0-based
     from pelvistim_fem_tpu import native
-    out = native.accumulate_stencil(gidx, ke, body0, G, Y, Z, n_bodies)
+    out = native.accumulate_stencil_from_grads(gidx, grads, vol, body0,
+                                               G, Y, Z, n_bodies)
     return out.reshape(n_bodies, 27, X, Y, Z)
 
 
-def build_stencil_case(case, mesh, dtype=None,
-                       sigma_table_host=None) -> StencilCase:
-    """Lift an assembled Case (BCs, loads, materials) onto the lattice.
-
-    BCs are recomputed on the host from the mesh + case metadata rather
-    than read back from device: bool-array device->host transfers are
-    pathologically slow (~minutes) on the axon TPU backend."""
+def stencil_host_data(case, mesh):
+    """Host-side (numpy) stencil problem data: per-body coefficient
+    stacks + grid BC arrays.  Shared by build_stencil_case and the
+    multigrid hierarchy builder so nothing is ever read back from device
+    (bool-array readbacks take minutes on the axon TPU backend)."""
     from pelvistim_fem_tpu.models.case import compute_bc_host
 
     lat = mesh.lattice
     X, Y, Z = lat.grid_shape
     n_bodies = int(case.meta.n_bodies)
     coeff = assemble_stencil_coeffs(mesh, n_bodies)
-
-    dtype = dtype or case.nodes.dtype
     free_n, diri_n, b_n, _, _, _ = compute_bc_host(
         mesh, mode=case.meta.mode, active_V=case.meta.active_V,
         injected_current_A=case.meta.I_target_A)
-    if sigma_table_host is None:
-        sigma_table_host = np.asarray(case.meta.sigma_table_host)
 
     def to_grid(vec, fill=0.0, dt=None):
         g = np.full(X * Y * Z, fill, dt or np.float64)
         g[lat.grid_index] = np.asarray(vec)
         return g.reshape(X, Y, Z)
 
+    return dict(
+        coeff=coeff,
+        free=to_grid(free_n, fill=False, dt=bool),
+        dirichlet=to_grid(diri_n),
+        b_neumann=to_grid(b_n),
+        grid_index=lat.grid_index,
+        sigma_table=np.asarray(case.meta.sigma_table_host),
+        axes=lat.axes,
+    )
+
+
+def build_stencil_case(case, mesh, dtype=None, sigma_table_host=None,
+                       host_data=None) -> StencilCase:
+    """Lift an assembled Case (BCs, loads, materials) onto the lattice."""
+    hd = host_data or stencil_host_data(case, mesh)
+    dtype = dtype or case.nodes.dtype
+    if sigma_table_host is None:
+        sigma_table_host = hd["sigma_table"]
     return StencilCase(
-        coeff=jnp.asarray(coeff, dtype),
-        free=jnp.asarray(to_grid(free_n, fill=False, dt=bool)),
-        dirichlet=jnp.asarray(to_grid(diri_n), dtype),
-        b_neumann=jnp.asarray(to_grid(b_n), dtype),
-        grid_index=jnp.asarray(lat.grid_index, jnp.int32),
+        coeff=jnp.asarray(hd["coeff"], dtype),
+        free=jnp.asarray(hd["free"]),
+        dirichlet=jnp.asarray(hd["dirichlet"], dtype),
+        b_neumann=jnp.asarray(hd["b_neumann"], dtype),
+        grid_index=jnp.asarray(hd["grid_index"], jnp.int32),
         sigma_table=jnp.asarray(sigma_table_host, dtype),
     )
 
