@@ -153,12 +153,28 @@ def stencil_spmv(x, C):
     return y
 
 
+def _use_pallas() -> bool:
+    """Opt-in Pallas SpMV kernel (PELVISTIM_USE_PALLAS=1).  The XLA
+    fusion is the default; the Pallas kernel pins the row-pipelined
+    schedule explicitly (ops/pallas_stencil.py)."""
+    import os
+    return os.environ.get("PELVISTIM_USE_PALLAS", "0") == "1" and \
+        jax.devices()[0].platform != "cpu"
+
+
 def _operator(scase, sigma_table):
     C = combine_coeffs(scase.coeff, sigma_table)
     free = scase.free
 
-    def raw(x):
-        return stencil_spmv(x, C)
+    if _use_pallas():
+        from pelvistim_fem_tpu.ops.pallas_stencil import \
+            stencil_spmv_pallas
+
+        def raw(x):
+            return stencil_spmv_pallas(x, C)
+    else:
+        def raw(x):
+            return stencil_spmv(x, C)
 
     def op(x):
         return jnp.where(free, raw(jnp.where(free, x, 0.0)), x)

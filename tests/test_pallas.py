@@ -1,0 +1,54 @@
+"""Pallas stencil kernel vs the XLA reference implementation.
+
+On the CPU test mesh the kernel runs in interpreter mode; on real TPU
+hardware it compiles (exercised by bench/dev runs with
+PELVISTIM_USE_PALLAS=1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import pelvistim_fem_tpu.ops.pallas_stencil as ps
+from pelvistim_fem_tpu.ops.stencil import stencil_spmv
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    if jax.devices()[0].platform == "cpu":
+        orig = pl.pallas_call
+
+        def interp(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(ps.pl, "pallas_call", interp)
+    yield
+
+
+@pytest.mark.parametrize("shape", [(8, 7, 6), (20, 13, 9), (31, 16, 8)])
+def test_pallas_matches_xla(shape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((27,) + shape), jnp.float32)
+    y_ref = stencil_spmv(x, C)
+    y = ps.stencil_spmv_pallas(x, C)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_pallas_boundary_rows_zero_halo():
+    """First/last rows only see the zero halo — catch off-by-one in the
+    shifted row views."""
+    shape = (5, 6, 7)
+    x = jnp.ones(shape, jnp.float32)
+    C = jnp.zeros((27,) + shape, jnp.float32)
+    # pure +x neighbor stencil: y[i] = x[i+1]
+    from pelvistim_fem_tpu.ops.stencil import OFFSETS
+    o = OFFSETS.index((1, 0, 0))
+    C = C.at[o].set(1.0)
+    y = np.asarray(ps.stencil_spmv_pallas(x, C))
+    assert np.allclose(y[:-1], 1.0)
+    assert np.allclose(y[-1], 0.0)   # last row's +x neighbor is halo
