@@ -8,9 +8,13 @@ contract (per-case dir with bc_debug_report.txt, results/summary.csv,
 summary.json, run summary) matches the reference.
 
 Usage:  python apps/run_step03.py [--smoke] [--outdir results_step03]
+                                  [--plot] [--resume] [--save-vtu]
+                                  [--export-elmer] [--profile DIR]
 """
 
 import argparse
+import contextlib
+import json
 import sys
 import time
 from pathlib import Path
@@ -31,6 +35,23 @@ def main():
                     help="params.yaml path (default: bundled step03)")
     ap.add_argument("--plot", action="store_true",
                     help="write the step03 figure families")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip cases whose per-case row.json already "
+                         "exists (the reference's artifact-exists resume "
+                         "pattern, SURVEY.md section 5)")
+    ap.add_argument("--save-vtu", action="store_true",
+                    help="write a solution VTU per case (ParaView/pyvista "
+                         "interop)")
+    ap.add_argument("--export-elmer", action="store_true",
+                    help="also write elmer_mesh/ + case.sif per case for "
+                         "cross-validation with ElmerSolver")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
+    ap.add_argument("--batch", action="store_true",
+                    help="solve each radius group's t_fat variants as ONE "
+                         "vmapped batch on a shared lattice "
+                         "(parallel/geometry_sweep.py) instead of the "
+                         "serial per-case loop")
     args = ap.parse_args()
 
     from pelvistim_fem_tpu.models.ankle import build_layered_case
@@ -41,7 +62,8 @@ def main():
                                                 load_params)
     from pelvistim_fem_tpu.utils.report import (print_run_summary,
                                                 save_bc_debug_report)
-    from pelvistim_fem_tpu.utils.summary import save_results
+    from pelvistim_fem_tpu.utils.summary import _NanToNullEncoder, \
+        save_results
     from pelvistim_fem_tpu.utils.timing import PhaseTimer
 
     p = (load_params(args.params) if args.params
@@ -80,29 +102,95 @@ def main():
     results = []
     solutions = []   # kept for --plot
     t_start = time.perf_counter()
-    for t_fat in t_fat_list:
-        for r_mm in r_list_mm:
-            elec_r = r_mm * 1e-3
-            label = f"tfat{int(t_fat*1e6):04d}um_r{int(elec_r*1e6):04d}um"
-            run_dir = out_root / label
-            print(f"\n[{label}]  t_fat={t_fat*1000:.1f}mm  "
-                  f"r={r_mm:.1f}mm")
-            with timer.phase("mesh+assemble"):
-                case, _, mesh = build_layered_case(
-                    p, t_fat=t_fat, elec_r=elec_r, coarse=coarse,
-                    dtype=preferred_dtype(), with_mesh=True)
-            print(f"    {case.n_nodes} nodes, {case.n_tets} tets, "
-                  f"A_active={case.meta.elec_area_mesh*1e4:.4f} cm2")
-            save_bc_debug_report(run_dir, label, case, p)
-            res = solve_auto(case, mesh, tol=1e-8, timer=timer)
-            with timer.phase("metrics"):
-                row = extract_results(case, res.phi, p)
-            results.append(row)
-            if args.plot:
-                solutions.append((label, case, mesh, res.phi))
-            print(f"    peak_J_no_elec={row['peak_J_skin_no_elec']:.4f}  "
-                  f"roi_mean_E={row['roi_mean_E']:.4f}  "
-                  f"flux_err={row['flux_err']:.3e}")
+
+    prof_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax.profiler
+        prof_ctx = jax.profiler.trace(args.profile)
+
+    if args.batch:
+        with prof_ctx:
+            from pelvistim_fem_tpu.parallel.geometry_sweep import \
+                solve_t_fat_group
+            for r_mm in r_list_mm:
+                elec_r = r_mm * 1e-3
+                print(f"\n[batch r={r_mm:.1f}mm] solving "
+                      f"{len(t_fat_list)} t_fat variants as one batch")
+                with timer.phase("batched solve"):
+                    out, cases, meshes = solve_t_fat_group(
+                        p, t_fat_list, elec_r, coarse=coarse,
+                        dtype=preferred_dtype(), tol=1e-6)
+                import numpy as _np
+                print(f"    iters {_np.asarray(out.iterations).tolist()}"
+                      f"  converged {bool(out.converged.all())}")
+                for i, t_fat in enumerate(t_fat_list):
+                    label = (f"tfat{int(t_fat*1e6):04d}um_"
+                             f"r{int(elec_r*1e6):04d}um")
+                    run_dir = out_root / label
+                    save_bc_debug_report(run_dir, label, cases[i], p)
+                    with timer.phase("metrics"):
+                        row = extract_results(cases[i], out.phi[i], p)
+                    (run_dir / "row.json").write_text(
+                        json.dumps(row, cls=_NanToNullEncoder))
+                    results.append(row)
+                    if args.plot:
+                        solutions.append((label, cases[i], meshes[i],
+                                          out.phi[i]))
+        _finish(args, p, results, solutions, out_root, timer, t_start)
+        return
+
+    with prof_ctx:
+        for t_fat in t_fat_list:
+            for r_mm in r_list_mm:
+                elec_r = r_mm * 1e-3
+                label = (f"tfat{int(t_fat*1e6):04d}um_"
+                         f"r{int(elec_r*1e6):04d}um")
+                run_dir = out_root / label
+                row_path = run_dir / "row.json"
+                if args.resume and row_path.exists() and not args.plot:
+                    print(f"\n[{label}]  cached -> {row_path}")
+                    results.append(json.loads(row_path.read_text()))
+                    continue
+                print(f"\n[{label}]  t_fat={t_fat*1000:.1f}mm  "
+                      f"r={r_mm:.1f}mm")
+                with timer.phase("mesh+assemble"):
+                    case, _, mesh = build_layered_case(
+                        p, t_fat=t_fat, elec_r=elec_r, coarse=coarse,
+                        dtype=preferred_dtype(), with_mesh=True)
+                print(f"    {case.n_nodes} nodes, {case.n_tets} tets, "
+                      f"A_active={case.meta.elec_area_mesh*1e4:.4f} cm2")
+                save_bc_debug_report(run_dir, label, case, p)
+                if args.export_elmer:
+                    from pelvistim_fem_tpu.utils.sif import \
+                        export_elmer_case
+                    export_elmer_case(case, mesh, run_dir)
+                res = solve_auto(case, mesh, tol=1e-8, timer=timer)
+                with timer.phase("metrics"):
+                    row = extract_results(case, res.phi, p)
+                if args.save_vtu:
+                    from pelvistim_fem_tpu.utils.vtu import \
+                        write_solution_vtu
+                    (run_dir / "results").mkdir(parents=True,
+                                                exist_ok=True)
+                    write_solution_vtu(
+                        run_dir / "results" / "case_t0001.vtu",
+                        mesh, case, res.phi)
+                row_path.write_text(json.dumps(row,
+                                               cls=_NanToNullEncoder))
+                results.append(row)
+                if args.plot:
+                    solutions.append((label, case, mesh, res.phi))
+                print(f"    peak_J_no_elec="
+                      f"{row['peak_J_skin_no_elec']:.4f}  "
+                      f"roi_mean_E={row['roi_mean_E']:.4f}  "
+                      f"flux_err={row['flux_err']:.3e}")
+
+    _finish(args, p, results, solutions, out_root, timer, t_start)
+
+
+def _finish(args, p, results, solutions, out_root, timer, t_start):
+    from pelvistim_fem_tpu.utils.report import print_run_summary
+    from pelvistim_fem_tpu.utils.summary import save_results
 
     wall = time.perf_counter() - t_start
     save_results(results, out_root)

@@ -185,6 +185,10 @@ def layered_slab_mesh(
     cross_section: str = "rect",
     ankle_z_top_fn=None,         # (x, y) -> z_top for "ankle" deformation
     outline_polygon=None,        # [(x, y)] for "ankle" cross-section carve
+    explicit_zs=None,            # shared z-knot override (geometry-batched
+                                 # sweeps: union of all cases' knots so
+                                 # lattices coincide and only tet_body
+                                 # differs — parallel/geometry_sweep.py)
 ) -> TetMesh:
     """Layered tissue slab with optional per-electrode contact volumes.
 
@@ -216,7 +220,13 @@ def layered_slab_mesh(
     if contact_t > 0:
         interfaces.append(Lz + contact_t)
         hs.append(contact_h_z or contact_t)
-    zs = layered_z_axis(interfaces, hs)
+    zs = (np.asarray(explicit_zs, float) if explicit_zs is not None
+          else layered_z_axis(interfaces, hs))
+    if explicit_zs is not None:
+        for z in interfaces:
+            if np.min(np.abs(zs - z)) > 1e-12:
+                raise ValueError(f"explicit_zs must contain the layer "
+                                 f"interface z={z}")
 
     layer_tops = np.asarray(interfaces[1:1 + len(layers)])
     layer_ids = np.asarray([b for b, _, _ in layers], np.int32)

@@ -35,6 +35,19 @@ def build_pressure_case(params: dict | None = None, *, coarse: bool = False,
     return case, params
 
 
+def sigma_skin_tables(case, params) -> jnp.ndarray:
+    """(S, T) material tables varying the skin conductivity — the
+    reference's sigma_skin_sweep axis (step03 params.yaml:33,
+    run_layered_sweep.py sigma_skin_override).  Another zero-re-assembly
+    vmapped sweep."""
+    sweep = params["conductivities"].get("sigma_skin_sweep", [])
+    base = np.asarray(case.sigma_table)
+    tables = np.tile(base, (len(sweep), 1))
+    for i, s in enumerate(sweep):
+        tables[i, core.BODY_SKIN] = s
+    return jnp.asarray(tables, case.sigma_table.dtype)
+
+
 def sigma_tables_for_sweep(case, params) -> jnp.ndarray:
     """(S, T) batched material tables: rows identical except the contact
     bodies, which take each sweep value (ref pressure_sweep.sigma_contact_Spm,

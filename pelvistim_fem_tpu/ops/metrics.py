@@ -58,16 +58,29 @@ def injected_currents(case, phi, sigma_table=None, *, tolerance=0.2):
 
 
 def eval_roi(case, phi, roi_center, roi_radius, sigma_table=None,
-             min_cells=4):
+             min_cells=4, smooth_E=True):
     """Mean |J| and |E| in a sphere, auto-expanding 1/1.5/2/3x until at
     least `min_cells` tets are inside (ref eval_roi contract: never-NaN,
     :765-822).
+
+    smooth_E=True (default) evaluates E through a cell->point->cell
+    smoothing pass, reproducing the reference's VTK gradient estimator
+    (pyvista compute_derivative on nodal data, :786-789) — near tissue
+    interfaces where E jumps 25x this matches the reference's numbers to
+    ~6% where the raw per-tet P1 gradient sits ~20% lower (both are
+    valid; see PARITY.md).  The raw value is exposed via
+    extract_results as roi_mean_E_p1.
 
     Returns (mean_J, mean_E, n_cells, radius_used, warning_or_None).
     """
     cen = np.asarray(fields.cell_centers(case))
     J = np.asarray(fields.cell_J(case, phi, sigma_table))
-    E = np.asarray(fields.cell_E(case, phi))
+    E_cell = fields.cell_E(case, phi)
+    if smooth_E:
+        E = np.asarray(fields.point_to_cell(
+            case, fields.nodal_average(case, E_cell)))
+    else:
+        E = np.asarray(E_cell)
     Jmag = np.linalg.norm(J, axis=1)
     Emag = np.linalg.norm(E, axis=1)
     dist = np.linalg.norm(cen - np.asarray(roi_center), axis=1)
@@ -193,6 +206,8 @@ def extract_results(case, phi, params, *, sigma_table=None,
     roi_cen = np.array([meta.e1_pos[0], meta.e1_pos[1], z_nerve])
     mean_J_roi, mean_E_roi, roi_n, roi_r_used, roi_warn = eval_roi(
         case, phi, roi_cen, r_cfg["roi_radius"], sigma_table)
+    _, mean_E_p1, *_ = eval_roi(case, phi, roi_cen, r_cfg["roi_radius"],
+                                sigma_table, smooth_E=False)
     if roi_warn and verbose:
         print(f"    ROI: {roi_warn}")
 
@@ -261,6 +276,7 @@ def extract_results(case, phi, params, *, sigma_table=None,
         "flux_err": _r(flux_err, 6),
         # Framework extras (no reference equivalent): exact discrete
         # electrode currents from the weak-form reaction.
+        "roi_mean_E_p1": _r(mean_E_p1, 4),
         "I_active_consistent_A": _r(cur["I_active_consistent"], 10),
         "I_return_consistent_A": _r(cur["I_return_consistent"], 10),
         "flux_err_consistent": _r(cur["flux_err_consistent"], 10),

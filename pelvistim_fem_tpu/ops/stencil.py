@@ -162,8 +162,9 @@ def _use_pallas() -> bool:
         jax.devices()[0].platform != "cpu"
 
 
-def _operator(scase, sigma_table):
-    C = combine_coeffs(scase.coeff, sigma_table)
+def _operator(scase, sigma_table, coeff=None):
+    C = combine_coeffs(scase.coeff if coeff is None else coeff,
+                       sigma_table)
     free = scase.free
 
     if _use_pallas():
@@ -186,13 +187,17 @@ def _operator(scase, sigma_table):
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter"))
-def solve_stencil(scase: StencilCase, sigma_table=None, *, tol=1e-8,
-                  maxiter=10_000) -> SolveResult:
+def solve_stencil(scase: StencilCase, sigma_table=None, coeff=None, *,
+                  tol=1e-8, maxiter=10_000) -> SolveResult:
     """Jacobi-PCG on the stencil operator; phi returned in MESH NODE
-    ordering (gathered off the grid) for drop-in parity with solve_case."""
+    ordering (gathered off the grid) for drop-in parity with solve_case.
+
+    `coeff` overrides the per-body coefficient stack — the lever for
+    geometry-batched sweeps where cases share a lattice but differ in
+    body assignment (parallel/geometry_sweep.py)."""
     if sigma_table is None:
         sigma_table = scase.sigma_table
-    op, diag, b_eff = _operator(scase, sigma_table)
+    op, diag, b_eff = _operator(scase, sigma_table, coeff)
     x0 = jnp.where(scase.free, 0.0, scase.dirichlet)
     res = jacobi_pcg(op, b_eff, diag, x0, tol=tol, maxiter=maxiter)
     phi_nodes = res.phi.reshape(-1)[scase.grid_index]
@@ -207,6 +212,22 @@ def batched_stencil_solve(scase: StencilCase, sigma_tables, *, tol=1e-8,
     return jax.vmap(
         lambda s: solve_stencil(scase, s, tol=tol, maxiter=maxiter)
     )(sigma_tables)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def batched_geometry_solve(scase: StencilCase, coeff_stack, sigma_tables,
+                           *, tol=1e-8, maxiter=10_000):
+    """Batch over GEOMETRY variations on a shared lattice.
+
+    coeff_stack (S, n_bodies, 27, X, Y, Z): per-case coefficient stacks
+    (e.g. different fat thicknesses reassigning lattice cells between
+    bodies); sigma_tables (S, T).  BCs/loads are shared (same electrode
+    placement).  The TPU-native form of the reference's geometry-varying
+    step03 sweep loop (run_layered_sweep.py:1061-1124).
+    """
+    return jax.vmap(
+        lambda C, s: solve_stencil(scase, s, C, tol=tol, maxiter=maxiter)
+    )(coeff_stack, sigma_tables)
 
 
 @partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter",

@@ -1,0 +1,51 @@
+"""Geometry-batched sweep: t_fat variants on a shared lattice solve as
+one vmapped batch and match individually-meshed serial solves."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.models.ankle import build_layered_case
+from pelvistim_fem_tpu.ops.solve import solve_case
+from pelvistim_fem_tpu.ops.metrics import extract_results
+from pelvistim_fem_tpu.parallel.geometry_sweep import solve_t_fat_group
+from pelvistim_fem_tpu.utils.config import default_params
+
+
+def test_t_fat_group_batch():
+    p = default_params("step03_ankle_layers")
+    t_fats = p["layers"]["t_fat_sweep"]          # [3, 5, 8] mm
+    out, cases, meshes = solve_t_fat_group(
+        p, t_fats, 0.010, coarse=True, dtype=jnp.float64, tol=1e-8)
+    assert bool(out.converged.all())
+    assert out.phi.shape[0] == len(t_fats)
+
+    for i, t_fat in enumerate(t_fats):
+        # independent serial reference on its OWN (different) mesh
+        case_i, _ = build_layered_case(p, t_fat=t_fat, elec_r=0.010,
+                                       coarse=True)
+        ref = solve_case(case_i, tol=1e-8, maxiter=30_000)
+        row_ref = extract_results(case_i, ref.phi, p, verbose=False)
+        row_b = extract_results(cases[i], out.phi[i], p, verbose=False)
+        # same physics on slightly different meshes: robust metrics agree
+        # to a few percent; roi_mean_E is interface-population sensitive
+        # (see PARITY.md) so it only gets a loose gate
+        # (smoothed roi_mean_E is excluded: at coarse resolution the
+        # interface-straddling smoothed cells differ strongly between
+        # lattices — see PARITY.md)
+        for key, tol in [("compliance_V", 0.05), ("roi_mean_J", 0.10),
+                         ("total_current_A", 0.03),
+                         ("roi_mean_E_p1", 0.25)]:
+            a, b = row_ref[key], row_b[key]
+            assert abs(a - b) / abs(a) < tol, (key, a, b)
+
+
+def test_shared_lattice_solutions_exact_for_same_t_fat():
+    """A group of identical t_fat values must give identical solutions
+    (pure sanity on the shared-lattice construction)."""
+    p = default_params("step03_ankle_layers")
+    out, cases, meshes = solve_t_fat_group(
+        p, [0.005, 0.005], 0.010, coarse=True, dtype=jnp.float64,
+        tol=1e-8)
+    np.testing.assert_allclose(np.asarray(out.phi[0]),
+                               np.asarray(out.phi[1]), rtol=1e-12)

@@ -1,0 +1,88 @@
+"""Metric-layer unit tests with hand-computable oracles."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh.generate import box_mesh
+from pelvistim_fem_tpu.models.case import build_case
+from pelvistim_fem_tpu.models.pressure import (build_pressure_case,
+                                               sigma_skin_tables,
+                                               sigma_tables_for_sweep)
+from pelvistim_fem_tpu.ops import metrics
+from pelvistim_fem_tpu.ops.solve import solve_case
+
+
+def _box_solution():
+    m = box_mesh(0.04, 0.04, 0.02, 0.004)
+    case = build_case(m, {1: 0.2}, mode="voltage",
+                      meta_extra=dict(z_skin_top=0.02))
+    res = solve_case(case, tol=1e-12)
+    return m, case, res
+
+
+def test_injected_currents_analytic_box():
+    """Uniform box: I = sigma*A*dV/Lz = 0.2 * 0.0016 / 0.02 = 16 mA."""
+    m, case, res = _box_solution()
+    cur = metrics.injected_currents(case, res.phi)
+    I_exact = 0.2 * 0.04 * 0.04 / 0.02
+    np.testing.assert_allclose(cur["I_active"], I_exact, rtol=1e-6)
+    np.testing.assert_allclose(cur["I_return"], I_exact, rtol=1e-6)
+    assert cur["flux_err"] < 1e-6
+    np.testing.assert_allclose(cur["I_active_consistent"], I_exact,
+                               rtol=1e-9)
+    assert cur["flux_err_consistent"] < 1e-9
+
+
+def test_eval_roi_uniform_field():
+    """In the uniform box |J| = 10 and |E| = 50 everywhere; the ROI means
+    must equal them regardless of placement."""
+    m, case, res = _box_solution()
+    mean_J, mean_E, n, r_used, warn = metrics.eval_roi(
+        case, res.phi, np.array([0.02, 0.02, 0.01]), 0.005)
+    assert n >= 4
+    np.testing.assert_allclose(mean_J, 10.0, rtol=1e-6)
+    np.testing.assert_allclose(mean_E, 50.0, rtol=1e-6)
+
+
+def test_eval_roi_auto_expansion():
+    """A radius smaller than any cell forces the 1.5/2/3x expansion."""
+    m, case, res = _box_solution()
+    mean_J, mean_E, n, r_used, warn = metrics.eval_roi(
+        case, res.phi, np.array([0.02, 0.02, 0.01]), 0.0008)
+    assert warn is not None and "expanded" in warn or "3x" in warn
+    assert r_used > 0.0008
+    assert n >= 1
+
+
+def test_compliance_voltage_box():
+    m, case, res = _box_solution()
+    v = metrics.compliance_voltage(case, res.phi)
+    np.testing.assert_allclose(v, 1.0, atol=1e-10)
+
+
+def test_sigma_skin_tables_only_touch_skin():
+    from pelvistim_fem_tpu.mesh import core
+    case, params = build_pressure_case(coarse=True)
+    params["conductivities"]["sigma_skin_sweep"] = [0.0002, 0.001, 0.005]
+    tables = np.asarray(sigma_skin_tables(case, params))
+    base = np.asarray(case.sigma_table)
+    assert tables.shape[0] == 3
+    for i, s in enumerate([0.0002, 0.001, 0.005]):
+        np.testing.assert_allclose(tables[i, core.BODY_SKIN], s,
+                                   rtol=1e-12)
+        keep = np.ones(len(base), bool)
+        keep[core.BODY_SKIN] = False
+        np.testing.assert_array_equal(tables[i, keep], base[keep])
+
+
+def test_sigma_skin_sweep_physics():
+    """Lower skin conductivity -> higher compliance voltage."""
+    from pelvistim_fem_tpu.parallel.sweep import batched_material_solve
+    case, params = build_pressure_case(coarse=True)
+    params["conductivities"]["sigma_skin_sweep"] = [0.0002, 0.005]
+    tables = sigma_skin_tables(case, params)
+    out = batched_material_solve(case, tables, tol=1e-8, maxiter=30_000)
+    assert bool(out.converged.all())
+    v = [metrics.compliance_voltage(case, out.phi[i]) for i in range(2)]
+    assert v[0] > v[1] > 0
