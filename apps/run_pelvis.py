@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Pelvic multi-tissue model + activating-function nerve recruitment.
+
+The driver's stretch configuration (BASELINE.json configs[4]).  Builds
+the 6-tissue sacral model, solves (multigrid-CG at --megatet scale),
+extracts the standard electrode metrics plus the S3-path activating
+function, and plots the recruitment profile.
+
+Usage:  python apps/run_pelvis.py [--smoke | --megatet]
+                                  [--outdir results_pelvis] [--plot]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="coarse mesh")
+    ap.add_argument("--megatet", action="store_true",
+                    help="~1M-tet resolution (stretch target)")
+    ap.add_argument("--outdir", default="results_pelvis")
+    ap.add_argument("--plot", action="store_true")
+    args = ap.parse_args()
+
+    from pelvistim_fem_tpu.models.pelvis import (build_pelvis_case,
+                                                 nerve_path)
+    from pelvistim_fem_tpu.ops.metrics import (compliance_voltage,
+                                               injected_currents)
+    from pelvistim_fem_tpu.ops.nerve import (activating_function,
+                                             recruitment_threshold_scale)
+    from pelvistim_fem_tpu.runner import preferred_dtype
+    from pelvistim_fem_tpu.utils.summary import _NanToNullEncoder
+
+    scale = 0.42 if args.megatet else 1.0
+    t0 = time.perf_counter()
+    case, params, mesh = build_pelvis_case(
+        coarse=args.smoke, resolution_scale=scale,
+        dtype=preferred_dtype(), with_mesh=True)
+    t_build = time.perf_counter() - t0
+    print(f"  pelvis mesh: {case.n_nodes} nodes, {case.n_tets} tets "
+          f"({t_build:.1f} s)")
+    print(f"  bodies (core/muscle/fat/skin/bone/contacts): "
+          f"{np.bincount(mesh.tet_body)[1:].tolist()}")
+
+    t0 = time.perf_counter()
+    if args.megatet:
+        import jax.numpy as jnp
+
+        from pelvistim_fem_tpu.ops.multigrid import (build_hierarchy,
+                                                     solve_stencil_mg)
+        from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                                   stencil_host_data)
+        hd = stencil_host_data(case, mesh)
+        sc = build_stencil_case(case, mesh, dtype=jnp.float32,
+                                host_data=hd)
+        hier = build_hierarchy(hd, dtype=jnp.float32)
+        res = solve_stencil_mg(sc, hier, tol=1e-6, maxiter=2000)
+    else:
+        from pelvistim_fem_tpu.runner import solve_auto
+        res = solve_auto(case, mesh, tol=1e-8)
+    jax.block_until_ready(res.phi)
+    t_solve = time.perf_counter() - t0
+    it = int(np.asarray(res.iterations))
+    print(f"  solve: {t_solve:.2f} s, {it} iters, converged "
+          f"{bool(np.asarray(res.converged))}")
+
+    cur = injected_currents(case, res.phi)
+    cv = compliance_voltage(case, res.phi)
+    path = nerve_path(params)
+    af = activating_function(mesh, res.phi, path)
+    thr = recruitment_threshold_scale(
+        af, params["nerve"]["af_threshold_V_per_m2"])
+    I_mA = params["stim"]["injected_current_mA"]
+
+    print(f"  I_active = {cur['I_active']*1e3:.3f} mA "
+          f"(target {I_mA}), flux_err {cur['flux_err']:.3f}")
+    print(f"  compliance_V = {cv:.1f} V")
+    print(f"  activating function: max {af['max_AF']:.1f} V/m^2 at "
+          f"s = {af['argmax_AF_s']*1000:.1f} mm along the S3 path")
+    print(f"  recruitment: threshold reached at ~{thr*I_mA:.1f} mA "
+          f"({thr:.2f}x the injected {I_mA} mA)")
+
+    out = Path(args.outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "summary.json").write_text(json.dumps({
+        "n_nodes": case.n_nodes, "n_tets": case.n_tets,
+        "iterations": it, "solve_s": round(t_solve, 3),
+        "I_active_A": cur["I_active"], "flux_err": cur["flux_err"],
+        "flux_err_consistent": cur["flux_err_consistent"],
+        "compliance_V": cv,
+        "max_AF_V_per_m2": af["max_AF"],
+        "argmax_AF_s_mm": af["argmax_AF_s"] * 1000,
+        "peak_E_tangential_V_per_m": af["peak_E_tangential"],
+        "threshold_current_mA": thr * I_mA,
+    }, indent=2, cls=_NanToNullEncoder))
+    print(f"  summary -> {out / 'summary.json'}")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(3, 1, figsize=(8, 9), sharex=True)
+        s_mm = af["s"] * 1000
+        axes[0].plot(s_mm, af["phi"]); axes[0].set_ylabel("phi (V)")
+        axes[1].plot(s_mm, af["e_tangential"])
+        axes[1].set_ylabel("E tangential (V/m)")
+        axes[2].plot(s_mm, af["af"], color="C3")
+        axes[2].axhline(0, color="gray", lw=0.8)
+        axes[2].set_ylabel("AF (V/m$^2$)")
+        axes[2].set_xlabel("arclength along S3 path (mm)")
+        for ax in axes:
+            ax.grid(alpha=0.3)
+        fig.suptitle("S3 nerve path: potential, field, activating "
+                     "function")
+        fig.savefig(out / "nerve_recruitment.png", dpi=150,
+                    bbox_inches="tight")
+        print(f"  figure -> {out / 'nerve_recruitment.png'}")
+
+
+if __name__ == "__main__":
+    main()

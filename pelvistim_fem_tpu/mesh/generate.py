@@ -208,6 +208,23 @@ def layered_slab_mesh(
     ys = graded_axis(0, Ly, [(e1y - r1 * pad, e1y + r1 * pad),
                              (e2y - r2 * pad, e2y + r2 * pad)],
                      h_fine, h_coarse)
+    # Exact footprint extents as knots: square footprints become exact;
+    # circular rims gain on-axis anchor points for rim snapping below.
+    def _merge_knots(base, extra, tol):
+        out = np.asarray(sorted(set(np.clip(extra, base[0], base[-1]))
+                                | set(base.tolist())))
+        # drop near-duplicates (keep the extra/exact value)
+        keep = np.ones(len(out), bool)
+        for v in extra:
+            close = (np.abs(out - v) < tol) & (np.abs(out - v) > 0)
+            keep &= ~close
+        keep[0] = keep[-1] = True
+        return out[keep]
+
+    extra_x = [e1x - r1, e1x, e1x + r1, e2x - r2, e2x, e2x + r2]
+    extra_y = [e1y - r1, e1y, e1y + r1, e2y - r2, e2y, e2y + r2]
+    xs = _merge_knots(xs, extra_x, h_fine * 0.45)
+    ys = _merge_knots(ys, extra_y, h_fine * 0.45)
 
     interfaces = [0.0]
     hs = []
@@ -276,17 +293,44 @@ def layered_slab_mesh(
         out[top & f2] = BC_RETURN
         return out
 
-    deform_fn = None
+    # Rim snapping (circular electrodes): pull whole node COLUMNS whose
+    # xy-distance to an electrode center is within ~half a cell of the
+    # rim radially onto the exact circle.  Column-wise xy motion keeps
+    # the lattice a deformed tensor grid (no z-shear); displacement is
+    # clamped to 0.45*h_fine so no cell inverts.  This removes most of
+    # the staircase-footprint error in mesh electrode area and geometric
+    # flux integration (the reference gets smooth rims from Gmsh's CAD
+    # fragment, step02 run_sweep.py:66-79).
+    def _snap_rims(nodes):
+        if elec_shape != "circle":
+            return nodes
+        nodes = nodes.copy()
+        for cx, cy, r in ((e1x, e1y, r1), (e2x, e2y, r2)):
+            dx = nodes[:, 0] - cx
+            dy = nodes[:, 1] - cy
+            d = np.hypot(dx, dy)
+            # ONE-SIDED outward snap: only interior columns just inside
+            # the rim move onto the circle.  Snapping from both sides
+            # would land radially-adjacent columns on the same radius
+            # and squash the cells between them to zero volume.
+            band = (d < r) & (d > r - 0.55 * h_fine) & (d > 1e-12)
+            disp = np.minimum(r - d[band], 0.45 * h_fine)
+            scale = (d[band] + disp) / d[band]
+            nodes[band, 0] = cx + dx[band] * scale
+            nodes[band, 1] = cy + dy[band] * scale
+        return nodes
+
+    deform_fn = _snap_rims
     if cross_section == "ankle" and ankle_z_top_fn is not None:
         t_top_layer = layers[-1][1]   # skin thickness
         z0_skin = Lz - t_top_layer
 
         def deform_fn(nodes):
-            # Mirror of the reference post-mesh nodal z-deformation
-            # (run_layered_sweep.py:329-340): skin bottom fixed, skin top
-            # follows z_top(x, y); contact nodes shift rigidly with the
-            # local skin top.
-            nodes = nodes.copy()
+            # Rim snap first, then the reference's post-mesh nodal
+            # z-deformation (run_layered_sweep.py:329-340): skin bottom
+            # fixed, skin top follows z_top(x, y); contact nodes shift
+            # rigidly with the local skin top.
+            nodes = _snap_rims(nodes)
             z = nodes[:, 2]
             m = z > z0_skin - 1e-9
             t = np.clip((z[m] - z0_skin) / t_top_layer, 0.0, 1.0)

@@ -1,0 +1,131 @@
+"""Nerve recruitment metrics: the activating function along axon paths.
+
+The driver's stretch configuration asks for "activating-function nerve
+recruitment metrics" (BASELINE.json configs[4]); the reference itself
+stops at ROI field averages.  Implemented here per Rattay's classic
+cable-model result: for an axon along arclength s in an extracellular
+potential phi, the source term driving membrane (de)polarization is the
+activating function
+
+    AF(s) = d^2 phi / ds^2      [V/m^2]
+
+(positive AF depolarizes).  phi is sampled along the path by trilinear
+interpolation on the solution lattice, and AF by central second
+differences at spacing ds (a surrogate for the internodal spacing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def sample_phi_on_lattice(mesh, phi, points):
+    """Trilinear interpolation of nodal phi at arbitrary points inside
+    the (undeformed) lattice.  points (P, 3) -> (P,) values.
+
+    Uses the mesh's lattice provenance; carved (non-mesh) lattice nodes
+    contribute phi = 0, so paths must stay inside tissue.  Interpolation
+    assumes undeformed lattice coordinates — electrode rim snapping only
+    perturbs nodes within half a cell of footprint rims, far from any
+    physiological nerve path.
+    """
+    lat = mesh.lattice
+    if lat is None:
+        raise ValueError("mesh has no lattice provenance")
+    xs, ys, zs = (np.asarray(a) for a in lat.axes)
+    X, Y, Z = lat.grid_shape
+    grid_phi = np.zeros(X * Y * Z)
+    grid_phi[lat.grid_index] = np.asarray(phi, np.float64)
+    grid_phi = grid_phi.reshape(X, Y, Z)
+
+    pts = np.asarray(points, np.float64)
+
+    def locate(axis, v):
+        i = np.searchsorted(axis, v, side="right") - 1
+        i = np.clip(i, 0, len(axis) - 2)
+        t = (v - axis[i]) / (axis[i + 1] - axis[i])
+        return i, np.clip(t, 0.0, 1.0)
+
+    ix, tx = locate(xs, pts[:, 0])
+    iy, ty = locate(ys, pts[:, 1])
+    iz, tz = locate(zs, pts[:, 2])
+
+    out = np.zeros(len(pts))
+    for dx in (0, 1):
+        wx = tx if dx else 1 - tx
+        for dy in (0, 1):
+            wy = ty if dy else 1 - ty
+            for dz in (0, 1):
+                wz = tz if dz else 1 - tz
+                out += wx * wy * wz * grid_phi[ix + dx, iy + dy, iz + dz]
+    return out
+
+
+def straight_path(p0, p1, n_points=201):
+    """(P, 3) equally spaced points on the segment p0 -> p1."""
+    t = np.linspace(0.0, 1.0, n_points)[:, None]
+    return np.asarray(p0)[None] * (1 - t) + np.asarray(p1)[None] * t
+
+
+def activating_function(mesh, phi, path_points, *, window_m=None):
+    """AF(s) = d^2 phi/ds^2 along a polyline of EQUALLY spaced points.
+
+    The sampled phi is a piecewise-trilinear interpolant, so raw central
+    second differences at sub-cell spacing are zero inside cells and
+    spike at cell boundaries.  AF is therefore extracted by a moving
+    local QUADRATIC least-squares fit over a window of physical length
+    `window_m` (default: 3x the largest lattice spacing, i.e. the
+    curvature averaged over the scale a node of Ranvier actually sees).
+    Returns dict with the sampled profile and recruitment summaries.
+    """
+    pts = np.asarray(path_points, np.float64)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    ds = float(seg.mean())
+    if seg.size and (seg.max() - seg.min()) > 1e-9 * max(ds, 1e-12):
+        raise ValueError("path points must be equally spaced")
+
+    if window_m is None:
+        h_max = max(float(np.diff(np.asarray(a)).max())
+                    for a in mesh.lattice.axes)
+        window_m = 3.0 * h_max
+
+    v = sample_phi_on_lattice(mesh, phi, pts)
+    s = np.arange(len(pts)) * ds
+    half = max(2, int(round(window_m / 2 / ds)))
+
+    af = np.full_like(v, np.nan)
+    for i in range(half, len(v) - half):
+        # symmetric windows only — one-sided fits at the path ends bias
+        # the curvature estimate by up to ~20%
+        lo, hi = i - half, i + half + 1
+        x = s[lo:hi] - s[i]
+        c = np.polyfit(x, v[lo:hi], 2)
+        af[i] = 2.0 * c[0]
+
+    e_tan = np.gradient(v, ds)          # tangential E = -d phi/ds
+    interior = np.isfinite(af)
+    af_in = af[interior]
+    s_in = s[interior]
+    i_max = int(np.argmax(af_in)) if af_in.size else 0
+    return {
+        "s": s,
+        "phi": v,
+        "af": af,
+        "e_tangential": -e_tan,
+        "ds": ds,
+        "window_m": window_m,
+        "max_AF": float(af_in.max()) if af_in.size else np.nan,
+        "min_AF": float(af_in.min()) if af_in.size else np.nan,
+        "argmax_AF_s": float(s_in[i_max]) if af_in.size else np.nan,
+        "peak_E_tangential": float(np.abs(e_tan).max()),
+    }
+
+
+def recruitment_threshold_scale(af_result, af_threshold_V_per_m2):
+    """Linear-scaling estimate: the factor by which the injected current
+    must be multiplied for max AF to reach a given activation threshold
+    (the quasi-static problem is linear in I)."""
+    m = af_result["max_AF"]
+    if not np.isfinite(m) or m <= 0:
+        return np.inf
+    return float(af_threshold_V_per_m2) / m

@@ -1,0 +1,81 @@
+"""Pelvic stretch model + activating-function metric tests."""
+
+import numpy as np
+import pytest
+
+from pelvistim_fem_tpu.models.pelvis import (BODY_BONE,
+                                             BODY_CONTACT_ACTIVE,
+                                             BODY_CONTACT_RETURN,
+                                             build_pelvis_case,
+                                             nerve_path)
+from pelvistim_fem_tpu.ops.metrics import injected_currents
+from pelvistim_fem_tpu.ops.nerve import (activating_function,
+                                         sample_phi_on_lattice,
+                                         straight_path)
+from pelvistim_fem_tpu.ops.solve import solve_case
+
+
+@pytest.fixture(scope="module")
+def pelvis():
+    case, params, mesh = build_pelvis_case(coarse=True, with_mesh=True)
+    res = solve_case(case, tol=1e-8, maxiter=30_000)
+    assert bool(res.converged)
+    return case, params, mesh, res
+
+
+def test_pelvis_bodies_present(pelvis):
+    case, params, mesh, res = pelvis
+    counts = np.bincount(mesh.tet_body)
+    for b in range(1, 8):     # core..contact_return all populated
+        assert counts[b] > 0, b
+    assert counts[BODY_BONE] > 1000          # sacrum is a real volume
+    assert counts[BODY_CONTACT_ACTIVE] > 0
+    assert counts[BODY_CONTACT_RETURN] > 0
+
+
+def test_pelvis_current_delivery(pelvis):
+    case, params, mesh, res = pelvis
+    cur = injected_currents(case, res.phi)
+    np.testing.assert_allclose(cur["I_active_consistent"], 20e-3,
+                               rtol=1e-8)
+    assert cur["flux_err_consistent"] < 1e-6
+    assert cur["flux_err"] < 0.10            # coarse-mesh geometric gate
+
+
+def test_activating_function_quadratic_field():
+    """AF recovers the exact second derivative of a synthetic quadratic
+    potential sampled on an undeformed lattice (sample_phi_on_lattice
+    assumes lattice coordinates; electrode rim snapping perturbs nodes
+    only near footprints, away from nerve paths)."""
+    from pelvistim_fem_tpu.mesh.generate import box_mesh
+    mesh = box_mesh(0.2, 0.16, 0.1, 0.008)
+    a = 1234.5
+    phi = a * mesh.nodes[:, 1] ** 2              # phi = a*y^2
+    path = straight_path([0.10, 0.05, 0.05], [0.10, 0.11, 0.05], 121)
+    af = activating_function(mesh, phi, path)
+    # d^2(a y^2)/ds^2 = 2a along a y-directed path; the windowed
+    # quadratic fit recovers the mean curvature of the piecewise-linear
+    # interpolant to a few percent
+    good = np.isfinite(af["af"])
+    np.testing.assert_allclose(af["af"][good], 2 * a, rtol=0.05)
+
+
+def test_sample_phi_linear_exact():
+    from pelvistim_fem_tpu.mesh.generate import box_mesh
+    mesh = box_mesh(0.2, 0.16, 0.1, 0.008)
+    coef = np.array([3.0, -2.0, 5.0])
+    phi = mesh.nodes @ coef + 0.25
+    pts = straight_path([0.05, 0.04, 0.02], [0.15, 0.12, 0.09], 40)
+    v = sample_phi_on_lattice(mesh, phi, pts)
+    np.testing.assert_allclose(v, pts @ coef + 0.25, rtol=1e-9)
+
+
+def test_af_sign_structure(pelvis):
+    """Under a cathodic surface electrode the AF along a passing nerve
+    has the classic central-depolarization flanked-by-hyperpolarization
+    (or inverse) sign structure — i.e. both signs present and the
+    extremum near the electrode-adjacent section."""
+    case, params, mesh, res = pelvis
+    af = activating_function(mesh, res.phi, nerve_path(params))
+    assert af["max_AF"] > 0 and af["min_AF"] < 0
+    assert np.isfinite(af["peak_E_tangential"])
