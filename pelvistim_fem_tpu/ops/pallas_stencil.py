@@ -12,6 +12,12 @@ The padded x rows arrive as three shifted single-row block views of the
 same array (BlockSpec blocks cannot overlap, so the slab is expressed as
 three inputs with index maps i, i+1, i+2).
 
+Measured trade-off on TPU v5e (172k-tet case): 1.5-1.7x faster than the
+XLA fusion per SINGLE solve iteration and ~100x faster to compile, but
+~9x SLOWER inside a 100-lane vmapped sweep (vmap serializes the kernel
+grid where XLA fuses the batch).  Hence opt-in (PELVISTIM_USE_PALLAS=1)
+for single large solves; batched sweeps keep the XLA path.
+
 Correctness is pinned against the XLA path in tests/test_pallas.py.
 """
 
