@@ -4,8 +4,9 @@ Workload: the step04 pressure-sweep structure at full reference resolution
 (~172k tets / ~32k nodes — the reference solves each case via
 ElmerSolver+UMFPACK subprocesses, step04 run_pressure_sweep.py:709-738)
 generalized to 100 log-spaced sigma_contact points, solved as ONE vmapped
-Jacobi-PCG batch on the structured 27-point stencil operator
-(ops/stencil.py) with zero re-assembly.
+multigrid-preconditioned CG batch on the structured 27-point stencil
+operator (ops/stencil.py + ops/multigrid.py) with zero re-assembly and a
+single sigma-independent MG hierarchy.
 
 Baseline: the reference reports only qualitative runtimes — 9 cases in
 20-60 min on a laptop (step03_ankle_layers/README.md:106) => 0.225
@@ -27,8 +28,11 @@ import jax.numpy as jnp
 def main():
     from pelvistim_fem_tpu.mesh import core
     from pelvistim_fem_tpu.models.pressure import build_pressure_case
-    from pelvistim_fem_tpu.ops.stencil import (batched_stencil_solve,
-                                               build_stencil_case)
+    from pelvistim_fem_tpu.ops.multigrid import (batched_mg_solve,
+                                                 build_hierarchy,
+                                                 solve_stencil_mg)
+    from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                               stencil_host_data)
 
     n_cases = 100
     tol = 1e-6
@@ -36,24 +40,27 @@ def main():
     case, params, mesh = build_pressure_case(coarse=False,
                                              dtype=jnp.float32,
                                              with_mesh=True)
-    scase = build_stencil_case(case, mesh, dtype=jnp.float32)
+    hd = stencil_host_data(case, mesh)
+    scase = build_stencil_case(case, mesh, dtype=jnp.float32,
+                               host_data=hd)
+    hier = build_hierarchy(hd, dtype=jnp.float32)
     t_build = time.perf_counter() - t0
 
     sweep = params["pressure_sweep"]["sigma_contact_Spm"]
     sigmas = np.logspace(np.log10(sweep[0]), np.log10(sweep[-1]), n_cases)
-    base = np.asarray(case.sigma_table)
+    base = np.asarray(hd["sigma_table"])
     tables = np.tile(base, (n_cases, 1))
     tables[:, core.BODY_CONTACT_ACTIVE] = sigmas
     tables[:, core.BODY_CONTACT_RETURN] = sigmas
     tables = jnp.asarray(tables, jnp.float32)
 
     # Warm-up / compile.
-    out = batched_stencil_solve(scase, tables, tol=tol, maxiter=20_000)
-    jax.block_until_ready(out.phi)
+    out = batched_mg_solve(scase, hier, tables, tol=tol)
+    float(np.asarray(out.phi[0, 0]))   # force completion (axon quirk)
 
     t0 = time.perf_counter()
-    out = batched_stencil_solve(scase, tables, tol=tol, maxiter=20_000)
-    jax.block_until_ready(out.phi)
+    out = batched_mg_solve(scase, hier, tables, tol=tol)
+    float(np.asarray(out.phi[0, 0]))
     t_solve = time.perf_counter() - t0
 
     assert bool(out.converged.all()), "bench solves did not converge"
@@ -62,9 +69,8 @@ def main():
     it = np.asarray(out.iterations)
 
     # Secondary metric: the BASELINE.json north-star single case — a
-    # ~1.8M-tet layered ankle model, assemble (host) + solve (chip).
+    # ~1.8M-tet layered ankle model, assemble (host) + MG solve (chip).
     from pelvistim_fem_tpu.models.ankle import build_layered_case
-    from pelvistim_fem_tpu.ops.stencil import solve_stencil
     from pelvistim_fem_tpu.utils.config import default_params
     p3 = default_params("step03_ankle_layers")
     p3["mesh"] = {"lc_global_mm": 1.1, "lc_electrode_mm": 0.7,
@@ -72,15 +78,18 @@ def main():
     t0 = time.perf_counter()
     case_m, _, mesh_m = build_layered_case(p3, dtype=jnp.float32,
                                            with_mesh=True)
-    scase_m = build_stencil_case(case_m, mesh_m, dtype=jnp.float32)
+    hd_m = stencil_host_data(case_m, mesh_m)
+    scase_m = build_stencil_case(case_m, mesh_m, dtype=jnp.float32,
+                                 host_data=hd_m)
+    hier_m = build_hierarchy(hd_m, dtype=jnp.float32)
     t_asm_m = time.perf_counter() - t0
-    r = solve_stencil(scase_m, tol=1e-6, maxiter=30_000)
-    jax.block_until_ready(r.phi)
-    float(np.asarray(r.phi[0]))  # warm/compile
+    r = solve_stencil_mg(scase_m, hier_m, tol=tol)
+    float(np.asarray(r.phi[0]))        # warm/compile
     t0 = time.perf_counter()
-    r = solve_stencil(scase_m, tol=1e-6, maxiter=30_000)
-    float(np.asarray(r.phi[0]))  # force completion (axon block quirk)
+    r = solve_stencil_mg(scase_m, hier_m, tol=tol)
+    float(np.asarray(r.phi[0]))
     t_solve_m = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "sweep_solves_per_min",
         "value": round(solves_per_min, 2),

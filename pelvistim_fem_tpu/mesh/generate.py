@@ -28,7 +28,6 @@ from pelvistim_fem_tpu.mesh.core import (
     BC_RETURN,
     TetMesh,
     compact,
-    tet_volumes,
 )
 
 # The 6 Kuhn tets of the unit cube, as corner offsets (each row: 4 corners

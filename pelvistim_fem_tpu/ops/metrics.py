@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from pelvistim_fem_tpu.mesh.core import BC_ACTIVE, BC_RETURN
 from pelvistim_fem_tpu.ops import fields
 

@@ -23,8 +23,6 @@ Correctness is pinned against the XLA path in tests/test_pallas.py.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -26,7 +26,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pelvistim_fem_tpu.ops import bc as bc_ops
 from pelvistim_fem_tpu.ops.solve import SolveResult, jacobi_pcg
