@@ -210,4 +210,41 @@ int64_t parse_elmer_elements(const char* text, int64_t len,
   return n;
 }
 
+// Apply a 27-point stencil: y = sum_o C[o] * shift(x, offset_o).
+// x, y: (X*Y*Z); C: (27, X*Y*Z).  Offset order matches
+// ops/stencil.py OFFSETS: o = (dx+1)*9 + (dy+1)*3 + (dz+1).
+// Used by the multigrid Galerkin probing (one-time host setup) where
+// the numpy version dominated hierarchy build time.
+void stencil_apply(const double* x, const double* C, int64_t X,
+                   int64_t Y, int64_t Z, double* y) {
+  const int64_t YZ = Y * Z;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < X; ++i) {
+    for (int64_t j = 0; j < Y; ++j) {
+      for (int64_t k = 0; k < Z; ++k) {
+        const int64_t idx = i * YZ + j * Z + k;
+        double acc = 0.0;
+        for (int dx = -1; dx <= 1; ++dx) {
+          const int64_t ii = i + dx;
+          if (ii < 0 || ii >= X) continue;
+          for (int dy = -1; dy <= 1; ++dy) {
+            const int64_t jj = j + dy;
+            if (jj < 0 || jj >= Y) continue;
+            for (int dz = -1; dz <= 1; ++dz) {
+              const int64_t kk = k + dz;
+              if (kk < 0 || kk >= Z) continue;
+              const int o = (dx + 1) * 9 + (dy + 1) * 3 + (dz + 1);
+              acc += C[(int64_t)o * X * YZ + idx] *
+                     x[ii * YZ + jj * Z + kk];
+            }
+          }
+        }
+        y[idx] = acc;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -42,6 +42,9 @@ def _load():
     lib.accumulate_stencil_grads.argtypes = [
         i64p, f64p, f64p, i32p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, f64p]
+    lib.stencil_apply.restype = None
+    lib.stencil_apply.argtypes = [f64p, f64p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_int64, f64p]
     lib.parse_elmer_nodes.restype = ctypes.c_int64
     lib.parse_elmer_nodes.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, f64p]
@@ -114,6 +117,20 @@ def accumulate_stencil_from_grads(gidx, grads, vol, body0, G, Y, Z,
     lib.accumulate_stencil_grads(gidx, grads, vol, body0, len(gidx), G,
                                  Y, Z, n_bodies, out)
     return out
+
+
+def stencil_apply(x, C):
+    """Native y = 27-point-stencil(C) @ x on the grid; None when the
+    library is absent (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    X, Y, Z = x.shape
+    x = np.ascontiguousarray(x, np.float64)
+    C = np.ascontiguousarray(C, np.float64)
+    y = np.empty_like(x)
+    lib.stencil_apply(x, C, X, Y, Z, y)
+    return y
 
 
 def parse_elmer_nodes(text: bytes):

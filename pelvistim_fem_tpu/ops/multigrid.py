@@ -154,17 +154,22 @@ def _probe_coarse_stencils(coeffs, free, prolong, restrict, coarse_shape,
     comb_phase = [((p[0] + 1) % 3, (p[1] + 1) % 3, (p[2] + 1) % 3)
                   for p in OFFSETS]
 
-    # Pure numpy probing: hierarchy setup is one-time host work; routing
-    # it through the device would pay erratic remote-compile latency on
-    # the axon backend (observed minutes) for milliseconds of math.
+    # Pure host probing: hierarchy setup is one-time work; routing it
+    # through the device would pay erratic remote-compile latency on the
+    # axon backend (observed minutes) for milliseconds of math.  The
+    # inner stencil application dispatches to the native kernel when
+    # built (the numpy version dominated megatet hierarchy builds).
+    from pelvistim_fem_tpu import native
     free_np = np.asarray(free)
     coeffs_np = np.asarray(coeffs, np.float64)
     ys = np.empty((n_bodies, 27) + coarse_shape)
     for c in range(27):
         pf = np.where(free_np, prolong(combs[c]), 0.0)
         for b in range(n_bodies):
-            y = np.where(free_np, _np_spmv(pf, coeffs_np[b]), 0.0)
-            ys[b, c] = restrict(y)
+            out = native.stencil_apply(pf, coeffs_np[b])
+            if out is None:
+                out = _np_spmv(pf, coeffs_np[b])
+            ys[b, c] = restrict(np.where(free_np, out, 0.0))
 
     out = np.zeros((n_bodies, 27) + coarse_shape)
     for c, (px, py, pz) in enumerate(comb_phase):
