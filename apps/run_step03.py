@@ -109,6 +109,13 @@ def main():
         prof_ctx = jax.profiler.trace(args.profile)
 
     if args.batch:
+        if args.resume:
+            print("  NOTE: --resume is ignored in --batch mode (each "
+                  "radius group always solves as one batch)")
+        # f64 reaches the reference's 1e-8 contract; f32 (TPU) caps at
+        # its attainable 1e-6.
+        import jax.numpy as _jnp
+        batch_tol = 1e-8 if preferred_dtype() == _jnp.float64 else 1e-6
         with prof_ctx:
             from pelvistim_fem_tpu.parallel.geometry_sweep import \
                 solve_t_fat_group
@@ -119,7 +126,7 @@ def main():
                 with timer.phase("batched solve"):
                     out, cases, meshes = solve_t_fat_group(
                         p, t_fat_list, elec_r, coarse=coarse,
-                        dtype=preferred_dtype(), tol=1e-6)
+                        dtype=preferred_dtype(), tol=batch_tol)
                 import numpy as _np
                 print(f"    iters {_np.asarray(out.iterations).tolist()}"
                       f"  converged {bool(out.converged.all())}")
@@ -128,8 +135,20 @@ def main():
                              f"r{int(elec_r*1e6):04d}um")
                     run_dir = out_root / label
                     save_bc_debug_report(run_dir, label, cases[i], p)
+                    if args.export_elmer:
+                        from pelvistim_fem_tpu.utils.sif import \
+                            export_elmer_case
+                        export_elmer_case(cases[i], meshes[i], run_dir)
                     with timer.phase("metrics"):
                         row = extract_results(cases[i], out.phi[i], p)
+                    if args.save_vtu:
+                        from pelvistim_fem_tpu.utils.vtu import \
+                            write_solution_vtu
+                        (run_dir / "results").mkdir(parents=True,
+                                                    exist_ok=True)
+                        write_solution_vtu(
+                            run_dir / "results" / "case_t0001.vtu",
+                            meshes[i], cases[i], out.phi[i])
                     (run_dir / "row.json").write_text(
                         json.dumps(row, cls=_NanToNullEncoder))
                     results.append(row)

@@ -74,6 +74,8 @@ class TetMesh:
     lattice: LatticeInfo | None = None
     _geom: tuple | None = dataclasses.field(default=None, repr=False,
                                             compare=False)
+    _face_geom: tuple | None = dataclasses.field(default=None, repr=False,
+                                                 compare=False)
 
     def geometry(self):
         """Cached (grads (M,4,3), vol (M,)) P1 element geometry —
@@ -120,15 +122,19 @@ class TetMesh:
         tets = self.tets.copy()
         neg = vols < 0
         tets[neg, 2], tets[neg, 3] = self.tets[neg, 3], self.tets[neg, 2]
-        return dataclasses.replace(self, tets=tets, _geom=None)
+        return dataclasses.replace(self, tets=tets, _geom=None,
+                                   _face_geom=None)
 
     def face_areas_normals(self):
-        """Areas and *outward* unit normals of boundary faces.
+        """Areas and *outward* unit normals of boundary faces (cached —
+        build_case and stencil_host_data both need them).
 
         Outward orientation is fixed geometrically against the parent tet
         centroid (the reference instead relies on VTK cell types and z-sign —
         compute_injected_current, step03 run_layered_sweep.py:704-761).
         """
+        if self._face_geom is not None:
+            return self._face_geom
         p = self.nodes[self.faces]                       # (B, 3, 3)
         cross = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
         areas = 0.5 * np.linalg.norm(cross, axis=1)
@@ -138,6 +144,7 @@ class TetMesh:
         tet_cen = self.nodes[self.tets[self.face_parent]].mean(axis=1)
         outward = ((face_cen - tet_cen) * normals).sum(axis=1)
         normals = np.where(outward[:, None] >= 0, normals, -normals)
+        object.__setattr__(self, "_face_geom", (areas, normals))
         return areas, normals
 
 

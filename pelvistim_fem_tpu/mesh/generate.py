@@ -220,10 +220,13 @@ def layered_slab_mesh(
         keep[0] = keep[-1] = True
         return out[keep]
 
+    # Merge tolerance (0.5h) strictly exceeds the rim-snap displacement
+    # clamp (0.35h) below, so a surviving knot column can never be
+    # squeezed to less than ~0.15h of a rim-anchor column.
     extra_x = [e1x - r1, e1x, e1x + r1, e2x - r2, e2x, e2x + r2]
     extra_y = [e1y - r1, e1y, e1y + r1, e2y - r2, e2y, e2y + r2]
-    xs = _merge_knots(xs, extra_x, h_fine * 0.45)
-    ys = _merge_knots(ys, extra_y, h_fine * 0.45)
+    xs = _merge_knots(xs, extra_x, h_fine * 0.5)
+    ys = _merge_knots(ys, extra_y, h_fine * 0.5)
 
     interfaces = [0.0]
     hs = []
@@ -312,8 +315,8 @@ def layered_slab_mesh(
             # the rim move onto the circle.  Snapping from both sides
             # would land radially-adjacent columns on the same radius
             # and squash the cells between them to zero volume.
-            band = (d < r) & (d > r - 0.55 * h_fine) & (d > 1e-12)
-            disp = np.minimum(r - d[band], 0.45 * h_fine)
+            band = (d < r) & (d > r - 0.5 * h_fine) & (d > 1e-12)
+            disp = np.minimum(r - d[band], 0.35 * h_fine)
             scale = (d[band] + disp) / d[band]
             nodes[band, 0] = cx + dx[band] * scale
             nodes[band, 1] = cy + dy[band] * scale

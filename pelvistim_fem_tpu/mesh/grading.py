@@ -35,8 +35,16 @@ def _fill_segment(a: float, b: float, h_start: float, h_end: float,
             steps.append(h)
             pos += h
             h = min(h * ratio, h_end)
-        # stretch steps to exactly fill L
-        steps = np.asarray(steps + [L - pos])
+        # The greedy leftover L - pos can be arbitrarily thin; merging a
+        # small leftover into the previous step (then renormalizing)
+        # prevents sliver knot intervals that would wreck stiffness
+        # conditioning.
+        left = L - pos
+        if steps and left < 0.5 * steps[-1]:
+            steps[-1] += left
+        else:
+            steps.append(left)
+        steps = np.asarray(steps)
         steps *= L / steps.sum()
         return a + np.cumsum(steps)[:-1]
     # fine side at b: mirror

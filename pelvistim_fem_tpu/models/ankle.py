@@ -57,7 +57,8 @@ def build_layered_case(params: dict | None = None, *,
                        sigma_contact: float | None = None,
                        coarse: bool = False,
                        dtype=jnp.float64,
-                       with_mesh: bool = False):
+                       with_mesh: bool = False,
+                       explicit_zs=None):
     """Build a solver-ready Case for one (t_fat, elec_r) sweep point.
 
     Mirrors build_mesh + detect_elec_bc_ids + write_sif of the reference
@@ -120,6 +121,7 @@ def build_layered_case(params: dict | None = None, *,
             if cross == "ankle" else None),
         outline_polygon=(ankle_outline_pts(Lx, Ly)
                          if cross == "ankle" else None),
+        explicit_zs=explicit_zs,
     )
 
     c = params["conductivities"]

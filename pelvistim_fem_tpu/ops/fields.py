@@ -73,7 +73,8 @@ def point_to_cell(case, nodal_values):
     return nodal_values[case.tets].mean(axis=1)
 
 
-def boundary_face_flux(case, phi, sigma_table=None, *, scheme="nodal"):
+def boundary_face_flux(case, phi, sigma_table=None, *, scheme="nodal",
+                       nodal_J=None):
     """Signed normal current through each boundary face.
 
     scheme="nodal" (default) reproduces the reference pipeline: Elmer's
@@ -84,7 +85,8 @@ def boundary_face_flux(case, phi, sigma_table=None, *, scheme="nodal"):
     Returns (B,) signed currents [A]; positive = current leaving the domain.
     """
     if scheme == "nodal":
-        Jn = nodal_average(case, cell_J(case, phi, sigma_table))
+        Jn = (nodal_J if nodal_J is not None
+              else nodal_average(case, cell_J(case, phi, sigma_table)))
         Jf = Jn[case.faces].mean(axis=1)
     else:
         J = cell_J(case, phi, sigma_table)

@@ -25,7 +25,8 @@ from pelvistim_fem_tpu.ops import fields
 ROI_EXPANSION = (1.0, 1.5, 2.0, 3.0)  # ref eval_roi multipliers (:796)
 
 
-def injected_currents(case, phi, sigma_table=None, *, tolerance=0.2):
+def injected_currents(case, phi, sigma_table=None, *, tolerance=0.2,
+                      nodal_J=None):
     """Electrode patch currents + KCL flux error.
 
     The reference integrates over boundary cells within (1+tolerance)*r of
@@ -33,7 +34,8 @@ def injected_currents(case, phi, sigma_table=None, *, tolerance=0.2):
     directly — same patches, exact membership.
     Returns dict with I_active/I_return (abs + signed) and flux_err.
     """
-    flux = np.asarray(fields.boundary_face_flux(case, phi, sigma_table))
+    flux = np.asarray(fields.boundary_face_flux(case, phi, sigma_table,
+                                                nodal_J=nodal_J))
     bcid = np.asarray(case.face_bcid)
     # Outward-normal convention: injected current at the active electrode
     # flows INTO the domain -> negative outward flux there.
@@ -56,7 +58,7 @@ def injected_currents(case, phi, sigma_table=None, *, tolerance=0.2):
 
 
 def eval_roi(case, phi, roi_center, roi_radius, sigma_table=None,
-             min_cells=4, smooth_E=True):
+             min_cells=4, smooth_E=True, precomputed=None):
     """Mean |J| and |E| in a sphere, auto-expanding 1/1.5/2/3x until at
     least `min_cells` tets are inside (ref eval_roi contract: never-NaN,
     :765-822).
@@ -71,16 +73,19 @@ def eval_roi(case, phi, roi_center, roi_radius, sigma_table=None,
 
     Returns (mean_J, mean_E, n_cells, radius_used, warning_or_None).
     """
-    cen = np.asarray(fields.cell_centers(case))
-    J = np.asarray(fields.cell_J(case, phi, sigma_table))
-    E_cell = fields.cell_E(case, phi)
-    if smooth_E:
-        E = np.asarray(fields.point_to_cell(
-            case, fields.nodal_average(case, E_cell)))
+    if precomputed is not None:
+        cen, Jmag, Emag = precomputed
     else:
-        E = np.asarray(E_cell)
-    Jmag = np.linalg.norm(J, axis=1)
-    Emag = np.linalg.norm(E, axis=1)
+        cen = np.asarray(fields.cell_centers(case))
+        J = np.asarray(fields.cell_J(case, phi, sigma_table))
+        E_cell = fields.cell_E(case, phi)
+        if smooth_E:
+            E = np.asarray(fields.point_to_cell(
+                case, fields.nodal_average(case, E_cell)))
+        else:
+            E = np.asarray(E_cell)
+        Jmag = np.linalg.norm(J, axis=1)
+        Emag = np.linalg.norm(E, axis=1)
     dist = np.linalg.norm(cen - np.asarray(roi_center), axis=1)
 
     warning = None
@@ -115,15 +120,18 @@ def _in_footprint(x, y, cx, cy, r, shape):
     return np.sqrt((x - cx) ** 2 + (y - cy) ** 2) < r
 
 
-def skin_peak_J(case, phi, sigma_table=None):
+def skin_peak_J(case, phi, sigma_table=None, nodal_Jmag=None):
     """Peak nodal |J| in the top 20% of the skin layer, with and without
     the electrode footprints (ref :849-871).  Uses nodal-averaged J for
     VTU parity (Elmer writes nodal 'volume current')."""
     meta = case.meta
     pts = np.asarray(case.nodes)
-    Jn = np.asarray(fields.nodal_average(
-        case, fields.cell_J(case, phi, sigma_table)))
-    Jmag = np.linalg.norm(Jn, axis=1)
+    if nodal_Jmag is not None:
+        Jmag = nodal_Jmag
+    else:
+        Jn = np.asarray(fields.nodal_average(
+            case, fields.cell_J(case, phi, sigma_table)))
+        Jmag = np.linalg.norm(Jn, axis=1)
 
     z0_skin = meta.z_skin_top - meta.t_skin
     skin_mask = pts[:, 2] > z0_skin + meta.t_skin * 0.80
@@ -171,9 +179,23 @@ def extract_results(case, phi, params, *, sigma_table=None,
     st = get_stim(params)
     mode = meta.mode
 
-    peak_with, peak_no = skin_peak_J(case, phi, sigma_table)
+    # Shared full-mesh fields, computed ONCE (skin peaks, flux, both ROI
+    # estimators and layer fractions all reuse these).
+    cen = np.asarray(fields.cell_centers(case))
+    J_cell = fields.cell_J(case, phi, sigma_table)
+    E_cell = fields.cell_E(case, phi)
+    Jn_nodal = np.asarray(fields.nodal_average(case, J_cell))
+    E_sm = np.asarray(fields.point_to_cell(
+        case, fields.nodal_average(case, E_cell)))
+    Jmag_cells = np.linalg.norm(np.asarray(J_cell), axis=1)
+    Emag_sm = np.linalg.norm(E_sm, axis=1)
+    Emag_p1 = np.linalg.norm(np.asarray(E_cell), axis=1)
+    Jmag_nodal = np.linalg.norm(Jn_nodal, axis=1)
 
-    cur = injected_currents(case, phi, sigma_table)
+    peak_with, peak_no = skin_peak_J(case, phi, sigma_table,
+                                     nodal_Jmag=Jmag_nodal)
+
+    cur = injected_currents(case, phi, sigma_table, nodal_J=Jn_nodal)
     I_active, I_return = cur["I_active"], cur["I_return"]
     flux_err = cur["flux_err"]
     if verbose:
@@ -203,9 +225,11 @@ def extract_results(case, phi, params, *, sigma_table=None,
     z_nerve = meta.z_skin_top - r_cfg["z_target"]
     roi_cen = np.array([meta.e1_pos[0], meta.e1_pos[1], z_nerve])
     mean_J_roi, mean_E_roi, roi_n, roi_r_used, roi_warn = eval_roi(
-        case, phi, roi_cen, r_cfg["roi_radius"], sigma_table)
+        case, phi, roi_cen, r_cfg["roi_radius"], sigma_table,
+        precomputed=(cen, Jmag_cells, Emag_sm))
     _, mean_E_p1, *_ = eval_roi(case, phi, roi_cen, r_cfg["roi_radius"],
-                                sigma_table, smooth_E=False)
+                                sigma_table, smooth_E=False,
+                                precomputed=(cen, Jmag_cells, Emag_p1))
     if roi_warn and verbose:
         print(f"    ROI: {roi_warn}")
 
@@ -213,7 +237,6 @@ def extract_results(case, phi, params, *, sigma_table=None,
     t_sk, t_fat = meta.t_skin, meta.t_fat
     z_fat_bot = meta.z_skin_top - t_sk - t_fat
     z_fat_top = meta.z_skin_top - t_sk
-    cen = np.asarray(fields.cell_centers(case))
     dist = np.linalg.norm(cen - roi_cen, axis=1)
     roi_mask = dist < roi_r_used
     if roi_mask.any():

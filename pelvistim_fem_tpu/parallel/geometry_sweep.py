@@ -65,29 +65,14 @@ def build_t_fat_group(params, t_fat_list, elec_r, *, coarse=False,
 
     zs = shared_z_knots(params, t_fat_list, coarse=coarse)
 
-    import pelvistim_fem_tpu.mesh.generate as G
-    orig = G.layered_slab_mesh
-
     cases, meshes, hds = [], [], []
-    try:
-        def patched(*a, **k):
-            k["explicit_zs"] = zs
-            return orig(*a, **k)
-
-        G.layered_slab_mesh = patched
-        import pelvistim_fem_tpu.models.ankle as ankle_mod
-        ankle_mod.layered_slab_mesh = patched
-        for t_fat in t_fat_list:
-            case, _, mesh = build_layered_case(
-                params, t_fat=t_fat, elec_r=elec_r, coarse=coarse,
-                dtype=dtype, with_mesh=True)
-            cases.append(case)
-            meshes.append(mesh)
-            hds.append(stencil_host_data(case, mesh))
-    finally:
-        G.layered_slab_mesh = orig
-        import pelvistim_fem_tpu.models.ankle as ankle_mod
-        ankle_mod.layered_slab_mesh = orig
+    for t_fat in t_fat_list:
+        case, _, mesh = build_layered_case(
+            params, t_fat=t_fat, elec_r=elec_r, coarse=coarse,
+            dtype=dtype, with_mesh=True, explicit_zs=zs)
+        cases.append(case)
+        meshes.append(mesh)
+        hds.append(stencil_host_data(case, mesh))
 
     # all lattices must coincide
     ref = meshes[0]

@@ -29,6 +29,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pelvistim_fem_tpu.ops import bc as bc_ops
+# Per-device partial SpMV / diagonal reuse the assembly kernels directly:
+# they carry the load-bearing precision=HIGHEST on their einsums (a local
+# reimplementation without it hits the bf16-under-vmap landmine
+# documented in CLAUDE.md).
+from pelvistim_fem_tpu.ops.assembly import spmv as _local_spmv
+from pelvistim_fem_tpu.ops.assembly import \
+    stiffness_diagonal as _local_diag
 from pelvistim_fem_tpu.ops.solve import SolveResult, jacobi_pcg
 
 
@@ -90,21 +97,6 @@ def partition_case(case, n_shards: int) -> PartitionedCase:
     )
 
 
-def _local_spmv(x, tets, grads, sigvol, perm, segids, n_nodes):
-    """Per-device partial SpMV over the local element shard."""
-    xe = x[tets]                                        # (Ms, 4)
-    q = jnp.einsum("mid,mi->md", grads, xe)
-    ye = jnp.einsum("mid,md->mi", grads, sigvol[:, None] * q)
-    flat = ye.reshape(-1)[perm]
-    return jax.ops.segment_sum(flat, segids, num_segments=n_nodes,
-                               indices_are_sorted=True)
-
-
-def _local_diag(tets, grads, sigvol, perm, segids, n_nodes):
-    de = sigvol[:, None] * jnp.sum(grads * grads, axis=2)
-    flat = de.reshape(-1)[perm]
-    return jax.ops.segment_sum(flat, segids, num_segments=n_nodes,
-                               indices_are_sorted=True)
 
 
 def sharded_solve(pcase: PartitionedCase, mesh: Mesh, *, axis: str = "shard",
