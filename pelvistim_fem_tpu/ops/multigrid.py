@@ -78,12 +78,21 @@ def make_transfers(axes):
     def prolong(xc):
         # numpy index arrays + operator overloading: works for BOTH
         # numpy arrays (hierarchy probing) and jnp tracers (V-cycle).
-        a = xc[s0] * w0[:, None, None] + xc[s0 + 1] * (1 - w0)[:, None,
+        # Weights are cast to the operand dtype — with jax x64 enabled,
+        # multiplying f32 tracers by strong-f64 numpy weights would
+        # silently promote the whole V-cycle to f64.
+        if isinstance(xc, np.ndarray):
+            v0, v1, v2 = w0, w1, w2
+        else:
+            v0 = jnp.asarray(w0, xc.dtype)
+            v1 = jnp.asarray(w1, xc.dtype)
+            v2 = jnp.asarray(w2, xc.dtype)
+        a = xc[s0] * v0[:, None, None] + xc[s0 + 1] * (1 - v0)[:, None,
                                                                None]
-        b = (a[:, s1] * w1[None, :, None]
-             + a[:, s1 + 1] * (1 - w1)[None, :, None])
-        c = (b[:, :, s2] * w2[None, None, :]
-             + b[:, :, s2 + 1] * (1 - w2)[None, None, :])
+        b = (a[:, s1] * v1[None, :, None]
+             + a[:, s1 + 1] * (1 - v1)[None, :, None])
+        c = (b[:, :, s2] * v2[None, None, :]
+             + b[:, :, s2 + 1] * (1 - v2)[None, None, :])
         return c
 
     nc = tuple(len(i) for i in idxs)

@@ -56,6 +56,21 @@ def test_mg_matches_jacobi_solution(problem):
         assert rel < 1e-8, (i, rel)
 
 
+def test_mg_f32_stays_f32_under_x64():
+    """With jax x64 enabled (tests run with it), an f32 hierarchy must
+    not be promoted to f64 by the numpy transfer weights — that dtype
+    mismatch broke the while_loop carry on the TPU pelvis run."""
+    case, params, mesh = build_pressure_case(coarse=True,
+                                             dtype=jnp.float32,
+                                             with_mesh=True)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float32, host_data=hd)
+    hier = build_hierarchy(hd, dtype=jnp.float32)
+    r = solve_stencil_mg(sc, hier, tol=1e-5, maxiter=2_000)
+    assert r.phi.dtype == jnp.float32
+    assert bool(r.converged)
+
+
 def test_mg_cuts_iterations(problem):
     """On the hardest lane (sigma_contact = 5e-5, 7000x contrast) the
     V-cycle must cut CG iterations by >5x vs Jacobi."""
