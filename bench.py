@@ -37,13 +37,17 @@ def main():
     n_cases = 100
     tol = 1e-6
     t0 = time.perf_counter()
+    # to_device=False: the stencil path reads only meta + host arrays;
+    # shipping the element arrays would waste seconds of tunnel transfer.
     case, params, mesh = build_pressure_case(coarse=False,
                                              dtype=jnp.float32,
-                                             with_mesh=True)
+                                             with_mesh=True,
+                                             to_device=False)
     hd = stencil_host_data(case, mesh)
     scase = build_stencil_case(case, mesh, dtype=jnp.float32,
                                host_data=hd)
-    hier = build_hierarchy(hd, dtype=jnp.float32)
+    hier = build_hierarchy(hd, dtype=jnp.float32,
+                           level0=(scase.coeff, scase.free))
     t_build = time.perf_counter() - t0
 
     sweep = params["pressure_sweep"]["sigma_contact_Spm"]
@@ -77,11 +81,15 @@ def main():
                   "lc_skin_min": 0.4}
     t0 = time.perf_counter()
     case_m, _, mesh_m = build_layered_case(p3, dtype=jnp.float32,
-                                           with_mesh=True)
+                                           with_mesh=True,
+                                           to_device=False)
+    t_mesh_m = time.perf_counter() - t0
     hd_m = stencil_host_data(case_m, mesh_m)
+    t_coeff_m = time.perf_counter() - t0 - t_mesh_m
     scase_m = build_stencil_case(case_m, mesh_m, dtype=jnp.float32,
                                  host_data=hd_m)
-    hier_m = build_hierarchy(hd_m, dtype=jnp.float32)
+    hier_m = build_hierarchy(hd_m, dtype=jnp.float32,
+                             level0=(scase_m.coeff, scase_m.free))
     t_asm_m = time.perf_counter() - t0
     r = solve_stencil_mg(scase_m, hier_m, tol=tol)
     float(np.asarray(r.phi[0]))        # warm/compile
@@ -105,6 +113,8 @@ def main():
         "sweep_wall_s": round(t_solve, 3),
         "megatet_case_tets": int(case_m.n_tets),
         "megatet_assemble_s": round(t_asm_m, 2),
+        "megatet_mesh_s": round(t_mesh_m, 2),
+        "megatet_coeff_s": round(t_coeff_m, 2),
         "megatet_solve_s": round(t_solve_m, 3),
         "megatet_iters": int(np.asarray(r.iterations)),
         "device": str(jax.devices()[0]),

@@ -58,7 +58,8 @@ def build_layered_case(params: dict | None = None, *,
                        coarse: bool = False,
                        dtype=jnp.float64,
                        with_mesh: bool = False,
-                       explicit_zs=None):
+                       explicit_zs=None,
+                       to_device: bool = True):
     """Build a solver-ready Case for one (t_fat, elec_r) sweep point.
 
     Mirrors build_mesh + detect_elec_bc_ids + write_sif of the reference
@@ -160,6 +161,7 @@ def build_layered_case(params: dict | None = None, *,
         injected_current_A=st.get("injected_current_mA", 5.0) * 1e-3,
         meta_extra=meta_extra,
         dtype=dtype,
+        to_device=to_device,
     )
     if with_mesh:
         return case, params, mesh

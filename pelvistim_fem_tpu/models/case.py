@@ -148,6 +148,7 @@ def build_case(
     meta_extra: Optional[dict] = None,
     dtype=jnp.float64,
     strict_area_check: bool = True,
+    to_device: bool = True,
 ) -> Case:
     """Assemble a device-ready Case from a host mesh + physics spec.
 
@@ -184,8 +185,20 @@ def build_case(
         **meta_extra,
     )
 
-    f = lambda a: jnp.asarray(a, dtype)
-    i = lambda a: jnp.asarray(a, jnp.int32)
+    if to_device:
+        f = lambda a: jnp.asarray(a, dtype)
+        i = lambda a: jnp.asarray(a, jnp.int32)
+        bmask = lambda a: jnp.asarray(a)
+    else:
+        # Host-only Case (numpy leaves): stencil-path workflows read only
+        # meta + host arrays and never ship the element arrays (the
+        # (M,4,3) gradients alone are ~84 MB at megatet scale — seconds
+        # of transfer the structured solve path never uses).  Passing a
+        # host Case into a jitted element solve still works; jax
+        # transfers at call time.
+        f = lambda a: np.asarray(a, dtype)
+        i = lambda a: np.asarray(a, np.int32)
+        bmask = lambda a: np.asarray(a)
     return Case(
         nodes=f(mesh.nodes),
         tets=i(mesh.tets),
@@ -195,7 +208,7 @@ def build_case(
         scatter_perm=i(perm),
         scatter_segids=i(segids),
         sigma_table=f(sig),
-        free_mask=jnp.asarray(free),
+        free_mask=bmask(free),
         dirichlet_vals=f(dirichlet),
         b_neumann=f(b_neu),
         faces=i(mesh.faces),

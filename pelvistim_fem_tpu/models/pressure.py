@@ -19,7 +19,8 @@ from pelvistim_fem_tpu.utils.config import default_params, get_placement
 
 
 def build_pressure_case(params: dict | None = None, *, coarse: bool = False,
-                        dtype=jnp.float64, with_mesh: bool = False):
+                        dtype=jnp.float64, with_mesh: bool = False,
+                        to_device: bool = True):
     """One Case for the fixed step04 geometry (rect slab, t_fat = 5 mm,
     r = 10 mm, contact layers on)."""
     params = params or default_params("step04_pressure")
@@ -28,10 +29,11 @@ def build_pressure_case(params: dict | None = None, *, coarse: bool = False,
     if with_mesh:
         case, _, mesh = build_layered_case(params, elec_r=elec_r,
                                            coarse=coarse, dtype=dtype,
-                                           with_mesh=True)
+                                           with_mesh=True,
+                                           to_device=to_device)
         return case, params, mesh
     case, _ = build_layered_case(params, elec_r=elec_r, coarse=coarse,
-                                 dtype=dtype)
+                                 dtype=dtype, to_device=to_device)
     return case, params
 
 

@@ -45,6 +45,10 @@ def _load():
     lib.stencil_apply.restype = None
     lib.stencil_apply.argtypes = [f64p, f64p, ctypes.c_int64,
                                   ctypes.c_int64, ctypes.c_int64, f64p]
+    lib.tet_geometry.restype = None
+    lib.tet_geometry.argtypes = [f64p, i32p, ctypes.c_int64, f64p, f64p]
+    lib.tet_signed_volumes.restype = None
+    lib.tet_signed_volumes.argtypes = [f64p, i32p, ctypes.c_int64, f64p]
     lib.parse_elmer_nodes.restype = ctypes.c_int64
     lib.parse_elmer_nodes.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, f64p]
@@ -131,6 +135,34 @@ def stencil_apply(x, C):
     y = np.empty_like(x)
     lib.stencil_apply(x, C, X, Y, Z, y)
     return y
+
+
+def tet_geometry(nodes, tets):
+    """Native (grads (M,4,3), vol (M,)) P1 geometry; None when the
+    library is absent (caller falls back to the numpy closed form)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nodes = np.ascontiguousarray(nodes, np.float64)
+    tets = np.ascontiguousarray(tets, np.int32)
+    m = tets.shape[0]
+    grads = np.empty((m, 4, 3))
+    vol = np.empty(m)
+    lib.tet_geometry(nodes, tets, m, grads, vol)
+    return grads, vol
+
+
+def tet_signed_volumes(nodes, tets):
+    """Native signed tet volumes; None when the library is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    nodes = np.ascontiguousarray(nodes, np.float64)
+    tets = np.ascontiguousarray(tets, np.int32)
+    m = tets.shape[0]
+    vol = np.empty(m)
+    lib.tet_signed_volumes(nodes, tets, m, vol)
+    return vol
 
 
 def parse_elmer_nodes(text: bytes):

@@ -34,8 +34,14 @@ def element_gradients(nodes: np.ndarray, tets: np.ndarray):
     Returns (grads (M, 4, 3), vol (M,)).  grads[m, i] = grad lambda_i on
     tet m; vol must be positive (mesh generators guarantee orientation).
     Closed-form adjugate (cross products) — ~5x faster than batched
-    np.linalg.inv on million-tet meshes.
+    np.linalg.inv on million-tet meshes.  Dispatches to the native C++
+    kernel when built (csrc/meshkernels.cpp tet_geometry — another ~15x
+    on megatet meshes; the numpy path below is the reference fallback).
     """
+    from pelvistim_fem_tpu import native
+    out = native.tet_geometry(nodes, tets)
+    if out is not None:
+        return out
     x = nodes[tets].astype(np.float64)               # (M, 4, 3)
     e1 = x[:, 1] - x[:, 0]
     e2 = x[:, 2] - x[:, 0]

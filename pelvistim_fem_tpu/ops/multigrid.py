@@ -56,74 +56,83 @@ def _axis_weights(fine: np.ndarray, coarse_idx: np.ndarray):
 def make_transfers(axes):
     """Build (coarse_axes, prolong_fn, restrict_fn) for one coarsening.
 
-    prolong: (Xc,Yc,Zc) -> (X,Y,Z); restrict = P^T.
-    Implemented as three 1-D interpolation passes (each a gather of two
-    slabs along one axis) — static shapes, XLA-friendly.
+    prolong: (..., Xc, Yc, Zc) -> (..., X, Y, Z); restrict = P^T, both
+    supporting leading batch axes (probing batches over bodies).
+
+    Two implementations behind one closure pair:
+      * numpy operands (hierarchy probing, host): trilinear transfers
+        factor into three tiny per-axis 1-D interpolation matrices
+        applied via tensordot (reshaped BLAS GEMM) — ~50x faster than
+        the previous np.add.at scatter at megatet scale.
+      * jnp tracers (the device V-cycle): per-axis two-slab gathers /
+        index-adds with static shapes.  Measured on the axon TPU these
+        beat the dense dot_general form by orders of magnitude (the
+        moveaxis-wrapped contractions triggered pathological layouts:
+        55 s vs 0.04 s per megatet solve), so the device path keeps the
+        gather formulation.
     """
-    idxs, slots, wls = [], [], []
+    idxs, slots, wls, mats = [], [], [], []
     for ax in axes:
         n = len(ax)
         ci = np.arange(0, n, 2)
         if ci[-1] != n - 1:
             ci = np.append(ci, n - 1)
         slot, wl = _axis_weights(ax, ci)
+        P = np.zeros((n, len(ci)))
+        P[np.arange(n), slot] = wl
+        P[np.arange(n), slot + 1] += 1.0 - wl
         idxs.append(ci)
         slots.append(slot.astype(np.int32))
         wls.append(wl)
+        mats.append(P)
     coarse_axes = tuple(a[i] for a, i in zip(axes, idxs))
-
+    P0, P1, P2 = mats
+    R0, R1, R2 = P0.T.copy(), P1.T.copy(), P2.T.copy()
     s0, s1, s2 = slots
     w0, w1, w2 = wls
-
-    def prolong(xc):
-        # numpy index arrays + operator overloading: works for BOTH
-        # numpy arrays (hierarchy probing) and jnp tracers (V-cycle).
-        # Weights are cast to the operand dtype — with jax x64 enabled,
-        # multiplying f32 tracers by strong-f64 numpy weights would
-        # silently promote the whole V-cycle to f64.
-        if isinstance(xc, np.ndarray):
-            v0, v1, v2 = w0, w1, w2
-        else:
-            v0 = jnp.asarray(w0, xc.dtype)
-            v1 = jnp.asarray(w1, xc.dtype)
-            v2 = jnp.asarray(w2, xc.dtype)
-        a = xc[s0] * v0[:, None, None] + xc[s0 + 1] * (1 - v0)[:, None,
-                                                               None]
-        b = (a[:, s1] * v1[None, :, None]
-             + a[:, s1 + 1] * (1 - v1)[None, :, None])
-        c = (b[:, :, s2] * v2[None, None, :]
-             + b[:, :, s2 + 1] * (1 - v2)[None, None, :])
-        return c
-
     nc = tuple(len(i) for i in idxs)
 
+    def _apply3_np(x, m0, m1, m2):
+        x = np.moveaxis(np.tensordot(x, m0, axes=((-3,), (1,))), -1, -3)
+        x = np.moveaxis(np.tensordot(x, m1, axes=((-2,), (1,))), -1, -2)
+        return np.tensordot(x, m2, axes=((-1,), (1,)))
+
+    def prolong(xc):
+        if isinstance(xc, np.ndarray):
+            return _apply3_np(xc, P0, P1, P2)
+        # device path: weights cast to the operand dtype — with jax x64
+        # enabled, multiplying f32 tracers by strong-f64 numpy constants
+        # would silently promote the whole V-cycle to f64.
+        v0 = jnp.asarray(w0, xc.dtype)
+        v1 = jnp.asarray(w1, xc.dtype)
+        v2 = jnp.asarray(w2, xc.dtype)
+        a = (xc[..., s0, :, :] * v0[:, None, None]
+             + xc[..., s0 + 1, :, :] * (1 - v0)[:, None, None])
+        b = (a[..., :, s1, :] * v1[None, :, None]
+             + a[..., :, s1 + 1, :] * (1 - v1)[None, :, None])
+        return (b[..., :, :, s2] * v2[None, None, :]
+                + b[..., :, :, s2 + 1] * (1 - v2)[None, None, :])
+
     def restrict(xf):
-        # transpose of prolong; dual numpy / jnp implementation.
         if isinstance(xf, np.ndarray):
-            y = np.zeros((nc[0],) + xf.shape[1:], xf.dtype)
-            np.add.at(y, s0, xf * w0[:, None, None])
-            np.add.at(y, s0 + 1, xf * (1 - w0)[:, None, None])
-            y2 = np.zeros((nc[0], nc[1], y.shape[2]), xf.dtype)
-            np.add.at(y2, (slice(None), s1), y * w1[None, :, None])
-            np.add.at(y2, (slice(None), s1 + 1),
-                      y * (1 - w1)[None, :, None])
-            y3 = np.zeros(nc, xf.dtype)
-            np.add.at(y3, (slice(None), slice(None), s2),
-                      y2 * w2[None, None, :])
-            np.add.at(y3, (slice(None), slice(None), s2 + 1),
-                      y2 * (1 - w2)[None, None, :])
-            return y3
+            return _apply3_np(xf, R0, R1, R2)
         dt = xf.dtype
-        y = (jnp.zeros((nc[0],) + xf.shape[1:], dt)
-             .at[s0].add(xf * w0[:, None, None].astype(dt))
-             .at[s0 + 1].add(xf * (1 - w0)[:, None, None].astype(dt)))
-        y = (jnp.zeros((nc[0], nc[1], y.shape[2]), dt)
-             .at[:, s1].add(y * w1[None, :, None].astype(dt))
-             .at[:, s1 + 1].add(y * (1 - w1)[None, :, None].astype(dt)))
-        y = (jnp.zeros(nc, dt)
-             .at[:, :, s2].add(y * w2[None, None, :].astype(dt))
-             .at[:, :, s2 + 1].add(y * (1 - w2)[None, None, :]
-                                   .astype(dt)))
+        lead = xf.shape[:-3]
+        y = (jnp.zeros(lead + (nc[0],) + xf.shape[-2:], dt)
+             .at[..., s0, :, :].add(xf * jnp.asarray(
+                 w0, dt)[:, None, None])
+             .at[..., s0 + 1, :, :].add(xf * jnp.asarray(
+                 1 - w0, dt)[:, None, None]))
+        y = (jnp.zeros(lead + (nc[0], nc[1], y.shape[-1]), dt)
+             .at[..., :, s1, :].add(y * jnp.asarray(
+                 w1, dt)[None, :, None])
+             .at[..., :, s1 + 1, :].add(y * jnp.asarray(
+                 1 - w1, dt)[None, :, None]))
+        y = (jnp.zeros(lead + nc, dt)
+             .at[..., :, :, s2].add(y * jnp.asarray(
+                 w2, dt)[None, None, :])
+             .at[..., :, :, s2 + 1].add(y * jnp.asarray(
+                 1 - w2, dt)[None, None, :]))
         return y
 
     return coarse_axes, prolong, restrict
@@ -172,13 +181,17 @@ def _probe_coarse_stencils(coeffs, free, prolong, restrict, coarse_shape,
     free_np = np.asarray(free)
     coeffs_np = np.asarray(coeffs, np.float64)
     ys = np.empty((n_bodies, 27) + coarse_shape)
+    fine_shape = free_np.shape
     for c in range(27):
         pf = np.where(free_np, prolong(combs[c]), 0.0)
+        outs = np.empty((n_bodies,) + fine_shape)
         for b in range(n_bodies):
             out = native.stencil_apply(pf, coeffs_np[b])
             if out is None:
                 out = _np_spmv(pf, coeffs_np[b])
-            ys[b, c] = restrict(np.where(free_np, out, 0.0))
+            outs[b] = out
+        # one batched restriction over all bodies (leading batch axis)
+        ys[:, c] = restrict(np.where(free_np[None], outs, 0.0))
 
     out = np.zeros((n_bodies, 27) + coarse_shape)
     for c, (px, py, pz) in enumerate(comb_phase):
@@ -215,18 +228,25 @@ class MGHierarchy:
 
 
 def build_hierarchy(host_data: dict, *, dtype=None, min_nodes=800,
-                    max_levels=6) -> MGHierarchy:
+                    max_levels=6, level0=None) -> MGHierarchy:
     """Build per-body Galerkin-coarsened levels from stencil HOST data
     (ops.stencil.stencil_host_data output: numpy coeff/free + lattice
     axes).  All probing runs in numpy — one-time setup must not pay
     device round-trips or remote-compile latency.  Independent of sigma:
     one hierarchy serves a whole material sweep.
+
+    level0: optional (coeff, free) DEVICE arrays to reuse as the finest
+    level — pass (scase.coeff, scase.free) to avoid re-shipping the
+    ~170 MB fine coefficient stack the StencilCase already holds.
     """
     coeff0 = np.asarray(host_data["coeff"], np.float64)
     free0 = np.asarray(host_data["free"], bool)
     dtype = dtype or jnp.float32
-    levels = [MGLevel(coeff=jnp.asarray(coeff0, dtype),
-                      free=jnp.asarray(free0))]
+    if level0 is not None:
+        levels = [MGLevel(coeff=level0[0], free=level0[1])]
+    else:
+        levels = [MGLevel(coeff=jnp.asarray(np.asarray(coeff0, dtype)),
+                          free=jnp.asarray(free0))]
     prolongs, restricts = [], []
     cur_axes = tuple(np.asarray(a) for a in host_data["axes"])
     cur_free = free0
@@ -247,7 +267,10 @@ def build_hierarchy(host_data: dict, *, dtype=None, min_nodes=800,
         diag_sum = np.abs(coarse_coeff).sum(axis=(0, 1))
         coarse_free = diag_sum > 1e-300
 
-        levels.append(MGLevel(coeff=jnp.asarray(coarse_coeff, dtype),
+        # host-side dtype cast first: shipping f64 and converting on
+        # device would double the tunnel traffic and compile a convert op
+        levels.append(MGLevel(coeff=jnp.asarray(np.asarray(coarse_coeff,
+                                                           dtype)),
                               free=jnp.asarray(coarse_free)))
         prolongs.append(prolong)
         restricts.append(restrict)

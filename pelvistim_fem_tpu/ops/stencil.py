@@ -116,7 +116,9 @@ def build_stencil_case(case, mesh, dtype=None, sigma_table_host=None,
     if sigma_table_host is None:
         sigma_table_host = hd["sigma_table"]
     return StencilCase(
-        coeff=jnp.asarray(hd["coeff"], dtype),
+        # host-side cast before transfer: shipping f64 over the axon
+        # tunnel and converting on device doubles the traffic
+        coeff=jnp.asarray(np.asarray(hd["coeff"], dtype)),
         free=jnp.asarray(hd["free"]),
         dirichlet=jnp.asarray(hd["dirichlet"], dtype),
         b_neumann=jnp.asarray(hd["b_neumann"], dtype),
