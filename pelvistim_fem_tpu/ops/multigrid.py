@@ -116,6 +116,9 @@ def make_transfers(axes):
     def restrict(xf):
         if isinstance(xf, np.ndarray):
             return _apply3_np(xf, R0, R1, R2)
+        return _restrict_jnp(xf)
+
+    def _restrict_jnp(xf):
         dt = xf.dtype
         lead = xf.shape[:-3]
         y = (jnp.zeros(lead + (nc[0],) + xf.shape[-2:], dt)
@@ -135,6 +138,15 @@ def make_transfers(axes):
                  1 - w2, dt)[None, None, :]))
         return y
 
+    # Per-axis factors for consumers that apply transfers axis-by-axis
+    # (the domain-decomposed MG in parallel/stencil_shard.py applies the
+    # sharded-x factor as a psum-reduced local GEMM and the y/z factors
+    # locally).
+    for fn in (prolong, restrict):
+        fn.P_axis = tuple(mats)
+        fn.slots = tuple(slots)
+        fn.weights = tuple(wls)
+        fn.nc = nc
     return coarse_axes, prolong, restrict
 
 
@@ -227,13 +239,20 @@ class MGHierarchy:
                                          default=())
 
 
-def build_hierarchy(host_data: dict, *, dtype=None, min_nodes=800,
-                    max_levels=6, level0=None) -> MGHierarchy:
+def build_hierarchy(host_data: dict, *, dtype=None, min_nodes=100,
+                    max_levels=8, level0=None) -> MGHierarchy:
     """Build per-body Galerkin-coarsened levels from stencil HOST data
     (ops.stencil.stencil_host_data output: numpy coeff/free + lattice
     axes).  All probing runs in numpy — one-time setup must not pay
     device round-trips or remote-compile latency.  Independent of sigma:
     one hierarchy serves a whole material sweep.
+
+    min_nodes must stay small enough that the fixed coarse_iters CG in
+    the V-cycle solves the coarsest level nearly exactly: a 728-node
+    high-contrast coarsest level under 24 CG iterations made the
+    V-cycle a WORSE preconditioner than plain Jacobi (459 vs 168 CG
+    iterations on the coarse step04 case); at <=100 nodes the same
+    problem takes 24.
 
     level0: optional (coeff, free) DEVICE arrays to reuse as the finest
     level — pass (scase.coeff, scase.free) to avoid re-shipping the
@@ -294,28 +313,33 @@ def _level_op(level: MGLevel, sigma_table):
     return op, diag
 
 
-def make_v_cycle(hier: MGHierarchy, sigma_table, *, nu=2, omega=0.7,
-                 coarse_iters=24):
-    """Return an SPD preconditioner apply(r) -> z (one V-cycle)."""
-    ops_diags = [_level_op(lv, sigma_table) for lv in hier.levels]
-    n_levels = len(hier.levels)
+def cycle_impl(ops_diags, frees, prolongs, restricts, b, *, nu=2,
+               omega=0.7, coarse_iters=24):
+    """One V-cycle over explicit level data (finest first).
+
+    ops_diags: [(op, diag)] per level; frees: level free masks;
+    prolongs/restricts: transfers between consecutive levels
+    (len == n_levels - 1).  Factored out so the domain-decomposed solve
+    (parallel/stencil_shard.py) can run the replicated coarse levels
+    with EXACTLY the same recursion as the single-device V-cycle."""
+    n_levels = len(ops_diags)
 
     def smooth(op, dinv, x, b, n):
-        for _ in range(n):
-            x = x + omega * dinv * (b - op(x))
-        return x
+        return jax.lax.fori_loop(
+            0, n, lambda _, x: x + omega * dinv * (b - op(x)), x)
 
     def cycle(level, b):
         op, diag = ops_diags[level]
         dinv = 1.0 / diag
         if level == n_levels - 1:
-            # coarsest: fixed-iteration CG (deterministic SPD approx)
-            x = jnp.zeros_like(b)
-            r = b
-            z = dinv * r
-            p = z
-            rz = jnp.sum(r * z)
-            for _ in range(coarse_iters):
+            # coarsest: fixed-iteration CG (deterministic SPD approx).
+            # fori_loop, not an unrolled python loop: unrolling 24
+            # iterations inside an enclosing shard_map blew SPMD compile
+            # time to minutes on the virtual-CPU mesh.
+            z0 = dinv * b
+
+            def cg_body(_, st):
+                x, r, p, rz = st
                 ap = op(p)
                 denom = jnp.sum(p * ap)
                 alpha = rz / jnp.where(denom != 0, denom, 1.0)
@@ -324,20 +348,33 @@ def make_v_cycle(hier: MGHierarchy, sigma_table, *, nu=2, omega=0.7,
                 z = dinv * r
                 rz_n = jnp.sum(r * z)
                 beta = rz_n / jnp.where(rz != 0, rz, 1.0)
-                p = z + beta * p
-                rz = rz_n
+                return (x, r, z + beta * p, rz_n)
+
+            x, *_ = jax.lax.fori_loop(
+                0, coarse_iters, cg_body,
+                (jnp.zeros_like(b), b, z0, jnp.sum(b * z0)))
             return x
         x = smooth(op, dinv, jnp.zeros_like(b), b, nu)
         r = b - op(x)
-        rc = hier.restricts[level](r)
-        rc = jnp.where(hier.levels[level + 1].free, rc, 0.0)
+        rc = restricts[level](r)
+        rc = jnp.where(frees[level + 1], rc, 0.0)
         xc = cycle(level + 1, rc)
-        x = x + hier.prolongs[level](xc)
+        x = x + prolongs[level](xc)
         x = smooth(op, dinv, x, b, nu)
         return x
 
+    return cycle(0, b)
+
+
+def make_v_cycle(hier: MGHierarchy, sigma_table, *, nu=2, omega=0.7,
+                 coarse_iters=24):
+    """Return an SPD preconditioner apply(r) -> z (one V-cycle)."""
+    ops_diags = [_level_op(lv, sigma_table) for lv in hier.levels]
+    frees = [lv.free for lv in hier.levels]
+
     def apply(r):
-        return cycle(0, r)
+        return cycle_impl(ops_diags, frees, hier.prolongs, hier.restricts,
+                          r, nu=nu, omega=omega, coarse_iters=coarse_iters)
 
     return apply
 

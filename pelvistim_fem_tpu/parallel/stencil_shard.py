@@ -21,7 +21,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pelvistim_fem_tpu.ops.solve import SolveResult
 from pelvistim_fem_tpu.ops.stencil import (DIAG_OFFSET, OFFSETS,
-                                           StencilCase, combine_coeffs)
+                                           StencilCase, combine_coeffs,
+                                           stencil_spmv)
 
 
 def _halo_spmv(x_local, C_local, axis):
@@ -142,6 +143,208 @@ def sharded_stencil_solve(scase: StencilCase, mesh: Mesh, *,
         return x, k, rel, rel <= tol
 
     x, k, rel, conv = run(C, free, diri, bneu)
+    phi_nodes = x[:X].reshape(-1)[scase.grid_index]
+    return SolveResult(phi=phi_nodes, iterations=k, residual=rel,
+                       converged=conv)
+
+
+def sharded_stencil_solve_mg(scase: StencilCase, hier, mesh: Mesh, *,
+                             axis: str = "x", sigma_table=None,
+                             tol: float = 1e-8, maxiter: int = 2_000,
+                             nu: int = 2, omega: float = 0.7,
+                             coarse_iters: int = 24) -> SolveResult:
+    """Multigrid-preconditioned CG with x-slab domain decomposition.
+
+    V-cycle layout over the device mesh:
+      * FINE level (the memory/bandwidth-dominant one): smoothing and
+        residuals run sharded with the same 1-plane halo exchange the
+        SpMV uses (_halo_spmv).
+      * Fine->coarse restriction: the y/z trilinear factors apply
+        locally (unsharded axes); the x factor is each device's local
+        dense GEMM against its slice of the transfer matrix, psum-reduced
+        over ICI into a REPLICATED coarse grid.
+      * Levels 1..L run replicated on every device (identical redundant
+        compute, zero communication) via ops.multigrid.cycle_impl — the
+        exact recursion of the single-device V-cycle, so iteration
+        counts match solve_stencil_mg.  One coarsening shrinks the grid
+        ~8x, so the replicated tail is a rounding error in both memory
+        and FLOPs — the standard coarse-level agglomeration trade.
+
+    `hier` is the (sigma-independent) MGHierarchy built on the host from
+    the same stencil_host_data as `scase`.  Replaces the role of the
+    reference's UMFPACK direct solve at scales where Jacobi-CG iteration
+    counts blow up (cf. VERDICT: 91-143 Jacobi iters vs ~16 MG-CG on the
+    dryrun case).
+    """
+    from pelvistim_fem_tpu.ops.multigrid import cycle_impl
+
+    if len(hier.levels) < 2:
+        # Grid too small to have coarsened — MG degenerates; the plain
+        # Jacobi-PCG decomposition is the right tool at that size.
+        return sharded_stencil_solve(scase, mesh, axis=axis,
+                                     sigma_table=sigma_table, tol=tol,
+                                     maxiter=maxiter)
+    if sigma_table is None:
+        sigma_table = scase.sigma_table
+    n_dev = mesh.shape[axis]
+    X, Y, Z = scase.grid_shape
+    Xp = -(-X // n_dev) * n_dev
+    pad = Xp - X
+
+    def padx(a, fill=0.0):
+        if pad == 0:
+            return a
+        cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, cfg, constant_values=fill)
+
+    C = combine_coeffs(scase.coeff, sigma_table)
+    C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    free = padx(scase.free, False)
+    diri = padx(scase.dirichlet)
+    bneu = padx(scase.b_neumann)
+    dt = C.dtype
+
+    # Level-0 transfer factors, split per axis (attached by
+    # make_transfers).  Padded fine x-planes get zero transfer rows —
+    # they are inert (non-free, zero coefficients) by construction.
+    tr0 = hier.prolongs[0]
+    P0x_np = np.zeros((Xp, tr0.P_axis[0].shape[1]))
+    P0x_np[:X] = tr0.P_axis[0]
+    s1, s2 = tr0.slots[1], tr0.slots[2]
+    w1, w2 = tr0.weights[1], tr0.weights[2]
+    ncy, ncz = tr0.nc[1], tr0.nc[2]
+
+    # Replicated coarse-level data (combined with sigma once, outside
+    # the shard_map).
+    C_coarse = tuple(combine_coeffs(lv.coeff, sigma_table)
+                     for lv in hier.levels[1:])
+    free_coarse = tuple(lv.free for lv in hier.levels[1:])
+
+    spec3 = P(axis)
+    spec4 = P(None, axis)
+    repl = jax.tree_util.tree_map(lambda _: P(), (C_coarse, free_coarse))
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(spec4, spec3, spec3, spec3) + repl,
+             out_specs=(spec3, P(), P(), P()))
+    def run(C_l, free_l, diri_l, bneu_l, C_co, free_co):
+        i = jax.lax.axis_index(axis)
+        Xl = C_l.shape[1]
+
+        def op(x):
+            xm = jnp.where(free_l, x, 0.0)
+            return jnp.where(free_l, _halo_spmv(xm, C_l, axis), x)
+
+        red = lambda a: jax.lax.psum(jnp.sum(a), axis)
+        dot = lambda a, b: red(a * b)
+        nrm = lambda a: jnp.sqrt(red(a * a))
+
+        # ── fine-level V-cycle pieces (sharded) ──
+        diag_v = jnp.where(free_l & (C_l[DIAG_OFFSET] != 0),
+                           C_l[DIAG_OFFSET], 1.0)
+        dinv_v = 1.0 / diag_v
+        v1 = jnp.asarray(w1, dt)
+        v2 = jnp.asarray(w2, dt)
+
+        def restrict_yz(x):
+            y = (jnp.zeros((Xl, ncy, x.shape[2]), dt)
+                 .at[:, s1].add(x * v1[None, :, None])
+                 .at[:, s1 + 1].add(x * (1 - v1)[None, :, None]))
+            y = (jnp.zeros((Xl, ncy, ncz), dt)
+                 .at[:, :, s2].add(y * v2[None, None, :])
+                 .at[:, :, s2 + 1].add(y * (1 - v2)[None, None, :]))
+            return y
+
+        def prolong_yz(x):
+            a = (x[:, s1] * v1[None, :, None]
+                 + x[:, s1 + 1] * (1 - v1)[None, :, None])
+            return (a[:, :, s2] * v2[None, None, :]
+                    + a[:, :, s2 + 1] * (1 - v2)[None, None, :])
+
+        hi = jax.lax.Precision.HIGHEST
+        Px = jnp.asarray(P0x_np, dt)                  # (Xp, ncx)
+        start = (i * Xl).astype(jnp.int32)
+        Ploc = jax.lax.dynamic_slice(Px, (start, jnp.int32(0)),
+                                     (Xl, Px.shape[1]))
+
+        def restrict_full(r):
+            # local y/z factors, then psum-reduced x GEMM -> replicated
+            t = restrict_yz(r)                        # (Xl, ncy, ncz)
+            part = jnp.einsum("xc,xyz->cyz", Ploc, t, precision=hi)
+            return jax.lax.psum(part, axis)
+
+        def prolong_full(xc):
+            t = jnp.einsum("xc,cyz->xyz", Ploc, xc, precision=hi)
+            return prolong_yz(t)
+
+        def smooth(x, b, n):
+            return jax.lax.fori_loop(
+                0, n, lambda _, x: x + omega * dinv_v * (b - op(x)), x)
+
+        # replicated coarse-level ops (exactly _level_op's formulation)
+        def coarse_op(l):
+            Cc, fc = C_co[l], free_co[l]
+            diag = jnp.where(fc & (Cc[DIAG_OFFSET] != 0),
+                             Cc[DIAG_OFFSET], 1.0)
+
+            def o(x):
+                xm = jnp.where(fc, x, 0.0)
+                return jnp.where(fc, stencil_spmv(xm, Cc), x)
+
+            return o, diag
+
+        coarse_ops = [coarse_op(l) for l in range(len(C_co))]
+
+        def M(b):
+            x = smooth(jnp.zeros_like(b), b, nu)
+            rr = b - op(x)
+            rc = restrict_full(rr)
+            rc = jnp.where(free_co[0], rc, 0.0)
+            xc = cycle_impl(coarse_ops, list(free_co),
+                            hier.prolongs[1:], hier.restricts[1:], rc,
+                            nu=nu, omega=omega, coarse_iters=coarse_iters)
+            x = x + prolong_full(xc)
+            return smooth(x, b, nu)
+
+        # ── MG-PCG (mirrors ops.multigrid.solve_stencil_mg) ──
+        phi_d = jnp.where(free_l, 0.0, diri_l)
+        b_eff = jnp.where(free_l,
+                          bneu_l - _halo_spmv(phi_d, C_l, axis), diri_l)
+        x0 = phi_d
+        bnorm = nrm(b_eff)
+        tol_abs = tol * bnorm
+
+        r0 = b_eff - op(x0)
+        z0 = jnp.where(free_l, M(jnp.where(free_l, r0, 0.0)), r0)
+        rz0 = dot(r0, z0)
+        done0 = nrm(r0) <= tol_abs
+        state0 = (x0, r0, z0, rz0, z0, jnp.int32(0), done0)
+
+        def cond(state):
+            *_, k, done = state
+            return jnp.logical_not(done) & (k < maxiter)
+
+        def body(state):
+            x, r, z, rz, p, k, done = state
+            ap = op(p)
+            alpha = rz / dot(p, ap)
+            x_n = x + alpha * p
+            r_n = r - alpha * ap
+            z_n = jnp.where(free_l, M(jnp.where(free_l, r_n, 0.0)), r_n)
+            rz_n = dot(r_n, z_n)
+            beta = rz_n / rz
+            p_n = z_n + beta * p
+            sel = lambda new, old: jnp.where(done, old, new)
+            x, r, z = sel(x_n, x), sel(r_n, r), sel(z_n, z)
+            rz, p, k = sel(rz_n, rz), sel(p_n, p), sel(k + 1, k)
+            done = done | (nrm(r) <= tol_abs)
+            return (x, r, z, rz, p, k, done)
+
+        x, r, *_, k, _ = jax.lax.while_loop(cond, body, state0)
+        rel = nrm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+        return x, k, rel, rel <= tol
+
+    x, k, rel, conv = run(C, free, diri, bneu, C_coarse, free_coarse)
     phi_nodes = x[:X].reshape(-1)[scase.grid_index]
     return SolveResult(phi=phi_nodes, iterations=k, residual=rel,
                        converged=conv)

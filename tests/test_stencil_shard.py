@@ -40,3 +40,46 @@ def test_padding_axis_not_divisible(problem):
     assert bool(r.converged)
     np.testing.assert_allclose(np.asarray(r.phi), np.asarray(ref.phi),
                                rtol=1e-12, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def mg_problem():
+    from pelvistim_fem_tpu.ops.multigrid import (build_hierarchy,
+                                                 solve_stencil_mg)
+    from pelvistim_fem_tpu.ops.stencil import stencil_host_data
+    case, params, mesh = build_pressure_case(coarse=True, with_mesh=True)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, host_data=hd)
+    hier = build_hierarchy(hd, dtype=sc.coeff.dtype)
+    ref = solve_stencil_mg(sc, hier, tol=1e-8, maxiter=2000)
+    return sc, hier, ref
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_mg_matches_single_device(mg_problem, n_dev):
+    """Domain-decomposed MG-CG: same V-cycle math => iteration count
+    within +-1 of solve_stencil_mg and matching solution (VERDICT round-1
+    item 3 acceptance)."""
+    from pelvistim_fem_tpu.parallel.stencil_shard import \
+        sharded_stencil_solve_mg
+    sc, hier, ref = mg_problem
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("x",))
+    r = sharded_stencil_solve_mg(sc, hier, mesh, tol=1e-8, maxiter=2000)
+    assert bool(r.converged)
+    assert abs(int(r.iterations) - int(ref.iterations)) <= 1
+    np.testing.assert_allclose(np.asarray(r.phi), np.asarray(ref.phi),
+                               rtol=0, atol=1e-8 * float(
+                                   np.abs(np.asarray(ref.phi)).max()))
+
+
+def test_sharded_mg_beats_jacobi_iterations(mg_problem):
+    """MG preconditioning must cut the sharded iteration count by >=4x
+    vs the Jacobi-PCG decomposition on the same problem."""
+    from pelvistim_fem_tpu.parallel.stencil_shard import \
+        sharded_stencil_solve_mg
+    sc, hier, _ = mg_problem
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    rj = sharded_stencil_solve(sc, mesh, tol=1e-8, maxiter=30_000)
+    rm = sharded_stencil_solve_mg(sc, hier, mesh, tol=1e-8, maxiter=2000)
+    assert bool(rj.converged) and bool(rm.converged)
+    assert int(rm.iterations) * 4 <= int(rj.iterations)
