@@ -12,6 +12,7 @@ Usage:
   python apps/meshtool.py convert IN OUT      # by extension/dirness
   python apps/meshtool.py inspect IN
   python apps/meshtool.py boundaries IN OUT   # rebuild + classify BCs
+  python apps/meshtool.py solve IN [--params Y] [--out D] [--vtu]
 """
 
 import argparse
@@ -24,14 +25,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _read(path):
-    from pelvistim_fem_tpu.mesh.io_elmer import read_elmer_mesh
-    from pelvistim_fem_tpu.mesh.io_msh import read_msh
-    p = Path(path)
-    if p.is_dir():
-        return read_elmer_mesh(p)
-    if p.suffix == ".msh":
-        return read_msh(p)
-    raise SystemExit(f"cannot read {p} (expect .msh file or Elmer dir)")
+    from pelvistim_fem_tpu.models.imported import read_mesh_any
+    try:
+        return read_mesh_any(path)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def _write(mesh, path):
@@ -94,6 +92,32 @@ def cmd_boundaries(args):
     _write(m2, args.output)
 
 
+def cmd_solve(args):
+    """End-to-end on an IMPORTED mesh: detect electrode BCs, assemble,
+    solve to the full reference tolerance, extract the step03 metric
+    dict — the framework's equivalent of the reference's
+    arbitrary-Gmsh-mesh pipeline (run_layered_sweep.py:366-455,
+    826-1030)."""
+    import json
+
+    from pelvistim_fem_tpu.models.imported import solve_imported
+    from pelvistim_fem_tpu.utils.config import default_params, load_params
+    params = (load_params(args.params) if args.params
+              else default_params("step03_ankle_layers"))
+    case, res, row = solve_imported(args.input, params, tol=args.tol)
+    out = Path(args.out or ".")
+    out.mkdir(parents=True, exist_ok=True)
+    clean = {k: (None if isinstance(v, float) and not np.isfinite(v)
+                 else v) for k, v in row.items()}
+    (out / "summary.json").write_text(json.dumps(clean, indent=1))
+    print(f"wrote {out / 'summary.json'}")
+    if args.vtu:
+        from pelvistim_fem_tpu.utils.vtu import write_solution_vtu
+        mesh = _read(args.input)
+        write_solution_vtu(out / "solution.vtu", mesh, case, res.phi)
+        print(f"wrote {out / 'solution.vtu'}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -103,6 +127,14 @@ def main():
     c.set_defaults(fn=cmd_inspect)
     c = sub.add_parser("boundaries"); c.add_argument("input")
     c.add_argument("output"); c.set_defaults(fn=cmd_boundaries)
+    c = sub.add_parser("solve"); c.add_argument("input")
+    c.add_argument("--params", default=None,
+                   help="params yaml (default: bundled step03)")
+    c.add_argument("--out", default=None)
+    c.add_argument("--tol", type=float, default=1e-8)
+    c.add_argument("--vtu", action="store_true",
+                   help="also write solution.vtu")
+    c.set_defaults(fn=cmd_solve)
     args = ap.parse_args()
     args.fn(args)
 

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pelvistim_fem_tpu.ops.solve import solve_case
+from pelvistim_fem_tpu.ops.solve import solve_case, solve_case_refined
 from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
                                            solve_stencil,
                                            solve_stencil_refined)
@@ -56,6 +56,12 @@ def solve_auto(case, mesh=None, *, tol=1e-8, maxiter=30_000, timer=None):
     else:
         if f64_ok and not on_tpu():
             res = solve_case(case, tol=tol, maxiter=maxiter)
+        elif f64_ok:
+            # TPU + x64: mixed-precision refinement reaches the full
+            # reference tolerance (params.yaml:92 -> 1e-8) on imported
+            # meshes too — plain f32 CG stalls near 1e-6.
+            res = solve_case_refined(case, tol=tol, inner_tol=1e-6,
+                                     maxiter=maxiter)
         else:
             res = solve_case(case, tol=max(tol, 1e-6), maxiter=maxiter)
     jax.block_until_ready(res.phi)

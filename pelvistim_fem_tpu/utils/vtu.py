@@ -121,8 +121,13 @@ def write_solution_vtu(path, mesh, case, phi, sigma_table=None):
               include_boundary=True)
 
 
-_DA_RE = re.compile(r"<DataArray(?P<attrs>[^>]*)>(?P<body>.*?)</DataArray>",
-                    re.S)
+_DA_RE = re.compile(
+    r"<DataArray(?P<attrs>[^>]*?)(?:/>|>(?P<body>.*?)</DataArray>)", re.S)
+
+_VTK_DTYPES = {"Float64": "<f8", "Float32": "<f4", "Int64": "<i8",
+               "Int32": "<i4", "UInt64": "<u8", "UInt32": "<u4",
+               "Int16": "<i2", "UInt16": "<u2", "Int8": "i1",
+               "UInt8": "u1"}
 
 
 def _attr(attrs, key, default=None):
@@ -130,14 +135,100 @@ def _attr(attrs, key, default=None):
     return m.group(1) if m else default
 
 
+def _inflate(buf, hdt, compressed):
+    """Decode one VTK data block starting at buf[0].
+
+    Uncompressed layout: [nbytes:hdt][raw bytes].
+    vtkZLibDataCompressor layout: [nblocks][blocksize][lastsize]
+    [csize_1..n] (each hdt) followed by the zlib streams."""
+    hsize = np.dtype(hdt).itemsize
+    if not compressed:
+        nbytes = int(np.frombuffer(buf[:hsize], hdt)[0])
+        return buf[hsize:hsize + nbytes]
+    import zlib
+    nblocks = int(np.frombuffer(buf[:hsize], hdt)[0])
+    header = np.frombuffer(buf[:hsize * (3 + nblocks)], hdt)
+    csizes = header[3:3 + nblocks].astype(int)
+    p = hsize * (3 + nblocks)
+    out = []
+    for cs in csizes:
+        out.append(zlib.decompress(buf[p:p + cs]))
+        p += cs
+    return b"".join(out)
+
+
+def _appended_block(appended, offset, encoding, hdt, compressed):
+    """Extract one raw data block from the <AppendedData> stream."""
+    if encoding == "raw":
+        return _inflate(appended[offset:], hdt, compressed)
+    # base64: the header and the payload are SEPARATE base64 streams
+    # (the VTK writer convention), except that compressed blocks encode
+    # the whole [header|payload] differently: header array first.
+    hsize = np.dtype(hdt).itemsize
+    if not compressed:
+        hlen = ((hsize + 2) // 3) * 4
+        nbytes = int(np.frombuffer(
+            base64.b64decode(appended[offset:offset + hlen]), hdt)[0])
+        dlen = ((nbytes + 2) // 3) * 4
+        return base64.b64decode(
+            appended[offset + hlen:offset + hlen + dlen])
+    # compressed base64: first header triple to learn nblocks, then the
+    # full header, then the payload stream
+    hlen1 = ((hsize + 2) // 3) * 4
+    # prefix decode may yield a few extra bytes (b64 groups of 3) —
+    # slice to exactly one header entry before viewing
+    nblocks = int(np.frombuffer(base64.b64decode(
+        appended[offset:offset + hlen1])[:hsize], hdt)[0])
+    hbytes = hsize * (3 + nblocks)
+    hlen = ((hbytes + 2) // 3) * 4
+    header = np.frombuffer(base64.b64decode(
+        appended[offset:offset + hlen]), hdt, count=3 + nblocks)
+    csizes = header[3:3 + nblocks].astype(int)
+    dlen = ((int(csizes.sum()) + 2) // 3) * 4
+    payload = base64.b64decode(
+        appended[offset + hlen:offset + hlen + dlen])
+    import zlib
+    out, p = [], 0
+    for cs in csizes:
+        out.append(zlib.decompress(payload[p:p + cs]))
+        p += cs
+    return b"".join(out)
+
+
 def read_vtu(path):
-    """Parse an ASCII (or inline base64) VTU into
-    (points, {point_data}, connectivity, offsets, types, {cell_data}).
-    Covers our own writer and ElmerSolver ASCII output."""
-    text = Path(path).read_text()
+    """Parse a VTU into (points, {point_data}, connectivity, offsets,
+    types, {cell_data}).
+
+    Supported encodings: ascii, inline base64 ("binary"), and the
+    APPENDED format (encoding="raw" or "base64") with or without
+    vtkZLibDataCompressor and UInt32/UInt64 headers — the full set
+    ElmerSolver's vtu output emits, so real reference results can be
+    diffed against our fields (SURVEY EXT-D / VERDICT round-1 item 7).
+    """
+    data = Path(path).read_bytes()
+
+    # Split off <AppendedData> first: encoding="raw" bodies are byte
+    # soup that must not go through the text decoder offsets.
+    appended, app_enc = None, None
+    am = re.search(rb'<AppendedData[^>]*>', data)
+    if am:
+        app_enc = _attr(am.group(0).decode("utf8", "replace"), "encoding",
+                        "base64")
+        start = data.index(b"_", am.end()) + 1
+        end = data.rindex(b"</AppendedData>")
+        appended = data[start:end]
+        text = (data[:am.end()].decode("utf8", "replace")
+                + data[end:].decode("utf8", "replace"))
+    else:
+        text = data.decode("utf8", "replace")
+
+    header_type = _attr(text[:text.index(">") + 1], "header_type",
+                        "UInt32")
+    hdt = _VTK_DTYPES[header_type]
+    compressed = "compressor" in text[:text.index(">") + 1]
+
     pm = re.search(r'NumberOfPoints="(\d+)"', text)
-    cm = re.search(r'NumberOfCells="(\d+)"', text)
-    npts, ncell = int(pm.group(1)), int(cm.group(1))
+    npts = int(pm.group(1))
 
     pdata_m = re.search(r"<PointData.*?>(.*?)</PointData>", text, re.S)
     cdata_m = re.search(r"<CellData.*?>(.*?)</CellData>", text, re.S)
@@ -151,18 +242,20 @@ def read_vtu(path):
             name = _attr(attrs, "Name", "Points")
             ncomp = int(_attr(attrs, "NumberOfComponents", "1"))
             fmt = _attr(attrs, "format", "ascii")
-            body = m.group("body").strip()
+            dt = _VTK_DTYPES[_attr(attrs, "type", "Float64")]
+            body = (m.group("body") or "").strip()
             if fmt == "ascii":
                 a = (np.asarray(body.split(), dtype=np.float64) if body
                      else np.empty(0))
             elif fmt == "binary":
                 raw = base64.b64decode(body)
-                (nbytes,) = struct.unpack("<I", raw[:4])
-                dt = {"Float64": "<f8", "Float32": "<f4",
-                      "Int64": "<i8", "Int32": "<i4",
-                      "UInt8": "u1"}[_attr(attrs, "type", "Float64")]
-                a = np.frombuffer(raw[4:4 + nbytes], dtype=dt).astype(
-                    np.float64)
+                a = np.frombuffer(_inflate(raw, hdt, compressed),
+                                  dtype=dt).astype(np.float64)
+            elif fmt == "appended":
+                off = int(_attr(attrs, "offset", "0"))
+                raw = _appended_block(appended, off, app_enc, hdt,
+                                      compressed)
+                a = np.frombuffer(raw, dtype=dt).astype(np.float64)
             else:
                 continue
             if ncomp > 1:
@@ -177,3 +270,39 @@ def read_vtu(path):
             cells.get("connectivity"), cells.get("offsets"),
             cells.get("types"),
             parse_block(cdata_m.group(1) if cdata_m else ""))
+
+
+def read_vtu_mesh(path):
+    """Reconstruct a TetMesh (+ its GeometryIds BC/body tagging when
+    present) from a VTU file — ingests both our own solution files and
+    ElmerSolver output (which tags bodies as-is and boundaries at
+    bcid + 100, the convention write_solution_vtu mirrors)."""
+    from pelvistim_fem_tpu.mesh.boundary import extract_boundary
+    from pelvistim_fem_tpu.mesh.core import BC_INSULATED, TetMesh
+    from pelvistim_fem_tpu.mesh.io_elmer import _face_parents
+
+    pts, _pdata, conn, offsets, types, cdata = read_vtu(path)
+    conn = conn.astype(np.int64)
+    offsets = offsets.astype(np.int64)
+    types = types.astype(np.int64)
+    begin = np.concatenate([[0], offsets[:-1]])
+    tet_sel = types == VTK_TETRA
+    tri_sel = types == VTK_TRIANGLE
+    tets = conn[begin[tet_sel][:, None]
+                + np.arange(4)[None, :]].astype(np.int32)
+    geo = cdata.get("GeometryIds")
+    tet_body = (geo[tet_sel].astype(np.int32) if geo is not None
+                else np.ones(tets.shape[0], np.int32))
+    if tri_sel.any():
+        faces = conn[begin[tri_sel][:, None]
+                     + np.arange(3)[None, :]].astype(np.int32)
+        face_bcid = (np.maximum(geo[tri_sel] - 100, 1).astype(np.int32)
+                     if geo is not None
+                     else np.full(faces.shape[0], BC_INSULATED, np.int32))
+        parent = _face_parents(tets, faces)
+    else:
+        faces, parent = extract_boundary(tets)
+        face_bcid = np.full(faces.shape[0], BC_INSULATED, np.int32)
+    return TetMesh(nodes=np.asarray(pts, np.float64), tets=tets,
+                   tet_body=tet_body, faces=faces, face_bcid=face_bcid,
+                   face_parent=parent.astype(np.int32))
