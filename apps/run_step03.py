@@ -109,24 +109,36 @@ def main():
         prof_ctx = jax.profiler.trace(args.profile)
 
     if args.batch:
-        if args.resume:
-            print("  NOTE: --resume is ignored in --batch mode (each "
-                  "radius group always solves as one batch)")
-        # f64 reaches the reference's 1e-8 contract; f32 (TPU) caps at
-        # its attainable 1e-6.
+        # Same tolerance contract as the serial path (params.yaml:92):
+        # 1e-8 via the vmapped mixed-precision refined solver (f64
+        # master coefficients, f32 inner CG) — identical on CPU and TPU.
         import jax.numpy as _jnp
-        batch_tol = 1e-8 if preferred_dtype() == _jnp.float64 else 1e-6
         with prof_ctx:
             from pelvistim_fem_tpu.parallel.geometry_sweep import \
                 solve_t_fat_group
             for r_mm in r_list_mm:
                 elec_r = r_mm * 1e-3
+                labels = [(f"tfat{int(t_fat*1e6):04d}um_"
+                           f"r{int(elec_r*1e6):04d}um")
+                          for t_fat in t_fat_list]
+                rows = [out_root / lb / "row.json" for lb in labels]
+                if args.resume and not args.plot and \
+                        all(rp.exists() for rp in rows):
+                    # batch granularity: a radius group resumes only
+                    # when EVERY case row is cached (partial groups
+                    # re-solve — one vmapped solve is the unit of work)
+                    print(f"\n[batch r={r_mm:.1f}mm] all "
+                          f"{len(rows)} rows cached -> skipping group")
+                    results.extend(json.loads(rp.read_text())
+                                   for rp in rows)
+                    continue
                 print(f"\n[batch r={r_mm:.1f}mm] solving "
-                      f"{len(t_fat_list)} t_fat variants as one batch")
+                      f"{len(t_fat_list)} t_fat variants as one batch "
+                      f"(refined, tol 1e-8)")
                 with timer.phase("batched solve"):
                     out, cases, meshes = solve_t_fat_group(
                         p, t_fat_list, elec_r, coarse=coarse,
-                        dtype=preferred_dtype(), tol=batch_tol)
+                        dtype=_jnp.float64, tol=1e-8, refined=True)
                 import numpy as _np
                 print(f"    iters {_np.asarray(out.iterations).tolist()}"
                       f"  converged {bool(out.converged.all())}")

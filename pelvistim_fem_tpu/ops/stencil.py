@@ -349,35 +349,47 @@ def batched_geometry_solve(scase: StencilCase, coeff_stack, sigma_tables,
 
 @partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter",
                                    "max_refinements"))
-def solve_stencil_refined(scase: StencilCase, sigma_table=None, *,
-                          tol=1e-8, inner_tol=1e-6, maxiter=10_000,
+def solve_stencil_refined(scase: StencilCase, sigma_table=None,
+                          coeff=None, *, tol=1e-8, inner_tol=1e-6,
+                          maxiter=10_000,
                           max_refinements=6) -> SolveResult:
     """Mixed-precision stencil solve: f32 CG inner sweeps, f64 residual
     correction until the f64 relative residual meets `tol` (requires
     jax_enable_x64; on TPU the f64 work is a handful of emulated SpMVs
-    per refinement).  phi returned in mesh node ordering."""
+    per refinement).  phi returned in mesh node ordering.
+
+    `coeff` overrides the per-body coefficient stack (geometry-batched
+    sweeps — see solve_stencil).  Under vmap, converged lanes FREEZE
+    (carry unchanged) so extra refinements of unfinished lanes cannot
+    perturb finished ones."""
     if sigma_table is None:
         sigma_table = scase.sigma_table
     to = lambda a, dt: jax.tree_util.tree_map(
         lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
         else x, a)
     sc64, sc32 = to(scase, jnp.float64), to(scase, jnp.float32)
-    op64, _, b64 = _operator(sc64, sigma_table.astype(jnp.float64))
-    op32, diag32, _ = _operator(sc32, sigma_table.astype(jnp.float32))
+    c64 = None if coeff is None else coeff.astype(jnp.float64)
+    c32 = None if coeff is None else coeff.astype(jnp.float32)
+    op64, _, b64 = _operator(sc64, sigma_table.astype(jnp.float64), c64)
+    op32, diag32, _ = _operator(sc32, sigma_table.astype(jnp.float32),
+                                c32)
 
     bnorm = jnp.sqrt(jnp.sum(b64 * b64))
     x = jnp.where(scase.free, 0.0, sc64.dirichlet)
 
     def refine(carry):
-        x, _, total_it, k = carry
+        x, rel_old, total_it, k = carry
+        done = rel_old <= tol
         r64 = b64 - op64(x)
         res = jacobi_pcg(op32, r64.astype(jnp.float32), diag32,
                          jnp.zeros_like(r64, jnp.float32),
                          tol=inner_tol, maxiter=maxiter)
-        x = x + res.phi.astype(jnp.float64)
-        rel = jnp.sqrt(jnp.sum((b64 - op64(x)) ** 2)) / jnp.where(
+        x_n = x + res.phi.astype(jnp.float64)
+        rel_n = jnp.sqrt(jnp.sum((b64 - op64(x_n)) ** 2)) / jnp.where(
             bnorm > 0, bnorm, 1.0)
-        return (x, rel, total_it + res.iterations, k + 1)
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(x_n, x), sel(rel_n, rel_old),
+                sel(total_it + res.iterations, total_it), k + 1)
 
     def cond(carry):
         _, rel, _, k = carry
@@ -389,3 +401,20 @@ def solve_stencil_refined(scase: StencilCase, sigma_table=None, *,
     phi_nodes = x.reshape(-1)[scase.grid_index]
     return SolveResult(phi=phi_nodes, iterations=total_it, residual=rel,
                        converged=rel <= tol)
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter",
+                                   "max_refinements"))
+def batched_geometry_solve_refined(scase: StencilCase, coeff_stack,
+                                   sigma_tables, *, tol=1e-8,
+                                   inner_tol=1e-6, maxiter=10_000,
+                                   max_refinements=6):
+    """Geometry-batched sweep at the FULL reference tolerance: one
+    vmapped mixed-precision refined solve per lane.  This is how the
+    step03 --batch path honors the same 1e-8 contract as the serial
+    path (params.yaml:92) on TPU, where plain f32 CG caps near 1e-6."""
+    return jax.vmap(
+        lambda C, s: solve_stencil_refined(
+            scase, s, C, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+            max_refinements=max_refinements)
+    )(coeff_stack, sigma_tables)

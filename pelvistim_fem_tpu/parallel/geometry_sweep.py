@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from pelvistim_fem_tpu.mesh.grading import layered_z_axis
 from pelvistim_fem_tpu.ops.stencil import (batched_geometry_solve,
+                                           batched_geometry_solve_refined,
                                            build_stencil_case,
                                            stencil_host_data)
 
@@ -88,12 +89,21 @@ def build_t_fat_group(params, t_fat_list, elec_r, *, coarse=False,
 
 
 def solve_t_fat_group(params, t_fat_list, elec_r, *, coarse=False,
-                      dtype=jnp.float32, tol=1e-6, maxiter=30_000):
+                      dtype=jnp.float32, tol=1e-6, maxiter=30_000,
+                      refined=False):
     """One batched solve for a whole t_fat group; returns
-    (results, cases, meshes) with phi per case."""
+    (results, cases, meshes) with phi per case.
+
+    refined=True runs the vmapped mixed-precision solver (f64 master
+    coefficients, f32 inner CG) so the batch meets the serial path's
+    1e-8 contract on any platform; build with dtype=float64 then."""
     scase, coeff_stack, cases, meshes = build_t_fat_group(
         params, t_fat_list, elec_r, coarse=coarse, dtype=dtype)
     tables = jnp.stack([c.sigma_table for c in cases]).astype(dtype)
-    out = batched_geometry_solve(scase, coeff_stack, tables, tol=tol,
-                                 maxiter=maxiter)
+    if refined:
+        out = batched_geometry_solve_refined(scase, coeff_stack, tables,
+                                             tol=tol, maxiter=maxiter)
+    else:
+        out = batched_geometry_solve(scase, coeff_stack, tables, tol=tol,
+                                     maxiter=maxiter)
     return out, cases, meshes
