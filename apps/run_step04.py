@@ -38,7 +38,7 @@ def main():
 
     from pelvistim_fem_tpu.models.pressure import (build_pressure_case,
                                                    sigma_tables_for_sweep)
-    from pelvistim_fem_tpu.ops.metrics import extract_results
+    from pelvistim_fem_tpu.ops.metrics import extract_results_batched
     from pelvistim_fem_tpu.ops.stencil import (batched_stencil_solve,
                                                build_stencil_case)
     from pelvistim_fem_tpu.utils.config import default_params, load_params
@@ -72,13 +72,20 @@ def main():
     if not conv.all():
         print(f"  WARNING: lanes not converged: {np.where(~conv)[0]}")
 
-    results = []
-    for i, (lab, s) in enumerate(zip(labels, sweep)):
-        print(f"\n[{lab}] sigma_contact = {s:g} S/m")
-        row = extract_results(case, out.phi[i], p, sigma_table=tables[i],
-                              pressure_label=lab, sigma_contact=s)
-        results.append(row)
-        print(f"    compliance_V={row['compliance_V']:.1f} V  "
+    # ALL lanes' metrics in one vmapped device pass + one scalar gather
+    # (extract_results_batched; same rows as the serial extractor).
+    t0 = time.perf_counter()
+    results = extract_results_batched(case, out.phi, p,
+                                      sigma_tables=tables,
+                                      pressure_labels=list(labels),
+                                      sigma_contacts=list(sweep))
+    t_extract = time.perf_counter() - t0
+    print(f"  batched extract: {len(sweep)} cases in {t_extract:.2f} s "
+          f"(end-to-end {len(sweep)*60/(t_solve+t_extract):.1f} "
+          f"cases/min)")
+    for lab, s, row in zip(labels, sweep, results):
+        print(f"[{lab}] sigma_contact = {s:g} S/m  "
+              f"compliance_V={row['compliance_V']:.1f} V  "
               f"Z={row['contact_impedance_ohm']:.0f} ohm  "
               f"roi_E={row['roi_mean_E']:.2f} V/m  "
               f"Q={row['charge_density_mC_cm2']:.6f} mC/cm2")

@@ -72,6 +72,24 @@ def main():
     baseline = 9 / 40.0  # reference: 9 cases / 20-60 min midpoint
     it = np.asarray(out.iterations)
 
+    # End-to-end: solve + FULL per-case metric extraction (the
+    # reference's extract_results, run_layered_sweep.py:826-1030) as one
+    # vmapped device pass + a single scalar gather.
+    from pelvistim_fem_tpu.ops.metrics import extract_results_batched
+    labels = [f"s{i:03d}" for i in range(n_cases)]
+    rows = extract_results_batched(case, out.phi, params,
+                                   sigma_tables=tables,
+                                   pressure_labels=labels,
+                                   sigma_contacts=list(map(float, sigmas)))
+    t0 = time.perf_counter()
+    rows = extract_results_batched(case, out.phi, params,
+                                   sigma_tables=tables,
+                                   pressure_labels=labels,
+                                   sigma_contacts=list(map(float, sigmas)))
+    t_extract = time.perf_counter() - t0
+    assert all(r["flux_err_consistent"] < 1e-3 for r in rows)
+    e2e_per_min = n_cases * 60.0 / (t_solve + t_extract)
+
     # Secondary metric: the BASELINE.json north-star single case — a
     # ~1.8M-tet layered ankle model, assemble (host) + MG solve (chip).
     from pelvistim_fem_tpu.models.ankle import build_layered_case
@@ -111,6 +129,8 @@ def main():
         "mean_iters": round(float(it.mean()), 1),
         "build_s": round(t_build, 2),
         "sweep_wall_s": round(t_solve, 3),
+        "extract_wall_s": round(t_extract, 3),
+        "e2e_solves_per_min": round(e2e_per_min, 2),
         "megatet_case_tets": int(case_m.n_tets),
         "megatet_assemble_s": round(t_asm_m, 2),
         "megatet_mesh_s": round(t_mesh_m, 2),

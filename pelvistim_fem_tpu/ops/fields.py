@@ -18,9 +18,14 @@ from pelvistim_fem_tpu.ops import assembly
 
 
 def cell_gradient(case, phi):
-    """(M, 3) constant gradient of phi per tet."""
+    """(M, 3) constant gradient of phi per tet.
+
+    precision=HIGHEST: under vmap (batched metric extraction) this
+    einsum lowers to an MXU matmul whose f32 default is bf16-based —
+    ~3-digit gradients would wreck metric parity."""
     xe = phi[case.tets]
-    return jnp.einsum("mid,mi->md", case.grads, xe)
+    return jnp.einsum("mid,mi->md", case.grads, xe,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def cell_E(case, phi):

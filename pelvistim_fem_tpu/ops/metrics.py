@@ -173,11 +173,7 @@ def extract_results(case, phi, params, *, sigma_table=None,
 
     `params` is the loaded params.yaml dict (utils.config.load_params).
     """
-    from pelvistim_fem_tpu.utils.config import get_stim
-
     meta = case.meta
-    st = get_stim(params)
-    mode = meta.mode
 
     # Shared full-mesh fields, computed ONCE (skin peaks, flux, both ROI
     # estimators and layer fractions all reuse these).
@@ -196,30 +192,10 @@ def extract_results(case, phi, params, *, sigma_table=None,
                                      nodal_Jmag=Jmag_nodal)
 
     cur = injected_currents(case, phi, sigma_table, nodal_J=Jn_nodal)
-    I_active, I_return = cur["I_active"], cur["I_return"]
-    flux_err = cur["flux_err"]
-    if verbose:
-        print(f"    I_active={I_active:.4e} A  I_return={I_return:.4e} A  "
-              f"flux_err={flux_err:.2e}")
-
-    # Hard 2% warning for current-mode deviations (ref :883-891).
-    if mode == "current" and meta.I_target_A > 0 and np.isfinite(I_active):
-        dev = abs(I_active - meta.I_target_A) / meta.I_target_A
-        if dev > 0.02 and verbose:
-            print(f"    *** CURRENT ERROR > 2%: measured {I_active*1e3:.3f}"
-                  f" mA vs target {meta.I_target_A*1e3:.1f} mA "
-                  f"({dev:.1%} deviation) ***")
 
     compliance_V = np.nan
-    exceeded_compliance = False
-    if mode == "current":
+    if meta.mode == "current":
         compliance_V = compliance_voltage(case, phi)
-        cmp_lim = st.get("compliance_voltage_V", 100.0)
-        if np.isfinite(compliance_V):
-            exceeded_compliance = bool(compliance_V > cmp_lim)
-            if exceeded_compliance and verbose:
-                print(f"    WARNING: compliance_V={compliance_V:.1f} V > "
-                      f"limit {cmp_lim:.0f} V")
 
     r_cfg = params["roi"]
     z_nerve = meta.z_skin_top - r_cfg["z_target"]
@@ -230,10 +206,25 @@ def extract_results(case, phi, params, *, sigma_table=None,
     _, mean_E_p1, *_ = eval_roi(case, phi, roi_cen, r_cfg["roi_radius"],
                                 sigma_table, smooth_E=False,
                                 precomputed=(cen, Jmag_cells, Emag_p1))
-    if roi_warn and verbose:
-        print(f"    ROI: {roi_warn}")
 
-    # ROI layer fractions (ref :940-959).
+    s = dict(
+        peak_with=peak_with, peak_no=peak_no,
+        I_active_signed=cur["I_active_signed"],
+        I_return_signed=cur["I_return_signed"],
+        I_active_consistent=cur["I_active_consistent"],
+        I_return_consistent=cur["I_return_consistent"],
+        compliance_V=compliance_V,
+        mean_J_roi=mean_J_roi, mean_E_roi=mean_E_roi,
+        mean_E_p1=mean_E_p1,
+        roi_n=roi_n, roi_r_used=roi_r_used, roi_warn=roi_warn,
+    )
+    return _build_row(meta, params, s, cen=cen,
+                      pressure_label=pressure_label,
+                      sigma_contact=sigma_contact, verbose=verbose)
+
+
+def _roi_layer_fractions(cen, roi_cen, roi_r_used, meta):
+    """ROI layer fractions (ref :940-959); lane-independent geometry."""
     t_sk, t_fat = meta.t_skin, meta.t_fat
     z_fat_bot = meta.z_skin_top - t_sk - t_fat
     z_fat_top = meta.z_skin_top - t_sk
@@ -248,6 +239,67 @@ def extract_results(case, phi, params, *, sigma_table=None,
         frac_muscle = float((z_roi <= z_fat_bot).sum()) / n_roi
     else:
         frac_skin = frac_fat = frac_muscle = np.nan
+    return frac_skin, frac_fat, frac_muscle, roi_mask
+
+
+def _build_row(meta, params, s, *, cen, pressure_label=None,
+               sigma_contact=None, verbose=True):
+    """Assemble the full row dict from named scalars `s` — shared by the
+    serial extract_results and the batched on-device extractor so the
+    two paths cannot drift."""
+    from pelvistim_fem_tpu.utils.config import get_stim
+
+    st = get_stim(params)
+    mode = meta.mode
+
+    I_active_signed = float(s["I_active_signed"])
+    I_return_signed = float(s["I_return_signed"])
+    I_active = abs(I_active_signed)
+    I_return = abs(I_return_signed)
+    denom = max(I_active, I_return)
+    flux_err = (abs(I_active_signed + I_return_signed) / denom
+                if denom > 0 else np.nan)
+    ia_c = float(s["I_active_consistent"])
+    ir_c = float(s["I_return_consistent"])
+    denom_c = max(abs(ia_c), abs(ir_c))
+    flux_err_c = abs(ia_c - ir_c) / denom_c if denom_c > 0 else np.nan
+    if verbose:
+        print(f"    I_active={I_active:.4e} A  I_return={I_return:.4e} A  "
+              f"flux_err={flux_err:.2e}")
+
+    # Hard 2% warning for current-mode deviations (ref :883-891).
+    if mode == "current" and meta.I_target_A > 0 and np.isfinite(I_active):
+        dev = abs(I_active - meta.I_target_A) / meta.I_target_A
+        if dev > 0.02 and verbose:
+            print(f"    *** CURRENT ERROR > 2%: measured {I_active*1e3:.3f}"
+                  f" mA vs target {meta.I_target_A*1e3:.1f} mA "
+                  f"({dev:.1%} deviation) ***")
+
+    compliance_V = float(s["compliance_V"])
+    exceeded_compliance = False
+    if mode == "current" and np.isfinite(compliance_V):
+        cmp_lim = st.get("compliance_voltage_V", 100.0)
+        exceeded_compliance = bool(compliance_V > cmp_lim)
+        if exceeded_compliance and verbose:
+            print(f"    WARNING: compliance_V={compliance_V:.1f} V > "
+                  f"limit {cmp_lim:.0f} V")
+
+    r_cfg = params["roi"]
+    z_nerve = meta.z_skin_top - r_cfg["z_target"]
+    roi_cen = np.array([meta.e1_pos[0], meta.e1_pos[1], z_nerve])
+    peak_with, peak_no = float(s["peak_with"]), float(s["peak_no"])
+    mean_J_roi = float(s["mean_J_roi"])
+    mean_E_roi = float(s["mean_E_roi"])
+    mean_E_p1 = float(s["mean_E_p1"])
+    roi_n, roi_r_used = int(s["roi_n"]), float(s["roi_r_used"])
+    if s.get("roi_warn") and verbose:
+        print(f"    ROI: {s['roi_warn']}")
+
+    t_sk, t_fat = meta.t_skin, meta.t_fat
+    z_fat_bot = meta.z_skin_top - t_sk - t_fat
+    z_fat_top = meta.z_skin_top - t_sk
+    frac_skin, frac_fat, frac_muscle, _ = _roi_layer_fractions(
+        cen, roi_cen, roi_r_used, meta)
 
     area = (np.pi * meta.elec_r ** 2 if meta.elec_shape == "circle"
             else (2 * meta.elec_r) ** 2)
@@ -267,6 +319,10 @@ def extract_results(case, phi, params, *, sigma_table=None,
         v = float(v)
         return round(v, nd) if np.isfinite(v) else v
 
+    cur = dict(I_active_signed=I_active_signed,
+               I_return_signed=I_return_signed,
+               I_active_consistent=ia_c, I_return_consistent=ir_c,
+               flux_err_consistent=flux_err_c)
     c = params.get("conductivities", {})
     out = {
         "t_fat_mm": _r(t_fat * 1000, 2),
@@ -336,3 +392,142 @@ def extract_results(case, phi, params, *, sigma_table=None,
             "frequency_Hz": st.get("frequency_Hz", 10.0),
         })
     return out
+
+
+def extract_results_batched(case, phis, params, *, sigma_tables=None,
+                            pressure_labels=None, sigma_contacts=None,
+                            verbose=False):
+    """Batched extract_results: ALL sweep lanes' metrics in ONE jitted
+    vmapped device pass + a single host gather of (L,)-scalars.
+
+    The serial extractor transfers several full-mesh fields to the host
+    per lane; at 100 lanes that dominates end-to-end sweep time (VERDICT
+    round-1 item 5).  Here the only lane-dependent host data are the
+    final scalars.  Lane-INDEPENDENT geometry (ROI mask with the
+    reference's auto-expansion, skin/footprint masks, electrode node
+    masks) is computed once on the host; rows come out of the same
+    _build_row as the serial path, so columns cannot drift.
+    Reference analogue: extract_results per case,
+    run_layered_sweep.py:826-1030.
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    from pelvistim_fem_tpu.utils.config import get_stim  # noqa: F401
+
+    meta = case.meta
+    L = phis.shape[0]
+    if sigma_tables is None:
+        sigma_tables = jnp.broadcast_to(jnp.asarray(case.sigma_table),
+                                        (L,) + case.sigma_table.shape)
+
+    # ── lane-independent host geometry ──
+    nodes = np.asarray(case.nodes)
+    tets_np = np.asarray(case.tets)
+    cen = nodes[tets_np].mean(axis=1)
+    r_cfg = params["roi"]
+    z_nerve = meta.z_skin_top - r_cfg["z_target"]
+    roi_cen = np.array([meta.e1_pos[0], meta.e1_pos[1], z_nerve])
+    dist = np.linalg.norm(cen - roi_cen, axis=1)
+    # reference auto-expansion (eval_roi contract, :765-822)
+    roi_r_used = r_cfg["roi_radius"] * ROI_EXPANSION[-1]
+    roi_warn = None
+    for mult in ROI_EXPANSION:
+        if int((dist < r_cfg["roi_radius"] * mult).sum()) >= 4:
+            roi_r_used = r_cfg["roi_radius"] * mult
+            if mult > 1.0:
+                roi_warn = (f"ROI radius expanded {mult:.1f}x to "
+                            f"{roi_r_used*1000:.1f} mm")
+            break
+    roi_mask = dist < roi_r_used
+    roi_n = int(roi_mask.sum())
+
+    z0_skin = meta.z_skin_top - meta.t_skin
+    skin_mask = nodes[:, 2] > z0_skin + meta.t_skin * 0.80
+    xp, yp = nodes[:, 0], nodes[:, 1]
+    in_fp = (_in_footprint(xp, yp, meta.e1_pos[0], meta.e1_pos[1],
+                           meta.elec_r, meta.elec_shape)
+             | _in_footprint(xp, yp, meta.e2_pos[0], meta.e2_pos[1],
+                             meta.elec_r, meta.elec_shape))
+    skin_no = skin_mask & ~in_fp
+    if not skin_no.any():
+        skin_no = skin_mask
+    faces_np = np.asarray(case.faces)
+    bcid_np = np.asarray(case.face_bcid)
+    act_nodes, ret_nodes = electrode_node_masks(faces_np, bcid_np,
+                                                nodes.shape[0])
+    face_act = bcid_np == BC_ACTIVE
+    face_ret = bcid_np == BC_RETURN
+
+    dev = lambda a: jnp.asarray(a)
+    masks = dict(
+        roi=dev(roi_mask), skin=dev(skin_mask), skin_no=dev(skin_no),
+        act=dev(act_nodes), ret=dev(ret_nodes),
+        face_act=dev(face_act), face_ret=dev(face_ret),
+    )
+
+    def mmean(x, m, n):
+        return jnp.sum(jnp.where(m, x, 0.0)) / n
+
+    @partial(jax.jit)
+    def lanes(phis, sigma_tables):
+        def lane(phi, sig):
+            J_cell = fields.cell_J(case, phi, sig)
+            E_cell = fields.cell_E(case, phi)
+            Jn = fields.nodal_average(case, J_cell)
+            E_sm = fields.point_to_cell(case,
+                                        fields.nodal_average(case, E_cell))
+            Jmag_n = jnp.linalg.norm(Jn, axis=1)
+            Jmag_c = jnp.linalg.norm(J_cell, axis=1)
+            Emag_sm = jnp.linalg.norm(E_sm, axis=1)
+            Emag_p1 = jnp.linalg.norm(E_cell, axis=1)
+
+            # surface flux (nodal VTK-parity scheme, boundary_face_flux)
+            Jf = Jn[case.faces].mean(axis=1)
+            flux = jnp.sum(Jf * case.face_normal, axis=1) * case.face_area
+            Ia_s = jnp.sum(jnp.where(masks["face_act"], flux, 0.0))
+            Ir_s = jnp.sum(jnp.where(masks["face_ret"], flux, 0.0))
+            ia_c, ir_c = fields.consistent_electrode_currents(case, phi,
+                                                              sig)
+
+            neg = jnp.asarray(-jnp.inf, Jmag_n.dtype)
+            peak_with = jnp.max(jnp.where(masks["skin"], Jmag_n, neg))
+            peak_no = jnp.max(jnp.where(masks["skin_no"], Jmag_n, neg))
+
+            n_roi = jnp.maximum(jnp.sum(masks["roi"]), 1)
+            mean_J = mmean(Jmag_c, masks["roi"], n_roi)
+            mean_E = mmean(Emag_sm, masks["roi"], n_roi)
+            mean_E_p1 = mmean(Emag_p1, masks["roi"], n_roi)
+
+            n_act = jnp.maximum(jnp.sum(masks["act"]), 1)
+            n_ret = jnp.maximum(jnp.sum(masks["ret"]), 1)
+            compliance = (mmean(phi, masks["act"], n_act)
+                          - mmean(phi, masks["ret"], n_ret))
+            return dict(I_active_signed=Ia_s, I_return_signed=Ir_s,
+                        I_active_consistent=ia_c,
+                        I_return_consistent=ir_c,
+                        peak_with=peak_with, peak_no=peak_no,
+                        mean_J_roi=mean_J, mean_E_roi=mean_E,
+                        mean_E_p1=mean_E_p1, compliance_V=compliance)
+
+        return jax.vmap(lane)(phis, sigma_tables)
+
+    out = jax.tree_util.tree_map(np.asarray, lanes(phis, sigma_tables))
+
+    rows = []
+    for i in range(L):
+        s = {k: v[i] for k, v in out.items()}
+        if meta.mode != "current":
+            s["compliance_V"] = np.nan
+        s.update(roi_n=roi_n, roi_r_used=roi_r_used, roi_warn=roi_warn)
+        rows.append(_build_row(
+            meta, params, s, cen=cen,
+            pressure_label=(pressure_labels[i] if pressure_labels
+                            else None),
+            sigma_contact=(sigma_contacts[i] if sigma_contacts is not None
+                           else None),
+            verbose=verbose))
+    return rows

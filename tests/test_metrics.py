@@ -86,3 +86,42 @@ def test_sigma_skin_sweep_physics():
     assert bool(out.converged.all())
     v = [metrics.compliance_voltage(case, out.phi[i]) for i in range(2)]
     assert v[0] > v[1] > 0
+
+
+def test_batched_extract_matches_serial():
+    """extract_results_batched (one vmapped device pass, VERDICT round-1
+    item 5) must reproduce the serial per-case rows."""
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.models.pressure import (build_pressure_case,
+                                                   sigma_tables_for_sweep)
+    from pelvistim_fem_tpu.ops.metrics import (extract_results,
+                                               extract_results_batched)
+    from pelvistim_fem_tpu.ops.solve import solve_case
+
+    case, params = build_pressure_case(coarse=True)
+    tables = sigma_tables_for_sweep(case, params)[:4]
+    import jax
+    phis = jax.vmap(lambda s: solve_case(case, s, tol=1e-9,
+                                         maxiter=30_000).phi)(tables)
+    labels = params["pressure_sweep"]["labels"][:4]
+    sig_c = params["pressure_sweep"]["sigma_contact_Spm"][:4]
+    rows_b = extract_results_batched(case, phis, params,
+                                     sigma_tables=tables,
+                                     pressure_labels=labels,
+                                     sigma_contacts=sig_c)
+    for i in range(4):
+        row_s = extract_results(case, phis[i], params,
+                                sigma_table=tables[i],
+                                pressure_label=labels[i],
+                                sigma_contact=sig_c[i], verbose=False)
+        assert set(rows_b[i]) == set(row_s)
+        for k, v in row_s.items():
+            b = rows_b[i][k]
+            if isinstance(v, float) and np.isfinite(v):
+                np.testing.assert_allclose(b, v, rtol=1e-9, atol=1e-300,
+                                           err_msg=f"lane {i} key {k}")
+            else:
+                assert (b == v) or (isinstance(v, float)
+                                    and not np.isfinite(v)
+                                    and not np.isfinite(b)), (i, k, v, b)
