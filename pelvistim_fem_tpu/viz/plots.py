@@ -347,79 +347,286 @@ def plot_depth_slice_E_maps(solutions, params, out_dir):
 
 # ── step03 (C25) ──────────────────────────────────────────────────────────────
 
+_LAYER_COLORS = {"muscle": "#8B4513", "fat": "#D4A800",
+                 "skin": "#C68B59", "contact": "#8080FF"}
+_BG, _TC = "#111111", "white"
+
+
+def _dark_ax(ax):
+    ax.set_facecolor(_BG)
+    ax.tick_params(colors=_TC, labelsize=8)
+    ax.xaxis.label.set_color(_TC)
+    ax.yaxis.label.set_color(_TC)
+    ax.title.set_color(_TC)
+    for sp in ax.spines.values():
+        sp.set_edgecolor("#444444")
+
+
 def plot_model_diagram(case, mesh, phi, params, out_dir):
-    """Anatomy explainer: x-z side view with layers + ROI, top view with
-    electrodes, and the data-driven |J|-vs-depth profile under the active
-    electrode (ref :753-1176, profile at :992-1016)."""
+    """4-panel anatomy explainer at the reference's information content
+    (plot_layered_results.py:753-1176): side view with conductivity-
+    labeled layers / current-path arrows / ROI sphere, top view with
+    electrode footprints + spreading arcs + anatomical landmarks, the
+    DATA-DRIVEN binned |J|-vs-depth profile under the active electrode
+    with per-layer averages (:992-1070), and a 3-D layer-tagged mesh
+    render (matplotlib trisurf replaces the reference's pyvista)."""
+    import matplotlib.patches as mpatches
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
     meta = case.meta
     g = params["geometry"]
     Lx, Ly, Lz = g["Lx"], g["Ly"], g["Lz"]
     t_sk, t_fat = meta.t_skin, meta.t_fat
+    t_musc = Lz - t_sk - t_fat
     z_fat_top = Lz - t_sk
     z_fat_bot = z_fat_top - t_fat
     r_cfg = params["roi"]
-    z_nerve = Lz - r_cfg["z_target"]
+    z_tgt = r_cfg["z_target"]
+    z_nerve = Lz - z_tgt
+    roi_r = r_cfg["roi_radius"]
+    c = params.get("conductivities", {})
+    e1x, e1y = meta.e1_pos[0], meta.e1_pos[1]
+    e2x, e2y = meta.e2_pos[0], meta.e2_pos[1]
+    r_m = meta.elec_r
+    t_contact = (meta.z_e1_elec_top - Lz) if meta.contact_enabled else 0.0
 
-    fig, axes = plt.subplots(1, 3, figsize=(16, 4.6))
+    fig = plt.figure(figsize=(24, 6.6), constrained_layout=True)
+    fig.patch.set_facecolor(_BG)
+    gs = fig.add_gridspec(1, 4, width_ratios=[2.2, 1.8, 1.6, 2.0])
+    ax_side = fig.add_subplot(gs[0])
+    ax_top = fig.add_subplot(gs[1])
+    ax_prof = fig.add_subplot(gs[2])
+    ax_3d = fig.add_subplot(gs[3], projection="3d")
+    for ax in (ax_side, ax_top, ax_prof):
+        _dark_ax(ax)
 
-    ax = axes[0]
-    for z0, z1, color, name in [(0, z_fat_bot, "#c26d5c", "muscle"),
-                                (z_fat_bot, z_fat_top, "#ffe08a", "fat"),
-                                (z_fat_top, Lz, "#e8b88a", "skin")]:
-        ax.fill_between([0, Lx * 1000], z0 * 1000, z1 * 1000,
-                        color=color, alpha=0.8)
-        ax.text(Lx * 1000 * 0.01, (z0 + z1) / 2 * 1000, name, fontsize=9)
-    for cx, _, _ in (meta.e1_pos, meta.e2_pos):
-        ax.plot([(cx - meta.elec_r) * 1000, (cx + meta.elec_r) * 1000],
-                [Lz * 1000 + 0.4] * 2, "k-", lw=4)
-    roi = plt.Circle((meta.e1_pos[0] * 1000, z_nerve * 1000),
-                     r_cfg["roi_radius"] * 1000, fill=False, color="r",
-                     lw=1.5)
-    ax.add_patch(roi)
-    ax.annotate("ROI (tibial nerve)", (meta.e1_pos[0] * 1000,
-                                       z_nerve * 1000),
-                textcoords="offset points", xytext=(20, -16), color="r")
-    ax.set_xlabel("x (mm)"); ax.set_ylabel("z (mm)")
-    ax.set_title("Side view (x-z)")
-    ax.set_aspect("equal")
+    # ── Panel 1: side view (x-z) ──
+    def _rect(ax, x0, z0, w, h, color, label=None, fs=9, alpha=0.82):
+        ax.add_patch(mpatches.Rectangle((x0, z0), w, h, facecolor=color,
+                                        edgecolor="white", lw=0.7,
+                                        alpha=alpha))
+        if label:
+            ax.text(x0 + w / 2, z0 + h / 2, label, ha="center",
+                    va="center", color="white", fontsize=fs,
+                    fontweight="bold")
 
-    ax = axes[1]
-    ax.add_patch(plt.Rectangle((0, 0), Lx * 1000, Ly * 1000,
-                               fill=True, color="#e8b88a", alpha=0.6))
-    for (cx, cy, _), name in [(meta.e1_pos, "active"),
-                              (meta.e2_pos, "return")]:
-        circ = plt.Circle((cx * 1000, cy * 1000), meta.elec_r * 1000,
-                          color="k", fill=False, lw=2)
-        ax.add_patch(circ)
-        ax.text(cx * 1000, cy * 1000, name, ha="center", fontsize=9)
-    ax.set_xlim(-2, Lx * 1000 + 2); ax.set_ylim(-2, Ly * 1000 + 2)
-    ax.set_aspect("equal")
-    ax.set_xlabel("x (mm)"); ax.set_ylabel("y (mm)")
-    ax.set_title("Top view")
+    _rect(ax_side, 0, 0, Lx, t_musc, _LAYER_COLORS["muscle"],
+          label=f"MUSCLE\n$\\sigma$ = {c.get('sigma_muscle')} S/m\n"
+                f"({t_musc*1000:.1f} mm thick)")
+    _rect(ax_side, 0, t_musc, Lx, t_fat, _LAYER_COLORS["fat"],
+          label=f"FAT  $\\sigma$={c.get('sigma_fat')} S/m  "
+                f"({t_fat*1000:.1f}mm)", fs=8)
+    _rect(ax_side, 0, z_fat_top, Lx, t_sk, _LAYER_COLORS["skin"],
+          label=f"SKIN  $\\sigma$={c.get('sigma_skin')} S/m  "
+                f"({t_sk*1000:.1f}mm)", fs=7.5)
+    if t_contact > 0:
+        sig_ct = params.get("contact", {}).get("sigma_contact_Spm", "?")
+        for xc in (e1x, e2x):
+            _rect(ax_side, xc - r_m, Lz, 2 * r_m, t_contact,
+                  _LAYER_COLORS["contact"], alpha=0.75,
+                  label=f"contact\n$\\sigma$={sig_ct}", fs=6)
 
-    ax = axes[2]
+    z_el = Lz + t_contact + 0.0008
+    for xc, clr, lbl in [(e1x, "cyan", "+I\nactive"),
+                         (e2x, "lime", "0V\nreturn")]:
+        ax_side.plot([xc - r_m, xc + r_m], [z_el, z_el], color=clr, lw=5,
+                     solid_capstyle="butt", zorder=5)
+        ax_side.text(xc, z_el + 0.0018, lbl, ha="center", va="bottom",
+                     color=clr, fontsize=8, fontweight="bold", zorder=6)
+    # current-path arrows: active IN, return OUT, connecting arc
+    ax_side.annotate("", xy=(e1x - 0.003, 0.002),
+                     xytext=(e1x - 0.003, Lz),
+                     arrowprops=dict(arrowstyle="-|>", color="cyan", lw=2))
+    ax_side.annotate("", xy=(e2x + 0.003, Lz),
+                     xytext=(e2x + 0.003, 0.002),
+                     arrowprops=dict(arrowstyle="-|>", color="lime", lw=2))
+    ax_side.annotate("", xy=(e2x + 0.003, 0.004),
+                     xytext=(e1x - 0.003, 0.004),
+                     arrowprops=dict(arrowstyle="-", color="white", lw=1.2,
+                                     connectionstyle="arc3,rad=0.25",
+                                     alpha=0.5))
+    roi_c = plt.Circle((e1x, z_nerve), roi_r, color="yellow", fill=False,
+                       lw=2, zorder=7,
+                       label=f"ROI sphere r={roi_r*1000:.0f}mm")
+    ax_side.add_patch(roi_c)
+    ax_side.text(e1x + roi_r + 0.001, z_nerve,
+                 f"ROI\n(tibial nerve\n$\\approx${z_tgt*1000:.0f}mm deep)",
+                 ha="left", va="center", color="yellow", fontsize=7)
+    for zz, lbl in [(t_musc, "fat | muscle"), (z_fat_top, "skin | fat"),
+                    (Lz, "skin top")]:
+        ax_side.axhline(zz, color="white", lw=0.7, ls="--", alpha=0.4)
+        ax_side.text(Lx * 1.01, zz, lbl, color="white", fontsize=6.5,
+                     va="center", alpha=0.8)
+    ax_side.axhline(z_nerve, color="yellow", lw=1, ls=":", alpha=0.7)
+    ax_side.set_xlim(-0.004, Lx + 0.022)
+    ax_side.set_ylim(-0.003, Lz + t_contact + 0.010)
+    ax_side.set_xlabel("Medial $\\to$ Lateral (m)", fontsize=9)
+    ax_side.set_ylabel("Depth z (m, 0=base $\\to$ Lz=skin top)", fontsize=9)
+    ax_side.set_title("ANATOMY (side view, x-z)\n"
+                      "cyan/lime arrows = current IN / OUT of tissue",
+                      fontsize=9, fontweight="bold")
+    ax_side.legend(handles=[roi_c], loc="lower right", facecolor="#222",
+                   edgecolor="white", labelcolor="white", fontsize=7)
+
+    # ── Panel 2: top view (x-y) ──
+    ax_top.add_patch(mpatches.Rectangle(
+        (0, 0), Lx, Ly, facecolor=_LAYER_COLORS["skin"],
+        edgecolor="white", lw=1, alpha=0.35))
+    ax_top.text(Lx / 2, Ly / 2, "skin surface\n(z = Lz)", ha="center",
+                va="center", color="white", fontsize=8, alpha=0.5)
+    theta = np.linspace(0, 2 * np.pi, 361)
+    for (xc, yc), clr, lbl in [
+            ((e1x, e1y), "cyan",
+             f"+I active\n({e1x*1000:.0f}, {e1y*1000:.0f}) mm"),
+            ((e2x, e2y), "lime",
+             f"0V return\n({e2x*1000:.0f}, {e2y*1000:.0f}) mm")]:
+        ax_top.fill(xc + r_m * np.cos(theta), yc + r_m * np.sin(theta),
+                    color=clr, alpha=0.25)
+        ax_top.plot(xc + r_m * np.cos(theta), yc + r_m * np.sin(theta),
+                    color=clr, lw=2)
+        ax_top.text(xc, yc, lbl, ha="center", va="center", color=clr,
+                    fontsize=7, fontweight="bold")
+    for mult, alpha in [(1.5, 0.5), (2.5, 0.3), (4.0, 0.15)]:
+        ax_top.plot(e1x + r_m * mult * np.cos(theta),
+                    e1y + r_m * mult * np.sin(theta), color="cyan",
+                    lw=0.6, ls="--", alpha=alpha)
+    for ang in np.linspace(0, np.pi, 5):
+        ax_top.annotate(
+            "", xy=(e1x + r_m * 3 * np.cos(ang),
+                    e1y + r_m * 3 * np.sin(ang)),
+            xytext=(e1x + r_m * 1.2 * np.cos(ang),
+                    e1y + r_m * 1.2 * np.sin(ang)),
+            arrowprops=dict(arrowstyle="-|>", color="cyan", lw=0.8,
+                            alpha=0.4))
+    for mult, alpha in [(1.5, 0.4), (2.5, 0.25)]:
+        ax_top.plot(e2x + r_m * mult * np.cos(theta),
+                    e2y + r_m * mult * np.sin(theta), color="lime",
+                    lw=0.6, ls="--", alpha=alpha)
+    for x, y, txt, ha, va in [(0.003, Ly / 2, "Medial\nbone", "left",
+                               "center"),
+                              (Lx - 0.003, Ly / 2, "Lateral\nbone",
+                               "right", "center"),
+                              (Lx / 2, Ly - 0.002, "Posterior\n(Achilles)",
+                               "center", "top"),
+                              (Lx / 2, 0.002, "Anterior", "center",
+                               "bottom")]:
+        ax_top.text(x, y, txt, ha=ha, va=va, color="white", fontsize=7,
+                    alpha=0.8)
+    ax_top.plot(Lx * 0.50, Ly * 0.96, "^", color="white", ms=9)
+    ax_top.text(Lx * 0.50, Ly * 0.90, "AT", ha="center", color="white",
+                fontsize=8, fontweight="bold")
+    ax_top.set_xlim(-0.002, Lx + 0.002)
+    ax_top.set_ylim(-0.002, Ly + 0.002)
+    ax_top.set_aspect("equal")
+    ax_top.set_xlabel("Medial $\\to$ Lateral (m)", fontsize=9)
+    ax_top.set_ylabel("Anterior $\\to$ Posterior (m)", fontsize=9)
+    ax_top.set_title(f"SKIN SURFACE (top view, z = {Lz*1000:.0f} mm)\n"
+                     f"dashed = current spreading  |  r = "
+                     f"{r_m*1000:.0f} mm", fontsize=9, fontweight="bold")
+
+    # ── Panel 3: data-driven |J| vs depth (mA/cm^2, ref :992-1070) ──
+    ax = ax_prof
     pts = mesh.nodes
     Jmag = _nodal_Jmag(case, phi)
-    under = (np.hypot(pts[:, 0] - meta.e1_pos[0],
-                      pts[:, 1] - meta.e1_pos[1]) < meta.elec_r)
-    depth = (Lz - pts[under, 2]) * 1000
-    Ju = Jmag[under]
-    bins = np.linspace(0, max(depth.max(), 1), 30)
-    idx = np.digitize(depth, bins)
-    prof = [Ju[idx == i].mean() if (idx == i).any() else np.nan
-            for i in range(1, len(bins))]
-    ax.plot(prof, 0.5 * (bins[1:] + bins[:-1]), "o-")
-    ax.invert_yaxis()
-    for z, name in [((Lz - z_fat_top) * 1000, "skin/fat"),
-                    ((Lz - z_fat_bot) * 1000, "fat/muscle"),
-                    ((Lz - z_nerve) * 1000, "nerve depth")]:
-        ax.axhline(z, color="gray", ls="--", lw=0.8)
-        ax.text(ax.get_xlim()[1], z, f" {name}", fontsize=8, va="center")
-    ax.set_xlabel("mean |J| (A/m$^2$)"); ax.set_ylabel("depth (mm)")
-    ax.set_title("|J| vs depth under active electrode")
+    tol_xy = max(r_m * 0.4, 0.003)
+    near = ((np.abs(pts[:, 0] - e1x) < tol_xy)
+            & (np.abs(pts[:, 1] - e1y) < tol_xy)
+            & (pts[:, 2] <= Lz + t_contact + 1e-4))
+    depth_mm = (Lz - pts[near, 2]) * 1000
+    J_near = Jmag[near]
+    bins = np.linspace(depth_mm.min(), depth_mm.max(), 60)
+    idx = np.digitize(depth_mm, bins)
+    prof = np.array([J_near[idx == i].mean() if (idx == i).any()
+                     else np.nan for i in range(1, len(bins))])
+    bin_d = 0.5 * (bins[:-1] + bins[1:])
+    valid = np.isfinite(prof)
+    depth_data, Jmag_data = bin_d[valid], prof[valid] * 0.1  # -> mA/cm^2
+    ax.plot(Jmag_data, depth_data, color="cyan", lw=2.5, zorder=5,
+            label="Simulated |J|")
+    ax.fill_betweenx(depth_data, 0, Jmag_data, color="cyan", alpha=0.18)
+    Jmax = float(Jmag_data.max()) if Jmag_data.size else 1.0
+    ax.set_ylim(depth_data.max() + 1, min(depth_data.min(), 0) - 1)
 
-    fig.suptitle("step03 — model diagram")
-    return _save(fig, out_dir, "model_diagram.png")
+    def _band(d0, d1, color, label):
+        ax.axhspan(d0, d1, color=color, alpha=0.22, zorder=1)
+        ax.text(Jmax * 1.02, (d0 + d1) / 2, label, ha="left",
+                va="center", color=color, fontsize=7.5,
+                fontweight="bold")
+
+    if t_contact > 0:
+        _band(-t_contact * 1000, 0, _LAYER_COLORS["contact"], "contact")
+    _band(0, t_sk * 1000, _LAYER_COLORS["skin"], "SKIN")
+    _band(t_sk * 1000, (t_sk + t_fat) * 1000, _LAYER_COLORS["fat"], "FAT")
+    _band((t_sk + t_fat) * 1000, Lz * 1000, _LAYER_COLORS["muscle"],
+          "MUSCLE")
+    for d_mm, lbl in [(0, "skin surface"), (t_sk * 1000, "skin|fat"),
+                      ((t_sk + t_fat) * 1000, "fat|muscle")]:
+        ax.axhline(d_mm, color="white", lw=0.8, ls="--", alpha=0.5)
+        ax.text(0, d_mm - 0.3, lbl, color="white", fontsize=6,
+                va="bottom", alpha=0.7)
+    ax.axhline(z_tgt * 1000, color="yellow", lw=1.5, ls="-.", alpha=0.85)
+    ax.text(0, z_tgt * 1000 + 0.4, f"ROI (nerve)\n{z_tgt*1000:.0f} mm",
+            color="yellow", fontsize=7, va="top")
+    for d0, d1, lname, clr in [
+            (0, t_sk * 1000, "Skin", _LAYER_COLORS["skin"]),
+            (t_sk * 1000, (t_sk + t_fat) * 1000, "Fat",
+             _LAYER_COLORS["fat"]),
+            ((t_sk + t_fat) * 1000, Lz * 1000, "Muscle",
+             _LAYER_COLORS["muscle"])]:
+        m = (depth_data >= d0) & (depth_data < d1)
+        if m.any():
+            jav = float(Jmag_data[m].mean())
+            ax.annotate(f"avg={jav:.3f}\nmA/cm$^2$",
+                        xy=(jav, (d0 + d1) / 2),
+                        xytext=(Jmax * 0.55, (d0 + d1) / 2), fontsize=7,
+                        color=clr, ha="center", va="center",
+                        arrowprops=dict(arrowstyle="->", color=clr,
+                                        lw=0.7, alpha=0.6))
+    ax.set_xlabel("|J| (mA/cm$^2$)", fontsize=9)
+    ax.set_ylabel("Depth below skin surface (mm)", fontsize=9)
+    ax.set_title("|J| vs depth below active electrode\n(simulated)",
+                 fontsize=8.5, fontweight="bold")
+    ax.legend(facecolor="#222", edgecolor="white", labelcolor="white",
+              fontsize=8, loc="lower right")
+    ax.set_xlim(left=0)
+
+    # ── Panel 4: 3-D layer-tagged mesh (boundary surface, shaded) ──
+    ax_3d.set_facecolor(_BG)
+    faces = mesh.faces
+    fz = pts[faces].mean(axis=1)[:, 2]
+    col = np.where(fz >= z_fat_top - 1e-4, 2,
+                   np.where(fz >= z_fat_bot, 1, 0))
+    cmap = np.array([_LAYER_COLORS["muscle"], _LAYER_COLORS["fat"],
+                     _LAYER_COLORS["skin"]])
+    step = max(1, faces.shape[0] // 12000)   # cap polygon count
+    tri = pts[faces[::step]]
+    pc = Poly3DCollection(tri, facecolors=cmap[col[::step]], alpha=0.9,
+                          edgecolors="none")
+    ax_3d.add_collection3d(pc)
+    for xc, yc, clr, lbl in [(e1x, e1y, "cyan", "+I"),
+                             (e2x, e2y, "lime", "0V")]:
+        ax_3d.plot(xc + r_m * np.cos(theta), yc + r_m * np.sin(theta),
+                   np.full_like(theta, z_el + 0.001), color=clr, lw=3)
+        ax_3d.text(xc, yc, z_el + 0.004, lbl, color=clr, fontsize=10,
+                   fontweight="bold")
+    ax_3d.set_xlim(0, Lx); ax_3d.set_ylim(0, Ly)
+    ax_3d.set_zlim(0, max(Lz * 2.2, Lz + 0.01))
+    ax_3d.view_init(elev=20, azim=-65)
+    ax_3d.set_axis_off()
+    ax_3d.set_title("3D ANKLE GEOMETRY (actual FEM mesh)\n"
+                    "brown=muscle  gold=fat  tan=skin", color=_TC,
+                    fontsize=9, fontweight="bold")
+
+    fig.suptitle(
+        "MODEL OVERVIEW — ankle 3-layer slab PTNS stimulation  "
+        "(PLACEHOLDER conductivities — not validated)\n"
+        f"Geometry: {Lx*100:.0f}x{Ly*100:.0f}x{Lz*100:.0f} cm  |  "
+        f"skin {t_sk*1000:.1f}mm  fat {t_fat*1000:.1f}mm  muscle "
+        f"{t_musc*1000:.1f}mm  |  Active: ({e1x*1000:.0f},"
+        f"{e1y*1000:.0f})mm  Return: ({e2x*1000:.0f},{e2y*1000:.0f})mm  "
+        f"r={r_m*1000:.0f}mm", fontsize=9.5, fontweight="bold",
+        color=_TC)
+    return _save(fig, out_dir, "model_diagram.png", facecolor=_BG)
 
 
 # ── step04 (C29) ──────────────────────────────────────────────────────────────
@@ -495,21 +702,70 @@ def plot_pressure_results(rows, params, out_dir):
 # ── step03 (C23) ──────────────────────────────────────────────────────────────
 
 def plot_3d_representative(case, mesh, phi, out_dir):
-    """3-D skin-surface |J| render.  Uses pyvista when importable,
-    otherwise a matplotlib 3-D trisurf fallback (ref :480-568 uses
-    pyvista only)."""
+    """SHADED 3-D skin-surface |J| render at the reference's information
+    content (plot_layered_results.py:480-568): boundary-surface
+    triangles facecolored by nodal |J| (inferno, clim [0, p99.9]) on a
+    black background, cyan/lime electrode outline rings with
+    '+I (active)' / '0V (return)' labels, top-down view.  matplotlib
+    Poly3DCollection replaces the reference's pyvista plotter."""
+    import matplotlib.cm as mcm
+    import matplotlib.colors as mcolors
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
     meta = case.meta
     pts = mesh.nodes
     Jmag = _nodal_Jmag(case, phi)
-    z0 = meta.z_skin_top - meta.t_skin
-    m = pts[:, 2] > z0 + meta.t_skin * 0.8
 
-    from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
-    fig = plt.figure(figsize=(8, 6))
+    # top skin-surface boundary faces (ref: extract_surface + top cells)
+    z0_sk = meta.z_skin_top - meta.t_skin
+    fcen_z = pts[mesh.faces].mean(axis=1)[:, 2]
+    top = fcen_z > z0_sk + meta.t_skin * 0.80
+    faces = mesh.faces[top] if top.sum() > 10 else mesh.faces
+    Jf = Jmag[faces].mean(axis=1)
+    vmax = float(np.percentile(Jmag[np.unique(faces)], 99.9)) or 1.0
+    norm = mcolors.Normalize(vmin=0.0, vmax=vmax)
+    colors = plt.get_cmap("inferno")(norm(Jf))
+
+    fig = plt.figure(figsize=(9, 7.2))
+    fig.patch.set_facecolor("black")
     ax = fig.add_subplot(projection="3d")
-    p = ax.scatter(pts[m, 0] * 1000, pts[m, 1] * 1000, pts[m, 2] * 1000,
-                   c=Jmag[m], s=4, cmap="inferno")
-    fig.colorbar(p, ax=ax, label="|J| (A/m$^2$)", shrink=0.7)
-    ax.set_xlabel("x (mm)"); ax.set_ylabel("y (mm)"); ax.set_zlabel("z (mm)")
-    ax.set_title("Skin-surface |J| (3D)")
-    return _save(fig, out_dir, "representative_3d.png")
+    ax.set_facecolor("black")
+    # painterly order = insertion order: surface first, rings/labels on
+    # top (mplot3d's computed z-order buries the rings under the skin)
+    ax.computed_zorder = False
+    pc = Poly3DCollection(pts[faces] * 1000, facecolors=colors,
+                          edgecolors="none")
+    ax.add_collection3d(pc)
+
+    # electrode outline rings + labels at z slightly above the pads
+    theta = np.linspace(0, 2 * np.pi, 60)
+    z_el = (max(meta.z_e1_elec_top, meta.z_e2_elec_top) + 1e-4) * 1000
+    for (cx, cy, _), clr, lbl in [(meta.e1_pos, "cyan", "+I (active)"),
+                                  (meta.e2_pos, "lime", "0V (return)")]:
+        r = meta.elec_r * 1000
+        if meta.elec_shape == "circle":
+            ax.plot(cx * 1000 + r * np.cos(theta),
+                    cy * 1000 + r * np.sin(theta),
+                    np.full_like(theta, z_el), color=clr, lw=3)
+        else:
+            sq = np.array([[-r, -r], [r, -r], [r, r], [-r, r], [-r, -r]])
+            ax.plot(cx * 1000 + sq[:, 0], cy * 1000 + sq[:, 1],
+                    np.full(5, z_el), color=clr, lw=3)
+        ax.text(cx * 1000, cy * 1000, z_el + 2, lbl, color="white",
+                fontsize=11, ha="center",
+                bbox=dict(facecolor="black", edgecolor="none", pad=1))
+
+    lo = pts[np.unique(faces)].min(axis=0) * 1000
+    hi = pts[np.unique(faces)].max(axis=0) * 1000
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1])
+    ax.set_zlim(lo[2] - 1, hi[2] + 4)
+    ax.view_init(elev=88, azim=-90)     # ref view_xy: top-down
+    ax.set_axis_off()
+    sm = mcm.ScalarMappable(norm=norm, cmap="inferno")
+    cb = fig.colorbar(sm, ax=ax, label="|J| (A/m$^2$)", shrink=0.55,
+                      orientation="horizontal", pad=0.02)
+    cb.ax.xaxis.label.set_color("white")
+    cb.ax.tick_params(colors="white")
+    ax.set_title("Skin-surface |J|", color="white")
+    return _save(fig, out_dir, "representative_3d.png",
+                 facecolor="black", edgecolor="none")
