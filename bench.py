@@ -77,6 +77,9 @@ def main():
     # vmapped device pass + a single scalar gather.
     from pelvistim_fem_tpu.ops.metrics import extract_results_batched
     labels = [f"s{i:03d}" for i in range(n_cases)]
+    # one-time device residency for the element arrays the extractor
+    # reads (the host-built case would re-ship them per call)
+    case = jax.device_put(case)
     rows = extract_results_batched(case, out.phi, params,
                                    sigma_tables=tables,
                                    pressure_labels=labels,

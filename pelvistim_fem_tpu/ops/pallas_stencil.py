@@ -18,10 +18,37 @@ XLA fusion per SINGLE solve iteration and ~100x faster to compile, but
 grid where XLA fuses the batch).  Hence opt-in (PELVISTIM_USE_PALLAS=1)
 for single large solves; batched sweeps keep the XLA path.
 
-Correctness is pinned against the XLA path in tests/test_pallas.py.
+Round-2 measurements for the BATCHED body-factored kernels (all on the
+axon v5e backend, step04 full-res grid (55, 31, 19), L=100, tol 1e-6):
+  vmapped Jacobi sweep         0.37 s warm   ~107 s cold compile
+  fused XLA formulation        0.90 s warm    ~29 s cold compile
+  fused Pallas lane-MAJOR      2.33 s warm    ~52 s cold compile
+  fused Pallas lane-MINOR      1.41 s warm    ~11 s cold compile
+Lane-minor is the right layout (lanes fill the 128-wide vector minor;
+lane-major wastes almost every vector lane on these small (Y, Z)
+planes), but at X=55 the ~55 grid steps' fixed pipeline latency still
+dominates.  The intended big win — megatet grids, where the vmapped
+path hauls O(L*27*G) combined coefficients per matvec — is blocked by
+the axon AOT lowering, which charges pallas operands against scoped
+VMEM far beyond their block footprints: megatet operand sets fail to
+compile at ANY lane count (L=4, 84 MB operands, 100 MB limit).
+batched_stencil_solve_fused therefore guards the Pallas route to
+operand sets that compile and run, and keeps the XLA formulation
+beyond.  Revisit when the backend's scoped-VMEM accounting is fixed.
+
+At MEGATET scale the memory goal is already met without Pallas: on the
+1.75M-tet grid (112, 68, 41) at L=100 (Jacobi, ~1095 iters at the
+sigma extremes) the fused XLA path runs 40.6 s vs the vmapped path's
+42.1 s — equal throughput with 0.3 GB of coefficients instead of
+3.4 GB (the round-1 "3.5x slower" figure was a small-grid artifact).
+
+Correctness of every kernel is pinned against the XLA path in
+tests/test_pallas.py and tests/test_fused_batch.py.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -63,3 +90,148 @@ def stencil_spmv_pallas(x, C):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), x.dtype),
     )(xp, xp, xp, C)
+
+
+def _make_fused_kernel_lminor(B):
+    """Lane-MINOR body-factored batched row kernel.
+
+    Arrays are laid out (X, Y, Z, L): the sweep-lane axis sits on the
+    TPU's 128-wide vector minor dimension, so every multiply-add
+    vectorizes over lanes while the 27 stencil windows are static major-
+    dim slices.  The lane-major variant (grid (X, L), one (Y, Z) block
+    per lane) measured 6x SLOWER than even the vmapped path on the
+    reference grids — their (Y, Z) = (31, 19) planes are far below the
+    (8, 128) VPU tile, so per-lane blocks waste almost every vector
+    lane.  Lane-minor is the layout the hardware wants.
+    """
+
+    def kernel(sig_ref, x0_ref, x1_ref, x2_ref, c_ref, y_ref):
+        # sig_ref: (B, L) full-array; x*_ref: (1, Y+2, Z+2, L) padded
+        # rows; c_ref: (B, 27, 1, Y, Z); y_ref: (1, Y, Z, L)
+        Y, Z = y_ref.shape[1], y_ref.shape[2]
+        rows = (x0_ref, x1_ref, x2_ref)
+        acc = jnp.zeros(y_ref.shape[1:], y_ref.dtype)
+        for o, (dx, dy, dz) in enumerate(OFFSETS):
+            win = rows[1 + dx][0, 1 + dy:1 + dy + Y,
+                               1 + dz:1 + dz + Z, :]
+            # per-lane combined coefficient: (Y, Z, 1) x (1, 1, L)
+            co = c_ref[0, o, 0][:, :, None] * sig_ref[0][None, None, :]
+            for b in range(1, B):
+                co = co + (c_ref[b, o, 0][:, :, None]
+                           * sig_ref[b][None, None, :])
+            acc = acc + co * win
+        y_ref[0] = acc
+
+    return kernel
+
+
+def batched_stencil_spmv_fused_lminor(Xm, coeff, sig):
+    """Lane-minor fused SpMV.  Xm (Xg, Yg, Zg, L); coeff
+    (B, 27, Xg, Yg, Zg); sig (B, L) (already sliced from the tables).
+    Returns (Xg, Yg, Zg, L).
+
+    Row-pipelined: one grid step per x-row streams the 3 padded input
+    rows + that row's (B, 27, Y, Z) coefficient planes through VMEM —
+    the layout that scales to megatet grids, where neither the
+    coefficients (tiled ~0.5 GB) nor the lane-stacked vectors fit in
+    VMEM whole.  Fixed per-step latency makes it lose to the vmapped
+    path on SMALL grids (X~55: ~2 ms/matvec of pure step overhead); it
+    exists for wide sweeps on grids where the vmapped path's per-lane
+    combined coefficients (O(L*27*G) HBM traffic per matvec) dominate.
+    """
+    Xg, Yg, Zg, L = Xm.shape
+    B = coeff.shape[0]
+    Xp = jnp.pad(Xm, ((1, 1), (1, 1), (1, 1), (0, 0)))
+
+    row_spec = lambda shift: pl.BlockSpec(
+        (1, Yg + 2, Zg + 2, L), lambda i, s=shift: (i + s, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_fused_kernel_lminor(B),
+        grid=(Xg,),
+        in_specs=[
+            pl.BlockSpec((B, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec(0), row_spec(1), row_spec(2),
+            pl.BlockSpec((B, 27, 1, Yg, Zg), lambda i: (0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Yg, Zg, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Xg, Yg, Zg, L), Xm.dtype),
+        # the axon AOT path charges whole operands against scoped VMEM;
+        # the default 16M limit rejects lane-minor operand sets
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(sig, Xp, Xp, Xp, coeff)
+
+
+def _make_fused_kernel(B):
+    """Body-factored batched row kernel: for one (row i, lane l) grid
+    step, combine sigma with the B per-body coefficient planes ON THE
+    FLY (135 multiply-adds at B=5) and apply the 27-point stencil — the
+    kernel named as round-2 work at ops/stencil.py (batched_*_fused).
+
+    No per-lane (27, G) combined-coefficient block ever exists: memory
+    is O(L*G + B*27*G).  The lane axis is the INNER grid dimension, so
+    the (B, 27, Y, Z) coefficient block's index map is constant across
+    consecutive steps and Pallas keeps it resident in VMEM for all L
+    lanes of a row."""
+
+    def kernel(sig_ref, x0_ref, x1_ref, x2_ref, c_ref, y_ref):
+        # sig_ref: (L, B) full array in SMEM (a (1, B) block would
+        # violate the min-tile rule); x*_ref: (1, 1, Y+2, Z+2) padded
+        # rows of lane l; c_ref: (B, 27, 1, Y, Z); y_ref: (1, 1, Y, Z)
+        lane = pl.program_id(1)
+        Y = y_ref.shape[2]
+        Z = y_ref.shape[3]
+        rows = (x0_ref, x1_ref, x2_ref)
+        acc = jnp.zeros((Y, Z), y_ref.dtype)
+        for o, (dx, dy, dz) in enumerate(OFFSETS):
+            win = rows[1 + dx][0, 0, 1 + dy:1 + dy + Y,
+                               1 + dz:1 + dz + Z]
+            co = sig_ref[lane, 0] * c_ref[0, o, 0]
+            for b in range(1, B):
+                co = co + sig_ref[lane, b] * c_ref[b, o, 0]
+            acc = acc + co * win
+        y_ref[0, 0] = acc
+
+    return kernel
+
+
+def batched_stencil_spmv_fused_pallas(X, coeff, sigma_tables):
+    """Lane-stacked body-factored SpMV:
+        Y[l] = sum_b sigma[l, b] * (C_b * shift(X[l]))
+
+    X (L, Xg, Yg, Zg); coeff (B, 27, Xg, Yg, Zg); sigma_tables (L, T)
+    with body b at table index b+1.  Drop-in for
+    ops.stencil.batched_stencil_spmv_fused (the XLA formulation, which
+    materializes broadcast intermediates and measured 3.5x slower than
+    the vmapped path on TPU)."""
+    L, Xg, Yg, Zg = X.shape
+    B = coeff.shape[0]
+    sig = sigma_tables[:, 1:1 + B].astype(X.dtype)       # (L, B)
+    Xp = jnp.pad(X, ((0, 0), (1, 1), (1, 1), (1, 1)))
+
+    row_spec = lambda shift: pl.BlockSpec(
+        (1, 1, Yg + 2, Zg + 2), lambda i, l, s=shift: (l, i + s, 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_fused_kernel(B),
+        grid=(Xg, L),                 # lanes innermost: C row resident
+        in_specs=[
+            # whole (L, B) sigma table in SMEM (full-array blocks are
+            # exempt from the min-tile constraint); kernel picks its
+            # lane's row by program_id
+            pl.BlockSpec((L, B), lambda i, l: (0, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec(0), row_spec(1), row_spec(2),
+            pl.BlockSpec((B, 27, 1, Yg, Zg),
+                         lambda i, l: (0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Yg, Zg),
+                               lambda i, l: (l, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, Xg, Yg, Zg), X.dtype),
+    )(sig, Xp, Xp, Xp, coeff)

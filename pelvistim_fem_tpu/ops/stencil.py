@@ -255,20 +255,44 @@ def batched_stencil_spmv_fused(X, coeff, sigma_tables):
     return Y
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter"))
+@partial(jax.jit, static_argnames=("tol", "maxiter", "use_pallas"))
 def batched_stencil_solve_fused(scase: StencilCase, sigma_tables, *,
-                                tol=1e-8, maxiter=10_000):
+                                tol=1e-8, maxiter=10_000,
+                                use_pallas=None):
     """Material sweep as ONE lane-stacked CG with the body-factored
     fused SpMV (see batched_stencil_spmv_fused).  Functionally equal to
     batched_stencil_solve (bit-identical lanes); use when per-lane
-    combined coefficients would exhaust memory."""
+    combined coefficients would exhaust memory.
+
+    use_pallas=True routes the matvec through the Pallas row kernel
+    (ops/pallas_stencil.batched_stencil_spmv_fused_pallas — the
+    135-multiply-add body-factored kernel); None defers to the
+    PELVISTIM_USE_PALLAS env switch."""
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas:
+        # The axon AOT lowering charges pallas operands against scoped
+        # VMEM far beyond their block footprints: megatet-scale operand
+        # sets fail to compile at ANY lane count (measured: L=4 with an
+        # 84 MB operand set rejected at a 100 MB limit).  Guard to the
+        # envelope that compiles and runs (~46 MB operands, the step04
+        # full-res class); larger problems use the XLA formulation.
+        L = sigma_tables.shape[0]
+        B = scase.coeff.shape[0]
+        X, Y, Z = scase.grid_shape
+        operand_bytes = 4 * ((X + 2) * (Y + 2) * (Z + 2) * L
+                             + B * 27 * X * Y * Z + X * Y * Z * L)
+        if operand_bytes <= 60 * 1024 * 1024:
+            return _batched_solve_fused_lminor(scase, sigma_tables,
+                                               tol=tol, maxiter=maxiter)
+    _spmv_fused = batched_stencil_spmv_fused
     L = sigma_tables.shape[0]
     free = scase.free
     freeb = free[None]
 
     def op(Xs):
         Xm = jnp.where(freeb, Xs, 0.0)
-        Ys = batched_stencil_spmv_fused(Xm, scase.coeff, sigma_tables)
+        Ys = _spmv_fused(Xm, scase.coeff, sigma_tables)
         return jnp.where(freeb, Ys, Xs)
 
     # per-lane diagonal & rhs
@@ -278,7 +302,7 @@ def batched_stencil_solve_fused(scase: StencilCase, sigma_tables, *,
         precision=jax.lax.Precision.HIGHEST)
     diag = jnp.where(freeb, diag_l, 1.0)
     phi_d = jnp.where(free, 0.0, scase.dirichlet)
-    Kphi_d = batched_stencil_spmv_fused(
+    Kphi_d = _spmv_fused(
         jnp.broadcast_to(phi_d, (L,) + phi_d.shape), scase.coeff,
         sigma_tables)
     b_eff = jnp.where(freeb, scase.b_neumann[None] - Kphi_d,
@@ -327,6 +351,87 @@ def batched_stencil_solve_fused(scase: StencilCase, sigma_tables, *,
     x, r, *_, k, _ = jax.lax.while_loop(cond, body, state0)
     rel = nrm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
     phi_nodes = x.reshape(L, -1)[:, scase.grid_index]
+    return SolveResult(phi=phi_nodes, iterations=k, residual=rel,
+                       converged=rel <= tol)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _batched_solve_fused_lminor(scase: StencilCase, sigma_tables, *,
+                                tol=1e-8, maxiter=10_000):
+    """Lane-MINOR fused material sweep: the whole CG runs on
+    (X, Y, Z, L) arrays with the sweep-lane axis on the TPU's 128-wide
+    vector minor dimension, and the matvec is the Pallas body-factored
+    kernel (ops/pallas_stencil.batched_stencil_spmv_fused_lminor).
+    Memory O(L*G + B*27*G) — no per-lane combined coefficients — while
+    every elementwise op vectorizes over lanes.  Lanes freeze on
+    convergence (same contract as batched_stencil_solve)."""
+    from pelvistim_fem_tpu.ops.pallas_stencil import \
+        batched_stencil_spmv_fused_lminor
+
+    L = sigma_tables.shape[0]
+    B = scase.coeff.shape[0]
+    sig = jnp.transpose(sigma_tables[:, 1:1 + B])          # (B, L)
+    free = scase.free[..., None]                           # (X, Y, Z, 1)
+
+    def op(Xs):
+        Xm = jnp.where(free, Xs, 0.0)
+        Ys = batched_stencil_spmv_fused_lminor(Xm, scase.coeff, sig)
+        return jnp.where(free, Ys, Xs)
+
+    diag_l = jnp.einsum("bl,bxyz->xyzl", sig,
+                        scase.coeff[:, DIAG_OFFSET],
+                        precision=jax.lax.Precision.HIGHEST)
+    diag = jnp.where(free, diag_l, 1.0)
+    phi_d = jnp.where(scase.free, 0.0, scase.dirichlet)[..., None]
+    Kphi_d = batched_stencil_spmv_fused_lminor(
+        jnp.broadcast_to(phi_d, phi_d.shape[:3] + (L,)), scase.coeff,
+        sig)
+    b_eff = jnp.where(free, scase.b_neumann[..., None] - Kphi_d,
+                      jnp.broadcast_to(scase.dirichlet[..., None],
+                                       Kphi_d.shape))
+    x0 = jnp.broadcast_to(phi_d, b_eff.shape)
+
+    red = lambda a: jnp.sum(a, axis=(0, 1, 2))             # -> (L,)
+    dot = lambda a, b: red(a * b)
+    nrm = lambda a: jnp.sqrt(red(a * a))
+    ex = lambda v: v[None, None, None, :]
+
+    minv = jnp.where(diag > 0, 1.0 / diag, 1.0)
+    bnorm = nrm(b_eff)
+    tol_abs = tol * bnorm
+
+    r0 = b_eff - op(x0)
+    z0 = minv * r0
+    rz0 = dot(r0, z0)
+    done0 = nrm(r0) <= tol_abs
+    state0 = (x0, r0, z0, rz0, z0, jnp.zeros(L, jnp.int32), done0)
+
+    def cond(state):
+        *_, k, done = state
+        return jnp.any(~done & (k < maxiter))
+
+    def body(state):
+        x, r, z, rz, p, k, done = state
+        ap = op(p)
+        alpha = rz / dot(p, ap)
+        x_n = x + ex(alpha) * p
+        r_n = r - ex(alpha) * ap
+        z_n = minv * r_n
+        rz_n = dot(r_n, z_n)
+        beta = rz_n / rz
+        p_n = z_n + ex(beta) * p
+        sel = lambda new, old: jnp.where(ex(done), old, new)
+        sel0 = lambda new, old: jnp.where(done, old, new)
+        x, r, z = sel(x_n, x), sel(r_n, r), sel(z_n, z)
+        rz, p = sel0(rz_n, rz), sel(p_n, p)
+        k = sel0(k + 1, k)
+        done = done | (nrm(r) <= tol_abs)
+        return (x, r, z, rz, p, k, done)
+
+    x, r, *_, k, _ = jax.lax.while_loop(cond, body, state0)
+    rel = nrm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+    phi_nodes = jnp.transpose(
+        x.reshape(-1, L)[scase.grid_index])                # (L, N)
     return SolveResult(phi=phi_nodes, iterations=k, residual=rel,
                        converged=rel <= tol)
 
