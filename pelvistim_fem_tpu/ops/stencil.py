@@ -108,6 +108,40 @@ def stencil_host_data(case, mesh):
     )
 
 
+def _ship_coeff(coeff_np, dtype):
+    """Device transfer of the per-body coefficient stacks, shipping only
+    each body's nonzero z-slab.
+
+    The conductivity bodies are (mostly) z-layers, so body b's stack is
+    zero outside its layer's knot span — on the megatet case the slabs
+    total ~26% of the full (B, 27, X, Y, Z) bytes, and the axon tunnel
+    (~75 MB/s) makes transfer the assemble bottleneck.  Falls back to a
+    full-stack transfer when slabs wouldn't save anything (e.g. the
+    pelvis model's interleaved tissues)."""
+    B = coeff_np.shape[0]
+    spans = []
+    total = 0
+    for b in range(B):
+        nz = np.flatnonzero(np.abs(coeff_np[b]).sum(axis=(0, 1, 2)))
+        z0, z1 = (int(nz[0]), int(nz[-1]) + 1) if nz.size else (0, 0)
+        spans.append((z0, z1))
+        total += z1 - z0
+    if total >= 0.75 * B * coeff_np.shape[-1]:
+        return jnp.asarray(np.asarray(coeff_np, dtype))
+    chunks = [np.asarray(coeff_np[b, ..., z0:z1], dtype)
+              for b, (z0, z1) in enumerate(spans)]
+
+    @partial(jax.jit, static_argnames=("shape", "spans"))
+    def assemble(chunks, shape, spans):
+        out = jnp.zeros(shape, chunks[0].dtype)
+        for b, (z0, z1) in enumerate(spans):
+            out = out.at[b, ..., z0:z1].set(chunks[b])
+        return out
+
+    return assemble(tuple(chunks), shape=coeff_np.shape,
+                    spans=tuple(spans))
+
+
 def build_stencil_case(case, mesh, dtype=None, sigma_table_host=None,
                        host_data=None) -> StencilCase:
     """Lift an assembled Case (BCs, loads, materials) onto the lattice."""
@@ -116,9 +150,9 @@ def build_stencil_case(case, mesh, dtype=None, sigma_table_host=None,
     if sigma_table_host is None:
         sigma_table_host = hd["sigma_table"]
     return StencilCase(
-        # host-side cast before transfer: shipping f64 over the axon
-        # tunnel and converting on device doubles the traffic
-        coeff=jnp.asarray(np.asarray(hd["coeff"], dtype)),
+        # host-side cast + per-body z-slab transfer: shipping the full
+        # f64 stack over the axon tunnel dominated megatet assembly
+        coeff=_ship_coeff(hd["coeff"], dtype),
         free=jnp.asarray(hd["free"]),
         dirichlet=jnp.asarray(hd["dirichlet"], dtype),
         b_neumann=jnp.asarray(hd["b_neumann"], dtype),

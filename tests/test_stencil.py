@@ -96,3 +96,22 @@ def test_stencil_ankle_deformed():
     rel = (np.abs(np.asarray(r2.phi) - np.asarray(r1.phi)).max()
            / np.abs(np.asarray(r1.phi)).max())
     assert rel < 1e-9, rel
+
+
+def test_ship_coeff_slab_transfer_exact():
+    """Per-body z-slab transfer reproduces the full stack exactly."""
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.ops.stencil import _ship_coeff
+    rng = np.random.default_rng(3)
+    c = np.zeros((3, 27, 6, 5, 12))
+    c[0, ..., 0:7] = rng.standard_normal((27, 6, 5, 7))
+    c[1, ..., 6:10] = rng.standard_normal((27, 6, 5, 4))
+    c[2, ..., 9:12] = rng.standard_normal((27, 6, 5, 3))
+    out = _ship_coeff(c, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(out), c)
+    # degenerate: an all-zero body and a full-span body
+    c[1] = 0.0
+    c[2] = rng.standard_normal(c[2].shape)
+    out = _ship_coeff(c, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(out), c)
