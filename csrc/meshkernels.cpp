@@ -38,9 +38,86 @@ struct FaceKey {
 // Find faces appearing exactly once.  tets: (m,4) int32.
 // out_faces: caller-allocated (4m,3); out_parent: (4m,).
 // Returns the number of boundary faces written.
+//
+// Fast path: when node ids fit in 21 bits (< 2.1M nodes — true for
+// every model incl. the 1.18M-node pelvic megatet), the sorted face
+// triple packs into one 63-bit key and an 11-bit LSD radix sort
+// replaces std::sort (~4x on 7M faces, single host core).  The output
+// order (key-ascending) is identical to the comparison sort's.
+static int64_t emit_singletons(const int32_t* tets, int64_t n,
+                               const uint64_t* keys, const int64_t* srcs,
+                               int32_t* out_faces, int32_t* out_parent) {
+  int64_t nb = 0;
+  for (int64_t i = 0; i < n;) {
+    int64_t j = i + 1;
+    while (j < n && keys[j] == keys[i]) ++j;
+    if (j - i == 1) {
+      const int64_t src = srcs[i];
+      const int64_t t = src / 4, f = src % 4;
+      const int32_t* nd = tets + 4 * t;
+      out_faces[3 * nb + 0] = nd[TET_FACES[f][0]];
+      out_faces[3 * nb + 1] = nd[TET_FACES[f][1]];
+      out_faces[3 * nb + 2] = nd[TET_FACES[f][2]];
+      out_parent[nb] = (int32_t)t;
+      ++nb;
+    }
+    i = j;
+  }
+  return nb;
+}
+
 int64_t extract_boundary(const int32_t* tets, int64_t m,
                          int32_t* out_faces, int32_t* out_parent) {
-  std::vector<FaceKey> keys(4 * m);
+  const int64_t n = 4 * m;
+  // max node id
+  int32_t maxid = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (tets[i] > maxid) maxid = tets[i];
+
+  if (maxid < (1 << 21)) {
+    std::vector<uint64_t> keys(n), keys2(n);
+    std::vector<int64_t> srcs(n), srcs2(n);
+    for (int64_t t = 0; t < m; ++t) {
+      const int32_t* nd = tets + 4 * t;
+      for (int f = 0; f < 4; ++f) {
+        uint64_t v0 = (uint64_t)nd[TET_FACES[f][0]];
+        uint64_t v1 = (uint64_t)nd[TET_FACES[f][1]];
+        uint64_t v2 = (uint64_t)nd[TET_FACES[f][2]];
+        if (v0 > v1) std::swap(v0, v1);
+        if (v1 > v2) std::swap(v1, v2);
+        if (v0 > v1) std::swap(v0, v1);
+        keys[4 * t + f] = (v0 << 42) | (v1 << 21) | v2;
+        srcs[4 * t + f] = 4 * t + f;
+      }
+    }
+    // LSD radix, 11-bit digits, 6 passes (63-bit keys)
+    uint64_t* k = keys.data();
+    uint64_t* k2 = keys2.data();
+    int64_t* s = srcs.data();
+    int64_t* s2 = srcs2.data();
+    int64_t hist[2048];
+    for (int pass = 0; pass < 6; ++pass) {
+      const int shift = 11 * pass;
+      for (int64_t b = 0; b < 2048; ++b) hist[b] = 0;
+      for (int64_t i = 0; i < n; ++i) hist[(k[i] >> shift) & 2047]++;
+      int64_t acc = 0;
+      for (int64_t b = 0; b < 2048; ++b) {
+        int64_t c = hist[b];
+        hist[b] = acc;
+        acc += c;
+      }
+      for (int64_t i = 0; i < n; ++i) {
+        const int64_t pos = hist[(k[i] >> shift) & 2047]++;
+        k2[pos] = k[i];
+        s2[pos] = s[i];
+      }
+      std::swap(k, k2);
+      std::swap(s, s2);
+    }
+    return emit_singletons(tets, n, k, s, out_faces, out_parent);
+  }
+
+  std::vector<FaceKey> keys(n);
   for (int64_t t = 0; t < m; ++t) {
     const int32_t* nd = tets + 4 * t;
     for (int f = 0; f < 4; ++f) {
@@ -60,7 +137,6 @@ int64_t extract_boundary(const int32_t* tets, int64_t m,
               return x.c < y.c;
             });
   int64_t nb = 0;
-  const int64_t n = 4 * m;
   for (int64_t i = 0; i < n;) {
     int64_t j = i + 1;
     while (j < n && keys[j].a == keys[i].a && keys[j].b == keys[i].b &&
@@ -150,6 +226,45 @@ void accumulate_stencil_grads(const int64_t* gidx, const double* grads,
       }
     }
   }
+}
+
+// Fill the Kuhn tet connectivity of an (nx, ny, nz)-cell lattice.
+//   kuhn: (6, 4, 3) int64 corner offsets; tets out: (nx*ny*nz*6, 4) i32.
+// Ordering matches mesh/generate.py lattice_tets: tet r = cell r/6
+// (x-major), class r%6.
+void lattice_tets_fill(int64_t nx, int64_t ny, int64_t nz,
+                       const int64_t* kuhn, int32_t* tets) {
+  const int64_t sy = nz + 1;
+  const int64_t sx = (ny + 1) * (nz + 1);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < nx; ++i) {
+    for (int64_t j = 0; j < ny; ++j) {
+      for (int64_t k = 0; k < nz; ++k) {
+        const int64_t base = i * sx + j * sy + k;
+        int32_t* out = tets + (((i * ny + j) * nz + k) * 6) * 4;
+        for (int t = 0; t < 6; ++t) {
+          const int64_t* kv = kuhn + 12 * t;
+          for (int v = 0; v < 4; ++v) {
+            out[4 * t + v] = (int32_t)(base + kv[3 * v] * sx +
+                                       kv[3 * v + 1] * sy + kv[3 * v + 2]);
+          }
+        }
+      }
+    }
+  }
+}
+
+// Stable counting-sort permutation of node ids (the scatter plan's
+// argsort): perm such that ids[perm] is ascending, equal keys keep
+// input order.  ids: (m,) i32 in [0, n); perm out: (m,) i32.
+void counting_sort_perm(const int32_t* ids, int64_t m, int64_t n,
+                        int64_t* counts /* scratch, (n+1) zeroed */,
+                        int32_t* perm) {
+  for (int64_t i = 0; i < m; ++i) counts[ids[i] + 1]++;
+  for (int64_t v = 0; v < n; ++v) counts[v + 1] += counts[v];
+  for (int64_t i = 0; i < m; ++i) perm[counts[ids[i]]++] = (int32_t)i;
 }
 
 // P1 element geometry: shape-function gradients + signed volumes.

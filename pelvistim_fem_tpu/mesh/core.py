@@ -171,7 +171,11 @@ def compact(nodes: np.ndarray, tets: np.ndarray, *extra_index_arrays):
     step03 run_layered_sweep.py:213-227 creates contact volumes only under
     the electrodes).
     """
-    used = np.unique(tets)
+    # mask + flatnonzero rather than np.unique: same ascending `used`
+    # set without sorting 4M indices (seconds at megatet scale)
+    mask = np.zeros(nodes.shape[0], dtype=bool)
+    mask[tets.ravel()] = True
+    used = np.flatnonzero(mask)
     remap = -np.ones(nodes.shape[0], dtype=np.int32)
     remap[used] = np.arange(used.size, dtype=np.int32)
     out = [nodes[used], remap[tets].astype(np.int32)]

@@ -59,6 +59,11 @@ def lattice_tets(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray):
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     nodes = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
 
+    from pelvistim_fem_tpu import native
+    tets = native.lattice_tets_fill(nx, ny, nz, _KUHN)
+    if tets is not None:
+        return nodes, tets
+
     def nid(i, j, k):
         return (i * (ny + 1) + j) * (nz + 1) + k
 
@@ -72,6 +77,34 @@ def lattice_tets(xs: np.ndarray, ys: np.ndarray, zs: np.ndarray):
             dx, dy, dz = _KUHN[t, v]
             tets[t::6, v] = nid(ii + dx, jj + dy, kk + dz)
     return nodes, tets.astype(np.int32)
+
+
+def _lattice_tet_centroids(xs, ys, zs):
+    """Centroids of every Kuhn tet WITHOUT gathering node coordinates:
+    corner offsets are in {0, 1}, so the per-axis centroid of class t is
+    ((4 - s) * knot[i] + s * knot[i+1]) / 4 with s = that class's count
+    of +1 offsets — three 1-D blends broadcast over cells.  Returns
+    (M, 3) in the lattice_tets interleaved ordering (tet r: cell r//6,
+    class r%6)."""
+    s = _KUHN.sum(axis=1).astype(np.float64)          # (6, 3)
+    outs = []
+    for axis, arr, reps in ((0, xs, None), (1, ys, None), (2, zs, None)):
+        lo = np.asarray(arr[:-1], np.float64)
+        hi = np.asarray(arr[1:], np.float64)
+        # (n_axis, 6) per-class centroid coordinate along this axis
+        outs.append((lo[:, None] * (4.0 - s[None, :, axis])
+                     + hi[:, None] * s[None, :, axis]) / 4.0)
+    cx, cy, cz = outs
+    nx, ny, nz = len(xs) - 1, len(ys) - 1, len(zs) - 1
+    cen = np.empty((nx * ny * nz * 6, 3))
+    # cells are x-major; broadcast each axis table to (nx, ny, nz, 6)
+    cen[:, 0] = np.broadcast_to(cx[:, None, None, :],
+                                (nx, ny, nz, 6)).reshape(-1)
+    cen[:, 1] = np.broadcast_to(cy[None, :, None, :],
+                                (nx, ny, nz, 6)).reshape(-1)
+    cen[:, 2] = np.broadcast_to(cz[None, None, :, :],
+                                (nx, ny, nz, 6)).reshape(-1)
+    return cen
 
 
 def build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn,
@@ -93,7 +126,7 @@ def build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn,
     ys = np.asarray(ys, float)
     zs = np.asarray(zs, float)
     nodes, tets = lattice_tets(xs, ys, zs)
-    cen = nodes[tets].mean(axis=1)
+    cen = _lattice_tet_centroids(xs, ys, zs)
     body = np.asarray(body_fn(cen[:, 0], cen[:, 1], cen[:, 2]),
                       dtype=np.int32)
     keep = body > 0

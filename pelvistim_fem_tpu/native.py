@@ -47,6 +47,12 @@ def _load():
                                   ctypes.c_int64, ctypes.c_int64, f64p]
     lib.tet_geometry.restype = None
     lib.tet_geometry.argtypes = [f64p, i32p, ctypes.c_int64, f64p, f64p]
+    lib.lattice_tets_fill.restype = None
+    lib.lattice_tets_fill.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, i64p, i32p]
+    lib.counting_sort_perm.restype = None
+    lib.counting_sort_perm.argtypes = [i32p, ctypes.c_int64,
+                                       ctypes.c_int64, i64p, i32p]
     lib.tet_signed_volumes.restype = None
     lib.tet_signed_volumes.argtypes = [f64p, i32p, ctypes.c_int64, f64p]
     lib.parse_elmer_nodes.restype = ctypes.c_int64
@@ -135,6 +141,31 @@ def stencil_apply(x, C):
     y = np.empty_like(x)
     lib.stencil_apply(x, C, X, Y, Z, y)
     return y
+
+
+def lattice_tets_fill(nx, ny, nz, kuhn):
+    """Native Kuhn-lattice connectivity fill; None when the library is
+    absent (caller falls back to the numpy assignment loops)."""
+    lib = _load()
+    if lib is None:
+        return None
+    kuhn = np.ascontiguousarray(kuhn, np.int64)
+    tets = np.empty((nx * ny * nz * 6, 4), np.int32)
+    lib.lattice_tets_fill(nx, ny, nz, kuhn, tets)
+    return tets
+
+
+def counting_sort_perm(ids, n):
+    """Native stable counting-sort permutation (scatter-plan argsort);
+    None when the library is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, np.int32)
+    counts = np.zeros(n + 1, np.int64)
+    perm = np.empty(ids.shape[0], np.int32)
+    lib.counting_sort_perm(ids, ids.shape[0], n, counts, perm)
+    return perm
 
 
 def tet_geometry(nodes, tets):

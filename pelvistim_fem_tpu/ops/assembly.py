@@ -68,7 +68,10 @@ def scatter_plan(tets: np.ndarray, n_nodes: int):
     (indices_are_sorted=True), which XLA lowers efficiently.
     """
     flat = tets.reshape(-1).astype(np.int32)
-    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    from pelvistim_fem_tpu import native
+    perm = native.counting_sort_perm(flat, n_nodes)
+    if perm is None:
+        perm = np.argsort(flat, kind="stable").astype(np.int32)
     segids = flat[perm]
     return perm, segids
 

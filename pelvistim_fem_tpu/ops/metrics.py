@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from pelvistim_fem_tpu.mesh.core import BC_ACTIVE, BC_RETURN
 from pelvistim_fem_tpu.ops import fields
 
@@ -242,8 +245,8 @@ def _roi_layer_fractions(cen, roi_cen, roi_r_used, meta):
     return frac_skin, frac_fat, frac_muscle, roi_mask
 
 
-def _build_row(meta, params, s, *, cen, pressure_label=None,
-               sigma_contact=None, verbose=True):
+def _build_row(meta, params, s, *, cen, layer_fracs=None,
+               pressure_label=None, sigma_contact=None, verbose=True):
     """Assemble the full row dict from named scalars `s` — shared by the
     serial extract_results and the batched on-device extractor so the
     two paths cannot drift."""
@@ -298,8 +301,11 @@ def _build_row(meta, params, s, *, cen, pressure_label=None,
     t_sk, t_fat = meta.t_skin, meta.t_fat
     z_fat_bot = meta.z_skin_top - t_sk - t_fat
     z_fat_top = meta.z_skin_top - t_sk
-    frac_skin, frac_fat, frac_muscle, _ = _roi_layer_fractions(
-        cen, roi_cen, roi_r_used, meta)
+    if layer_fracs is not None:      # lane-independent, precomputed
+        frac_skin, frac_fat, frac_muscle = layer_fracs
+    else:
+        frac_skin, frac_fat, frac_muscle, _ = _roi_layer_fractions(
+            cen, roi_cen, roi_r_used, meta)
 
     area = (np.pi * meta.elec_r ** 2 if meta.elec_shape == "circle"
             else (2 * meta.elec_r) ** 2)
@@ -394,6 +400,70 @@ def _build_row(meta, params, s, *, cen, pressure_label=None,
     return out
 
 
+_SCALAR_KEYS = ("I_active_signed", "I_return_signed",
+                "I_active_consistent", "I_return_consistent",
+                "peak_with", "peak_no", "mean_J_roi", "mean_E_roi",
+                "mean_E_p1", "compliance_V")
+
+
+def _batched_metric_scalars(case, phis, sigma_tables, masks):
+    """Jitted vmapped per-lane metric scalars as a dict of (L,) numpy
+    arrays.  The jitted kernel is module-level (not a per-call closure)
+    so repeated extractions hit the jit cache — on the axon TPU backend
+    a re-trace costs a ~30 s remote recompile per call."""
+    stacked = np.asarray(
+        _batched_metric_scalars_jit(case, phis, sigma_tables, masks))
+    return {k: stacked[j] for j, k in enumerate(_SCALAR_KEYS)}
+
+
+@jax.jit
+def _batched_metric_scalars_jit(case, phis, sigma_tables, masks):
+    def mmean(x, m, n):
+        return jnp.sum(jnp.where(m, x, 0.0)) / n
+
+    def lane(phi, sig):
+        J_cell = fields.cell_J(case, phi, sig)
+        E_cell = fields.cell_E(case, phi)
+        Jn = fields.nodal_average(case, J_cell)
+        E_sm = fields.point_to_cell(case,
+                                    fields.nodal_average(case, E_cell))
+        Jmag_n = jnp.linalg.norm(Jn, axis=1)
+        Jmag_c = jnp.linalg.norm(J_cell, axis=1)
+        Emag_sm = jnp.linalg.norm(E_sm, axis=1)
+        Emag_p1 = jnp.linalg.norm(E_cell, axis=1)
+
+        # surface flux (nodal VTK-parity scheme, boundary_face_flux)
+        Jf = Jn[case.faces].mean(axis=1)
+        flux = jnp.sum(Jf * case.face_normal, axis=1) * case.face_area
+        Ia_s = jnp.sum(jnp.where(masks["face_act"], flux, 0.0))
+        Ir_s = jnp.sum(jnp.where(masks["face_ret"], flux, 0.0))
+        ia_c, ir_c = fields.consistent_electrode_currents(case, phi, sig)
+
+        neg = jnp.asarray(-jnp.inf, Jmag_n.dtype)
+        peak_with = jnp.max(jnp.where(masks["skin"], Jmag_n, neg))
+        peak_no = jnp.max(jnp.where(masks["skin_no"], Jmag_n, neg))
+
+        n_roi = jnp.maximum(jnp.sum(masks["roi"]), 1)
+        mean_J = mmean(Jmag_c, masks["roi"], n_roi)
+        mean_E = mmean(Emag_sm, masks["roi"], n_roi)
+        mean_E_p1 = mmean(Emag_p1, masks["roi"], n_roi)
+
+        n_act = jnp.maximum(jnp.sum(masks["act"]), 1)
+        n_ret = jnp.maximum(jnp.sum(masks["ret"]), 1)
+        compliance = (mmean(phi, masks["act"], n_act)
+                      - mmean(phi, masks["ret"], n_ret))
+        return dict(I_active_signed=Ia_s, I_return_signed=Ir_s,
+                    I_active_consistent=ia_c, I_return_consistent=ir_c,
+                    peak_with=peak_with, peak_no=peak_no,
+                    mean_J_roi=mean_J, mean_E_roi=mean_E,
+                    mean_E_p1=mean_E_p1, compliance_V=compliance)
+
+    vals = jax.vmap(lane)(phis, sigma_tables)
+    # ONE stacked output: per-array device->host readbacks each pay the
+    # axon tunnel's latency
+    return jnp.stack([vals[k] for k in _SCALAR_KEYS])
+
+
 def extract_results_batched(case, phis, params, *, sigma_tables=None,
                             pressure_labels=None, sigma_contacts=None,
                             verbose=False):
@@ -410,25 +480,53 @@ def extract_results_batched(case, phis, params, *, sigma_tables=None,
     Reference analogue: extract_results per case,
     run_layered_sweep.py:826-1030.
     """
-    from functools import partial
-
-    import jax
-    import jax.numpy as jnp
-
-    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
-    from pelvistim_fem_tpu.utils.config import get_stim  # noqa: F401
-
     meta = case.meta
     L = phis.shape[0]
     if sigma_tables is None:
         sigma_tables = jnp.broadcast_to(jnp.asarray(case.sigma_table),
                                         (L,) + case.sigma_table.shape)
 
-    # ── lane-independent host geometry ──
+    geom = _metric_geometry(case, params)
+    out = _batched_metric_scalars(case, phis, sigma_tables,
+                                  geom["masks"])
+
+    rows = []
+    for i in range(L):
+        s = {k: v[i] for k, v in out.items()}
+        if meta.mode != "current":
+            s["compliance_V"] = np.nan
+        s.update(roi_n=geom["roi_n"], roi_r_used=geom["roi_r_used"],
+                 roi_warn=geom["roi_warn"])
+        rows.append(_build_row(
+            meta, params, s, cen=geom["cen"],
+            layer_fracs=geom["layer_fracs"],
+            pressure_label=(pressure_labels[i] if pressure_labels
+                            else None),
+            sigma_contact=(sigma_contacts[i] if sigma_contacts is not None
+                           else None),
+            verbose=verbose))
+    return rows
+
+
+def _metric_geometry(case, params):
+    """Lane-independent extraction geometry (ROI mask with the
+    reference's auto-expansion, skin/footprint masks, electrode node
+    masks, layer fractions), CACHED on the case instance: recomputing it
+    per call would read the device-resident mesh arrays back over the
+    axon tunnel every sweep (~0.5 s), and it never changes for a given
+    (case, roi config)."""
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+
+    meta = case.meta
+    r_cfg = params["roi"]
+    key = (float(r_cfg["roi_radius"]), float(r_cfg["z_target"]))
+    cached = getattr(case, "_metric_geom_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+
     nodes = np.asarray(case.nodes)
     tets_np = np.asarray(case.tets)
     cen = nodes[tets_np].mean(axis=1)
-    r_cfg = params["roi"]
     z_nerve = meta.z_skin_top - r_cfg["z_target"]
     roi_cen = np.array([meta.e1_pos[0], meta.e1_pos[1], z_nerve])
     dist = np.linalg.norm(cen - roi_cen, axis=1)
@@ -463,71 +561,14 @@ def extract_results_batched(case, phis, params, *, sigma_tables=None,
     face_ret = bcid_np == BC_RETURN
 
     dev = lambda a: jnp.asarray(a)
-    masks = dict(
-        roi=dev(roi_mask), skin=dev(skin_mask), skin_no=dev(skin_no),
-        act=dev(act_nodes), ret=dev(ret_nodes),
-        face_act=dev(face_act), face_ret=dev(face_ret),
+    geom = dict(
+        masks=dict(
+            roi=dev(roi_mask), skin=dev(skin_mask), skin_no=dev(skin_no),
+            act=dev(act_nodes), ret=dev(ret_nodes),
+            face_act=dev(face_act), face_ret=dev(face_ret)),
+        cen=cen, roi_n=roi_n, roi_r_used=roi_r_used, roi_warn=roi_warn,
+        layer_fracs=_roi_layer_fractions(cen, roi_cen, roi_r_used,
+                                         meta)[:3],
     )
-
-    def mmean(x, m, n):
-        return jnp.sum(jnp.where(m, x, 0.0)) / n
-
-    @partial(jax.jit)
-    def lanes(phis, sigma_tables):
-        def lane(phi, sig):
-            J_cell = fields.cell_J(case, phi, sig)
-            E_cell = fields.cell_E(case, phi)
-            Jn = fields.nodal_average(case, J_cell)
-            E_sm = fields.point_to_cell(case,
-                                        fields.nodal_average(case, E_cell))
-            Jmag_n = jnp.linalg.norm(Jn, axis=1)
-            Jmag_c = jnp.linalg.norm(J_cell, axis=1)
-            Emag_sm = jnp.linalg.norm(E_sm, axis=1)
-            Emag_p1 = jnp.linalg.norm(E_cell, axis=1)
-
-            # surface flux (nodal VTK-parity scheme, boundary_face_flux)
-            Jf = Jn[case.faces].mean(axis=1)
-            flux = jnp.sum(Jf * case.face_normal, axis=1) * case.face_area
-            Ia_s = jnp.sum(jnp.where(masks["face_act"], flux, 0.0))
-            Ir_s = jnp.sum(jnp.where(masks["face_ret"], flux, 0.0))
-            ia_c, ir_c = fields.consistent_electrode_currents(case, phi,
-                                                              sig)
-
-            neg = jnp.asarray(-jnp.inf, Jmag_n.dtype)
-            peak_with = jnp.max(jnp.where(masks["skin"], Jmag_n, neg))
-            peak_no = jnp.max(jnp.where(masks["skin_no"], Jmag_n, neg))
-
-            n_roi = jnp.maximum(jnp.sum(masks["roi"]), 1)
-            mean_J = mmean(Jmag_c, masks["roi"], n_roi)
-            mean_E = mmean(Emag_sm, masks["roi"], n_roi)
-            mean_E_p1 = mmean(Emag_p1, masks["roi"], n_roi)
-
-            n_act = jnp.maximum(jnp.sum(masks["act"]), 1)
-            n_ret = jnp.maximum(jnp.sum(masks["ret"]), 1)
-            compliance = (mmean(phi, masks["act"], n_act)
-                          - mmean(phi, masks["ret"], n_ret))
-            return dict(I_active_signed=Ia_s, I_return_signed=Ir_s,
-                        I_active_consistent=ia_c,
-                        I_return_consistent=ir_c,
-                        peak_with=peak_with, peak_no=peak_no,
-                        mean_J_roi=mean_J, mean_E_roi=mean_E,
-                        mean_E_p1=mean_E_p1, compliance_V=compliance)
-
-        return jax.vmap(lane)(phis, sigma_tables)
-
-    out = jax.tree_util.tree_map(np.asarray, lanes(phis, sigma_tables))
-
-    rows = []
-    for i in range(L):
-        s = {k: v[i] for k, v in out.items()}
-        if meta.mode != "current":
-            s["compliance_V"] = np.nan
-        s.update(roi_n=roi_n, roi_r_used=roi_r_used, roi_warn=roi_warn)
-        rows.append(_build_row(
-            meta, params, s, cen=cen,
-            pressure_label=(pressure_labels[i] if pressure_labels
-                            else None),
-            sigma_contact=(sigma_contacts[i] if sigma_contacts is not None
-                           else None),
-            verbose=verbose))
-    return rows
+    object.__setattr__(case, "_metric_geom_cache", (key, geom))
+    return geom
