@@ -26,6 +26,11 @@ from pathlib import Path
 
 import numpy as np
 
+import jax
+
+# x64 so the solve reaches the full 1e-8 contract
+jax.config.update("jax_enable_x64", True)
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 

@@ -21,6 +21,11 @@ from pathlib import Path
 
 import numpy as np
 
+import jax
+
+# x64 so `solve` reaches the full 1e-8 contract (f32-only clamps to 1e-6)
+jax.config.update("jax_enable_x64", True)
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
@@ -104,7 +109,8 @@ def cmd_solve(args):
     from pelvistim_fem_tpu.utils.config import default_params, load_params
     params = (load_params(args.params) if args.params
               else default_params("step03_ankle_layers"))
-    case, res, row = solve_imported(args.input, params, tol=args.tol)
+    case, res, row, mesh = solve_imported(args.input, params,
+                                          tol=args.tol)
     out = Path(args.out or ".")
     out.mkdir(parents=True, exist_ok=True)
     clean = {k: (None if isinstance(v, float) and not np.isfinite(v)
@@ -113,7 +119,8 @@ def cmd_solve(args):
     print(f"wrote {out / 'summary.json'}")
     if args.vtu:
         from pelvistim_fem_tpu.utils.vtu import write_solution_vtu
-        mesh = _read(args.input)
+        # the mesh the solution was computed on (oriented), not a
+        # second parse of the input
         write_solution_vtu(out / "solution.vtu", mesh, case, res.phi)
         print(f"wrote {out / 'solution.vtu'}")
 

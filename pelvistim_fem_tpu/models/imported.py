@@ -138,8 +138,8 @@ def solve_imported(path, params: dict | None = None, *, tol: float = 1e-8,
     """End-to-end: read mesh -> detect BCs -> assemble -> solve (full
     reference tolerance on any platform) -> full step03 metric dict.
 
-    Returns (case, SolveResult, metrics dict).  The runnable counterpart
-    of the reference's arbitrary-Gmsh-mesh flow
+    Returns (case, SolveResult, metrics dict, oriented mesh).  The
+    runnable counterpart of the reference's arbitrary-Gmsh-mesh flow
     (run_layered_sweep.py:826-1030); CLI: `apps/meshtool.py solve`.
     """
     from pelvistim_fem_tpu import runner
@@ -152,4 +152,4 @@ def solve_imported(path, params: dict | None = None, *, tol: float = 1e-8,
                                verbose=verbose)
     res = runner.solve_auto(case, mesh=None, tol=tol)
     row = extract_results(case, res.phi, params, verbose=verbose)
-    return case, res, row
+    return case, res, row, mesh

@@ -489,6 +489,15 @@ def extract_results_batched(case, phis, params, *, sigma_tables=None,
     geom = _metric_geometry(case, params)
     out = _batched_metric_scalars(case, phis, sigma_tables,
                                   geom["masks"])
+    # degenerate-mask parity with the serial path: empty ROI / skin
+    # masks yield NaN there (eval_roi n==0, skin_peak_J no-skin), not
+    # masked 0.0 / -inf
+    if geom["roi_n"] == 0:
+        for k in ("mean_J_roi", "mean_E_roi", "mean_E_p1"):
+            out[k] = np.full_like(out[k], np.nan)
+    if geom["skin_empty"]:
+        out["peak_with"] = np.full_like(out["peak_with"], np.nan)
+        out["peak_no"] = np.full_like(out["peak_no"], np.nan)
 
     rows = []
     for i in range(L):
@@ -567,6 +576,8 @@ def _metric_geometry(case, params):
             act=dev(act_nodes), ret=dev(ret_nodes),
             face_act=dev(face_act), face_ret=dev(face_ret)),
         cen=cen, roi_n=roi_n, roi_r_used=roi_r_used, roi_warn=roi_warn,
+        skin_empty=not bool(skin_mask.any()),   # host flag (bool-array
+                                                # readbacks stall axon)
         layer_fracs=_roi_layer_fractions(cen, roi_cen, roi_r_used,
                                          meta)[:3],
     )

@@ -261,11 +261,15 @@ def build_hierarchy(host_data: dict, *, dtype=None, min_nodes=100,
     coeff0 = np.asarray(host_data["coeff"], np.float64)
     free0 = np.asarray(host_data["free"], bool)
     dtype = dtype or jnp.float32
+    # coarse-level arrays are accumulated on host and shipped in ONE
+    # device_put at the end (per-level puts each pay the axon tunnel's
+    # dispatch latency)
+    pending = []
     if level0 is not None:
         levels = [MGLevel(coeff=level0[0], free=level0[1])]
     else:
-        levels = [MGLevel(coeff=jnp.asarray(np.asarray(coeff0, dtype)),
-                          free=jnp.asarray(free0))]
+        pending.append((np.asarray(coeff0, dtype), free0))
+        levels = [None]
     prolongs, restricts = [], []
     cur_axes = tuple(np.asarray(a) for a in host_data["axes"])
     cur_free = free0
@@ -288,15 +292,18 @@ def build_hierarchy(host_data: dict, *, dtype=None, min_nodes=100,
 
         # host-side dtype cast first: shipping f64 and converting on
         # device would double the tunnel traffic and compile a convert op
-        levels.append(MGLevel(coeff=jnp.asarray(np.asarray(coarse_coeff,
-                                                           dtype)),
-                              free=jnp.asarray(coarse_free)))
+        pending.append((np.asarray(coarse_coeff, dtype), coarse_free))
+        levels.append(None)
         prolongs.append(prolong)
         restricts.append(restrict)
         cur_axes = coarse_axes
         cur_free = coarse_free
         cur_coeff = coarse_coeff
 
+    shipped = jax.device_put(pending)
+    it = iter(shipped)
+    levels = [lv if lv is not None
+              else MGLevel(*next(it)) for lv in levels]
     return MGHierarchy(levels=tuple(levels), prolongs=tuple(prolongs),
                        restricts=tuple(restricts))
 

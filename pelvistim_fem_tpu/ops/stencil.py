@@ -130,16 +130,18 @@ def _ship_coeff(coeff_np, dtype):
         return jnp.asarray(np.asarray(coeff_np, dtype))
     chunks = [np.asarray(coeff_np[b, ..., z0:z1], dtype)
               for b, (z0, z1) in enumerate(spans)]
+    return _assemble_slabs(tuple(chunks), shape=coeff_np.shape,
+                           spans=tuple(spans))
 
-    @partial(jax.jit, static_argnames=("shape", "spans"))
-    def assemble(chunks, shape, spans):
-        out = jnp.zeros(shape, chunks[0].dtype)
-        for b, (z0, z1) in enumerate(spans):
-            out = out.at[b, ..., z0:z1].set(chunks[b])
-        return out
 
-    return assemble(tuple(chunks), shape=coeff_np.shape,
-                    spans=tuple(spans))
+@partial(jax.jit, static_argnames=("shape", "spans"))
+def _assemble_slabs(chunks, shape, spans):
+    # module-level jit: a per-call closure would re-trace (and pay an
+    # axon remote recompile) on every build_stencil_case call
+    out = jnp.zeros(shape, chunks[0].dtype)
+    for b, (z0, z1) in enumerate(spans):
+        out = out.at[b, ..., z0:z1].set(chunks[b])
+    return out
 
 
 def build_stencil_case(case, mesh, dtype=None, sigma_table_host=None,

@@ -222,10 +222,13 @@ def read_vtu(path):
     else:
         text = data.decode("utf8", "replace")
 
-    header_type = _attr(text[:text.index(">") + 1], "header_type",
-                        "UInt32")
+    # attributes live on the <VTKFile ...> tag specifically — a leading
+    # '<?xml ...?>' declaration must not satisfy the search
+    vm = re.search(r"<VTKFile[^>]*>", text)
+    vtag = vm.group(0) if vm else ""
+    header_type = _attr(vtag, "header_type", "UInt32")
     hdt = _VTK_DTYPES[header_type]
-    compressed = "compressor" in text[:text.index(">") + 1]
+    compressed = "compressor" in vtag
 
     pm = re.search(r'NumberOfPoints="(\d+)"', text)
     npts = int(pm.group(1))

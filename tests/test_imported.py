@@ -43,7 +43,8 @@ def exported(tmp_path_factory):
 
 def test_imported_end_to_end_matches_lattice_path(exported):
     d, params, ref = exported
-    case, res, row = solve_imported(d, params, tol=1e-8, verbose=False)
+    case, res, row, _mesh = solve_imported(d, params, tol=1e-8,
+                                           verbose=False)
     assert bool(np.asarray(res.converged))
     assert float(np.asarray(res.residual)) <= 1e-8
     # Same mesh, same physics — metrics must agree tightly.  (The solves
@@ -177,3 +178,16 @@ def test_read_vtu_mesh_from_solution(tmp_path):
     np.testing.assert_array_equal(back.tets, mesh.tets)
     np.testing.assert_array_equal(back.tet_body, mesh.tet_body)
     np.testing.assert_array_equal(back.face_bcid, mesh.face_bcid)
+
+
+def test_read_vtu_appended_with_xml_declaration(tmp_path):
+    """header_type/compressor are attributes of <VTKFile>, which a
+    leading '<?xml ...?>' declaration must not shadow."""
+    from pelvistim_fem_tpu.utils.vtu import read_vtu
+    p = tmp_path / "decl.vtu"
+    pts, pot, geo = _synth_appended(p, encoding="raw", compress=True,
+                                    header_type="UInt64")
+    p.write_bytes(b'<?xml version="1.0"?>\n' + p.read_bytes())
+    rpts, pdata, conn, *_ = read_vtu(p)
+    np.testing.assert_allclose(rpts, pts)
+    np.testing.assert_allclose(pdata["potential"], pot)

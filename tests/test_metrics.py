@@ -125,3 +125,29 @@ def test_batched_extract_matches_serial():
                 assert (b == v) or (isinstance(v, float)
                                     and not np.isfinite(v)
                                     and not np.isfinite(b)), (i, k, v, b)
+
+
+def test_batched_extract_degenerate_roi_matches_serial_nan():
+    """Empty ROI / metrics out of mesh: batched rows must carry the same
+    NaNs as the serial path (not masked zeros)."""
+    import copy
+
+    import jax
+
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.metrics import (extract_results,
+                                               extract_results_batched)
+    from pelvistim_fem_tpu.ops.solve import solve_case
+
+    case, params = build_pressure_case(coarse=True)
+    params = copy.deepcopy(params)
+    params["roi"]["z_target"] = 10.0      # far outside the mesh
+    params["roi"]["roi_radius"] = 1e-6
+    phis = jax.vmap(lambda s: solve_case(case, s, tol=1e-8,
+                                         maxiter=30_000).phi)(
+        case.sigma_table[None])
+    row_s = extract_results(case, phis[0], params, verbose=False)
+    row_b = extract_results_batched(case, phis, params)[0]
+    for k in ("roi_mean_J", "roi_mean_E", "roi_mean_E_p1"):
+        assert isinstance(row_s[k], float) and not np.isfinite(row_s[k])
+        assert not np.isfinite(row_b[k]), k
