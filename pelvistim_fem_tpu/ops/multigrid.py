@@ -320,20 +320,75 @@ def _level_op(level: MGLevel, sigma_table):
     return op, diag
 
 
+def estimate_lmax(op, dinv, free, iters=10):
+    """Deterministic power-method estimate of lambda_max(D^{-1} A) on
+    the free dofs.  The start vector must NOT be the constant vector —
+    that is (near-)null for the stiffness operator; an oscillatory
+    deterministic ramp is spectrum-rich and keeps jit caching exact
+    (no randomness)."""
+    n = free.size
+    seed = jnp.sin(jnp.arange(n, dtype=dinv.dtype) * 12.9898 + 0.5)
+    v = jnp.where(free, seed.reshape(free.shape), 0.0)
+
+    def it(_, v):
+        w = dinv * op(v)
+        return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w)), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, it, v)
+    w = dinv * op(v)
+    return jnp.sum(v * w) / jnp.maximum(jnp.sum(v * v), 1e-30)
+
+
+def chebyshev_smooth(op, dinv, x, b, degree, lmax):
+    """Degree-`degree` Jacobi-preconditioned Chebyshev smoother on the
+    eigenvalue band [lmax/4, 1.05*lmax] (the classic 4th-spectrum
+    choice) — a fixed polynomial in D^{-1}A, hence a valid SPD
+    building block for the CG preconditioner."""
+    beta = 1.05 * lmax
+    alpha = beta / 4.0
+    theta = 0.5 * (beta + alpha)
+    delta = 0.5 * (beta - alpha)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = dinv * (b - op(x))
+    d = r / theta
+    x = x + d
+
+    def body(_, carry):
+        x, d, rho = carry
+        rho_n = 1.0 / (2.0 * sigma - rho)
+        r = dinv * (b - op(x))
+        d = rho_n * rho * d + (2.0 * rho_n / delta) * r
+        return (x + d, d, rho_n)
+
+    x, _, _ = jax.lax.fori_loop(0, degree - 1, body, (x, d, rho))
+    return x
+
+
 def cycle_impl(ops_diags, frees, prolongs, restricts, b, *, nu=2,
-               omega=0.7, coarse_iters=24):
+               omega=0.7, coarse_iters=24, smoother="jacobi",
+               lmaxs=None):
     """One V-cycle over explicit level data (finest first).
 
     ops_diags: [(op, diag)] per level; frees: level free masks;
     prolongs/restricts: transfers between consecutive levels
     (len == n_levels - 1).  Factored out so the domain-decomposed solve
     (parallel/stencil_shard.py) can run the replicated coarse levels
-    with EXACTLY the same recursion as the single-device V-cycle."""
+    with EXACTLY the same recursion as the single-device V-cycle.
+
+    smoother: "jacobi" (nu damped sweeps, omega) or "chebyshev"
+    (degree-nu polynomial on [lmax/4, 1.05 lmax]; requires `lmaxs`, the
+    per-level lambda_max(D^{-1}A) estimates)."""
     n_levels = len(ops_diags)
 
-    def smooth(op, dinv, x, b, n):
-        return jax.lax.fori_loop(
-            0, n, lambda _, x: x + omega * dinv * (b - op(x)), x)
+    if smoother == "chebyshev":
+        def smooth(op, dinv, x, b, n, level=0):
+            return chebyshev_smooth(op, dinv, x, b, max(n, 2),
+                                    lmaxs[level])
+    else:
+        def smooth(op, dinv, x, b, n, level=0):
+            return jax.lax.fori_loop(
+                0, n, lambda _, x: x + omega * dinv * (b - op(x)), x)
 
     def cycle(level, b):
         op, diag = ops_diags[level]
@@ -361,35 +416,52 @@ def cycle_impl(ops_diags, frees, prolongs, restricts, b, *, nu=2,
                 0, coarse_iters, cg_body,
                 (jnp.zeros_like(b), b, z0, jnp.sum(b * z0)))
             return x
-        x = smooth(op, dinv, jnp.zeros_like(b), b, nu)
+        x = smooth(op, dinv, jnp.zeros_like(b), b, nu, level)
         r = b - op(x)
         rc = restricts[level](r)
         rc = jnp.where(frees[level + 1], rc, 0.0)
         xc = cycle(level + 1, rc)
         x = x + prolongs[level](xc)
-        x = smooth(op, dinv, x, b, nu)
+        x = smooth(op, dinv, x, b, nu, level)
         return x
 
     return cycle(0, b)
 
 
 def make_v_cycle(hier: MGHierarchy, sigma_table, *, nu=2, omega=0.7,
-                 coarse_iters=24):
-    """Return an SPD preconditioner apply(r) -> z (one V-cycle)."""
+                 coarse_iters=24, smoother="jacobi"):
+    """Return an SPD preconditioner apply(r) -> z (one V-cycle).
+
+    smoother="chebyshev" (degree nu) cuts CG iterations (12.3 vs 15.9
+    mean over the step04 100-lane sweep at nu=3) but costs more matvecs
+    per cycle than Jacobi nu=2, so wall time measured WORSE on v5e
+    (0.27 s vs 0.20 s per sweep) — Jacobi stays the default; Chebyshev
+    is the lever for problems where iteration count, not cycle cost,
+    dominates (e.g. harder contrasts or communication-bound sharded
+    solves)."""
     ops_diags = [_level_op(lv, sigma_table) for lv in hier.levels]
     frees = [lv.free for lv in hier.levels]
+    lmaxs = None
+    if smoother == "chebyshev":
+        # one-time (traced) power-method spectrum estimates per level;
+        # sigma-dependent, so they live inside the jitted solve
+        lmaxs = [estimate_lmax(op, 1.0 / diag, lv.free)
+                 for (op, diag), lv in zip(ops_diags, hier.levels)]
 
     def apply(r):
         return cycle_impl(ops_diags, frees, hier.prolongs, hier.restricts,
-                          r, nu=nu, omega=omega, coarse_iters=coarse_iters)
+                          r, nu=nu, omega=omega,
+                          coarse_iters=coarse_iters, smoother=smoother,
+                          lmaxs=lmaxs)
 
     return apply
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "nu",
-                                   "coarse_iters"))
+                                   "coarse_iters", "smoother"))
 def batched_mg_solve(scase: StencilCase, hier: MGHierarchy, sigma_tables,
-                     *, tol=1e-8, maxiter=2_000, nu=2, coarse_iters=24):
+                     *, tol=1e-8, maxiter=2_000, nu=2, coarse_iters=24,
+                     smoother="jacobi"):
     """Material sweep with MG-preconditioned CG per lane — the fastest
     sweep path (measured 31.5k solves/min at 100 full-res lanes on one
     v5e vs 15k for the Jacobi sweep; <=31 iterations/lane).  One
@@ -397,22 +469,25 @@ def batched_mg_solve(scase: StencilCase, hier: MGHierarchy, sigma_tables,
     return jax.vmap(
         lambda s: solve_stencil_mg(scase, hier, s, tol=tol,
                                    maxiter=maxiter, nu=nu,
-                                   coarse_iters=coarse_iters)
+                                   coarse_iters=coarse_iters,
+                                   smoother=smoother)
     )(sigma_tables)
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "nu",
-                                   "coarse_iters"))
+                                   "coarse_iters", "smoother"))
 def solve_stencil_mg(scase: StencilCase, hier: MGHierarchy,
                      sigma_table=None, *, tol=1e-8, maxiter=2_000,
-                     nu=2, coarse_iters=24) -> SolveResult:
+                     nu=2, coarse_iters=24,
+                     smoother="jacobi") -> SolveResult:
     """MG-preconditioned CG on the stencil operator (phi in mesh node
     ordering, drop-in for solve_stencil)."""
     from pelvistim_fem_tpu.ops import stencil as st
     if sigma_table is None:
         sigma_table = scase.sigma_table
     op, diag, b_eff = st._operator(scase, sigma_table)
-    M = make_v_cycle(hier, sigma_table, nu=nu, coarse_iters=coarse_iters)
+    M = make_v_cycle(hier, sigma_table, nu=nu, coarse_iters=coarse_iters,
+                     smoother=smoother)
     x0 = jnp.where(scase.free, 0.0, scase.dirichlet)
 
     # PCG with the V-cycle preconditioner (generalizes jacobi_pcg's M).

@@ -81,3 +81,17 @@ def test_mg_cuts_iterations(problem):
     assert int(r2.iterations) * 5 < int(r1.iterations), \
         (int(r1.iterations), int(r2.iterations))
     assert int(r2.iterations) < 60
+
+
+def test_chebyshev_smoother_converges_and_cuts_iterations(problem):
+    """Chebyshev-smoothed V-cycle: same solution, fewer (or equal) CG
+    iterations than damped Jacobi on the hard-contrast lane."""
+    case, params, sc, hier = problem
+    tables = sigma_tables_for_sweep(case, params)
+    rj = solve_stencil_mg(sc, hier, tables[0], tol=1e-8, maxiter=2_000)
+    rc = solve_stencil_mg(sc, hier, tables[0], tol=1e-8, maxiter=2_000,
+                          smoother="chebyshev", nu=3)
+    assert bool(rc.converged)
+    rel = float(jnp.abs(rj.phi - rc.phi).max() / jnp.abs(rj.phi).max())
+    assert rel < 1e-7, rel
+    assert int(rc.iterations) <= int(rj.iterations)
