@@ -39,6 +39,16 @@ def jacobi_pcg(op, b, diag, x0, *, tol=1e-8, maxiter=10_000):
     ||b|| (matching the Elmer linear-system convergence semantics).
     """
     dtype = b.dtype
+    minv = jnp.where(diag > 0, 1.0 / diag, jnp.asarray(1.0, dtype))
+    return preconditioned_cg(op, b, lambda r: minv * r, x0, tol=tol,
+                             maxiter=maxiter)
+
+
+def preconditioned_cg(op, b, M, x0, *, tol=1e-8, maxiter=10_000):
+    """CG for SPD `op` with a general SPD preconditioner apply M(r)->z
+    (jacobi_pcg is the diagonal special case; ops/multigrid's V-cycle is
+    the other caller).  Converged lanes FREEZE under vmap."""
+    dtype = b.dtype
 
     # Elementwise multiply-reduce dots: under vmap, jnp.vdot would batch
     # into an MXU matmul at default (bf16-ish) precision and wreck CG
@@ -46,12 +56,11 @@ def jacobi_pcg(op, b, diag, x0, *, tol=1e-8, maxiter=10_000):
     dot = lambda a, b: jnp.sum(a * b)
     nrm = lambda a: jnp.sqrt(jnp.sum(a * a))
 
-    minv = jnp.where(diag > 0, 1.0 / diag, jnp.asarray(1.0, dtype))
     bnorm = jnp.sqrt(jnp.sum(b * b))
     tol_abs = jnp.maximum(tol * bnorm, jnp.asarray(0.0, dtype))
 
     r0 = b - op(x0)
-    z0 = minv * r0
+    z0 = M(r0)
     rz0 = dot(r0, z0)
     done0 = nrm(r0) <= tol_abs
     state0 = (x0, r0, z0, rz0, z0, jnp.int32(0), done0)
@@ -70,7 +79,7 @@ def jacobi_pcg(op, b, diag, x0, *, tol=1e-8, maxiter=10_000):
         alpha = rz / dot(p, ap)
         x_n = x + alpha * p
         r_n = r - alpha * ap
-        z_n = minv * r_n
+        z_n = M(r_n)
         rz_n = dot(r_n, z_n)
         beta = rz_n / rz
         p_n = z_n + beta * p

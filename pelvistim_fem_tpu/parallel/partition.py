@@ -199,3 +199,82 @@ def sharded_sweep_solve(pcase: PartitionedCase, sigma_tables, mesh: Mesh, *,
                pcase.vol, pcase.tet_body, pcase.scatter_perm,
                pcase.scatter_segids, pcase.free_mask, pcase.dirichlet_vals,
                pcase.b_neumann)
+
+
+def sharded_sweep_solve_mg(pcase: PartitionedCase, sigma_tables,
+                           mesh: Mesh, hier, grid_index, *,
+                           case_axis: str = "case",
+                           shard_axis: str = "shard", tol: float = 1e-8,
+                           maxiter: int = 2_000, nu: int = 2,
+                           coarse_iters: int = 24):
+    """2-D parallel sweep with a MULTIGRID-preconditioned CG.
+
+    Same layout as sharded_sweep_solve (cases dp over `case_axis`,
+    element-sharded SpMV with one psum per matvec over `shard_axis`),
+    but each lane's CG is preconditioned by the lattice V-cycle
+    (ops/multigrid): nodal vectors are replicated in this layout, so the
+    preconditioner lifts the residual onto the lattice grid
+    (`grid_index`), runs the V-cycle locally on every device (zero
+    extra communication), and gathers back.  Requires the case to have
+    lattice provenance (hier built from the same stencil_host_data).
+
+    Cuts the dryrun case's 91-143 Jacobi iterations to the ~16 of the
+    single-device MG solve — the iteration count no longer grows when a
+    solve is spread over ICI.
+    """
+    from pelvistim_fem_tpu.ops.multigrid import make_v_cycle
+    from pelvistim_fem_tpu.ops.solve import preconditioned_cg
+
+    n_case = mesh.shape[case_axis]
+    B = sigma_tables.shape[0]
+    if B % n_case:
+        raise ValueError(f"batch {B} not divisible by case axis {n_case}")
+    n = pcase.n_nodes
+    gshape = hier.levels[0].free.shape
+    gidx = jnp.asarray(grid_index, jnp.int32)
+    elem = P(shard_axis)
+    repl = P()
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(case_axis), elem, elem, elem, elem, elem, elem,
+                       repl, repl, repl),
+             out_specs=jax.tree_util.tree_map(
+                 lambda _: P(case_axis),
+                 SolveResult(phi=0, iterations=0, residual=0, converged=0)))
+    def run(tables, tets, grads, vol, body, perm, segids,
+            free, diri, bneu):
+        tets, grads, vol = tets[0], grads[0], vol[0]
+        body, perm, segids = body[0], perm[0], segids[0]
+
+        def lift(r):
+            g = jnp.zeros(int(np.prod(gshape)), r.dtype)
+            return g.at[gidx].set(r).reshape(gshape)
+
+        def solve_one(table):
+            sigvol = table[body] * vol
+
+            def raw_spmv(x):
+                y = _local_spmv(x, tets, grads, sigvol, perm, segids, n)
+                return jax.lax.psum(y, shard_axis)
+
+            op = bc_ops.make_projected_operator(raw_spmv, free)
+            b_eff = bc_ops.effective_rhs(raw_spmv, free, diri, bneu)
+            x0 = jnp.where(free, 0.0, diri)
+
+            vcycle = make_v_cycle(hier, table, nu=nu,
+                                  coarse_iters=coarse_iters)
+
+            def M(r):
+                rm = jnp.where(free, r, 0.0)
+                z = vcycle(lift(rm)).reshape(-1)[gidx]
+                return jnp.where(free, z, r)
+
+            return preconditioned_cg(op, b_eff, M, x0, tol=tol,
+                                     maxiter=maxiter)
+
+        return jax.vmap(solve_one)(tables)
+
+    return run(jnp.asarray(sigma_tables), pcase.tets, pcase.grads,
+               pcase.vol, pcase.tet_body, pcase.scatter_perm,
+               pcase.scatter_segids, pcase.free_mask, pcase.dirichlet_vals,
+               pcase.b_neumann)
