@@ -29,8 +29,7 @@ def main():
     from pelvistim_fem_tpu.mesh import core
     from pelvistim_fem_tpu.models.pressure import build_pressure_case
     from pelvistim_fem_tpu.ops.multigrid import (batched_mg_solve,
-                                                 build_hierarchy,
-                                                 solve_stencil_mg)
+                                                 build_hierarchy)
     from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
                                                stencil_host_data)
 
@@ -101,30 +100,37 @@ def main():
     e2e_per_min = n_cases * 60.0 / (t_solve + t_extract)
 
     # Secondary metric: the BASELINE.json north-star single case — a
-    # ~1.8M-tet layered ankle model, assemble (host) + MG solve (chip).
-    from pelvistim_fem_tpu.models.ankle import build_layered_case
+    # ~1.8M-tet layered ankle model.  Round-2 path: host builds only the
+    # compact lattice spec (~10 MB, ~0.2 s); ONE jitted device call then
+    # re-assembles the per-body stencil coefficients from the cell
+    # geometry, Galerkin-coarsens the MG hierarchy, and runs the MG-CG
+    # solve (ops/lattice_assembly.py).  The warm call time IS the
+    # per-case assemble+solve cost of a geometry-varying sweep (the
+    # reference re-meshes + re-assembles + re-solves per case,
+    # run_layered_sweep.py:1061-1124); the one-time jit compile is
+    # excluded, as for every other timing here (axon remote-compile
+    # latency is documented-erratic: 1.5 s to >9 min for the same
+    # program).
+    from pelvistim_fem_tpu.models.ankle import build_layered_spec
+    from pelvistim_fem_tpu.ops.lattice_assembly import (
+        solve_lattice_mg, spec_device_arrays)
     from pelvistim_fem_tpu.utils.config import default_params
     p3 = default_params("step03_ankle_layers")
     p3["mesh"] = {"lc_global_mm": 1.1, "lc_electrode_mm": 0.7,
                   "lc_skin_min": 0.4}
     t0 = time.perf_counter()
-    case_m, _, mesh_m = build_layered_case(p3, dtype=jnp.float32,
-                                           with_mesh=True,
-                                           to_device=False)
-    t_mesh_m = time.perf_counter() - t0
-    hd_m = stencil_host_data(case_m, mesh_m)
-    t_coeff_m = time.perf_counter() - t0 - t_mesh_m
-    scase_m = build_stencil_case(case_m, mesh_m, dtype=jnp.float32,
-                                 host_data=hd_m)
-    hier_m = build_hierarchy(hd_m, dtype=jnp.float32,
-                             level0=(scase_m.coeff, scase_m.free))
-    t_asm_m = time.perf_counter() - t0
-    r = solve_stencil_mg(scase_m, hier_m, tol=tol)
+    spec_m, _ = build_layered_spec(p3)
+    t_spec_m = time.perf_counter() - t0
+    dev_m = spec_device_arrays(spec_m, jnp.float32)
+    r = solve_lattice_mg(spec_m, tol=tol, device_arrays=dev_m)
     float(np.asarray(r.phi[0]))        # warm/compile
     t0 = time.perf_counter()
-    r = solve_stencil_mg(scase_m, hier_m, tol=tol)
+    r = solve_lattice_mg(spec_m, tol=tol, device_arrays=dev_m)
     float(np.asarray(r.phi[0]))
-    t_solve_m = time.perf_counter() - t0
+    t_asm_solve_m = time.perf_counter() - t0
+    assert bool(np.asarray(r.converged)), "megatet solve did not converge"
+    n_tets_m = int(np.sum(spec_m.body6 > 0))
+    grid_m = spec_m.grid_shape
 
     print(json.dumps({
         "metric": "sweep_solves_per_min",
@@ -143,11 +149,14 @@ def main():
         "e2e_solves_per_min": round(e2e_per_min, 2),
         "max_flux_err": float(f"{max_flux_err:.3g}"),
         "max_flux_err_consistent": float(f"{max_flux_err_c:.3g}"),
-        "megatet_case_tets": int(case_m.n_tets),
-        "megatet_assemble_s": round(t_asm_m, 2),
-        "megatet_mesh_s": round(t_mesh_m, 2),
-        "megatet_coeff_s": round(t_coeff_m, 2),
-        "megatet_solve_s": round(t_solve_m, 3),
+        "megatet_case_tets": n_tets_m,
+        "megatet_grid": list(grid_m),
+        # host one-time prep (lattice spec build, numpy) + the warm
+        # device call that re-assembles + re-coarsens + solves: their
+        # sum is the per-case cost at megatet scale
+        "megatet_host_spec_s": round(t_spec_m, 3),
+        "megatet_assemble_solve_s": round(t_asm_solve_m, 3),
+        "megatet_case_s": round(t_spec_m + t_asm_solve_m, 3),
         "megatet_iters": int(np.asarray(r.iterations)),
         "device": str(jax.devices()[0]),
     }))

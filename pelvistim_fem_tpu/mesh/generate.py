@@ -16,6 +16,7 @@ All six share the main diagonal, and neighboring cells conform.
 
 from __future__ import annotations
 
+import dataclasses
 import itertools
 
 import numpy as np
@@ -107,6 +108,34 @@ def _lattice_tet_centroids(xs, ys, zs):
     return cen
 
 
+@dataclasses.dataclass
+class LatticeRecipe:
+    """Declarative lattice mesh spec: knot axes + classifier callbacks.
+
+    The single source of truth for a generated geometry, consumed two
+    ways: `mesh()` materializes the full TetMesh (element path, metrics,
+    apps), while mesh/spec.build_lattice_spec turns it into the compact
+    grid-form problem data that the device-side stencil assembly
+    (ops/lattice_assembly.py) consumes WITHOUT ever materializing the
+    (M, 4) tet array on host.
+
+    Contract for the spec fast path: electrode BC faces (bcid 1/2) must
+    lie on the extreme z-planes of the lattice (true for every reference
+    geometry: step01 box top/bottom plates, step02-04 top-surface
+    electrode/contact patches)."""
+    xs: np.ndarray
+    ys: np.ndarray
+    zs: np.ndarray
+    body_fn: object
+    bcid_fn: object
+    deform_fn: object = None
+
+    def mesh(self) -> TetMesh:
+        return build_mesh_from_lattice(self.xs, self.ys, self.zs,
+                                       self.body_fn, self.bcid_fn,
+                                       self.deform_fn)
+
+
 def build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn,
                             deform_fn=None) -> TetMesh:
     """Generic lattice → TetMesh pipeline.
@@ -166,6 +195,10 @@ def build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn,
 # ── step01-style box ──────────────────────────────────────────────────────────
 
 def box_mesh(Lx: float, Ly: float, Lz: float, h: float) -> TetMesh:
+    return box_recipe(Lx, Ly, Lz, h).mesh()
+
+
+def box_recipe(Lx: float, Ly: float, Lz: float, h: float) -> LatticeRecipe:
     """Uniform box with top (BC 1, active) / bottom (BC 2, return) /
     side (BC 3, insulated) classification.
 
@@ -188,7 +221,7 @@ def box_mesh(Lx: float, Ly: float, Lz: float, h: float) -> TetMesh:
         out[(nz < -0.5) & (np.abs(fz) < h * 1e-3 + eps)] = BC_RETURN
         return out
 
-    return build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn)
+    return LatticeRecipe(xs, ys, zs, body_fn, bcid_fn)
 
 
 # ── layered slab with electrodes (steps 02/03/04) ────────────────────────────
@@ -222,6 +255,31 @@ def layered_slab_mesh(
                                  # lattices coincide and only tet_body
                                  # differs — parallel/geometry_sweep.py)
 ) -> TetMesh:
+    return layered_slab_recipe(
+        Lx, Ly, Lz, layers=layers, electrodes=electrodes,
+        elec_shape=elec_shape, contact_t=contact_t,
+        contact_h_z=contact_h_z, h_fine=h_fine, h_coarse=h_coarse,
+        cross_section=cross_section, ankle_z_top_fn=ankle_z_top_fn,
+        outline_polygon=outline_polygon, explicit_zs=explicit_zs).mesh()
+
+
+def layered_slab_recipe(
+    Lx: float,
+    Ly: float,
+    Lz: float,
+    *,
+    layers,
+    electrodes,
+    elec_shape: str = "circle",
+    contact_t: float = 0.0,
+    contact_h_z: float = None,
+    h_fine: float = 0.0015,
+    h_coarse: float = 0.003,
+    cross_section: str = "rect",
+    ankle_z_top_fn=None,
+    outline_polygon=None,
+    explicit_zs=None,
+) -> LatticeRecipe:
     """Layered tissue slab with optional per-electrode contact volumes.
 
     Bodies: given layer ids bottom→top (e.g. 1=muscle, 2=fat, 3=skin), plus
@@ -373,4 +431,4 @@ def layered_slab_mesh(
             nodes[m, 2] = z[m] + (z_target - Lz) * t
             return nodes
 
-    return build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn, deform_fn)
+    return LatticeRecipe(xs, ys, zs, body_fn, bcid_fn, deform_fn)

@@ -50,22 +50,18 @@ def ankle_z_top(x, y, Lx, Ly, Lz):
     return h
 
 
-def build_layered_case(params: dict | None = None, *,
-                       t_fat: float | None = None,
-                       elec_r: float | None = None,
-                       sigma_skin: float | None = None,
-                       sigma_contact: float | None = None,
-                       coarse: bool = False,
-                       dtype=jnp.float64,
-                       with_mesh: bool = False,
-                       explicit_zs=None,
-                       to_device: bool = True):
-    """Build a solver-ready Case for one (t_fat, elec_r) sweep point.
-
-    Mirrors build_mesh + detect_elec_bc_ids + write_sif of the reference
-    (run_layered_sweep.py:122-633) in one in-memory pass.  `coarse=True`
-    doubles mesh spacings — the reference's --smoke mode (:167, 1190-1195).
-    """
+def layered_model_inputs(params: dict | None = None, *,
+                         t_fat: float | None = None,
+                         elec_r: float | None = None,
+                         sigma_skin: float | None = None,
+                         sigma_contact: float | None = None,
+                         coarse: bool = False,
+                         explicit_zs=None):
+    """Resolve step03/step04 params into (recipe_kwargs, sigma_by_body,
+    bc_kwargs, meta_extra) — the shared front half of build_layered_case
+    and build_layered_spec (one source of truth for the parameter
+    plumbing that mirrors the reference's params.yaml -> build_mesh ->
+    write_sif chain)."""
     params = params or default_params("step03_ankle_layers")
     g = params["geometry"]
     Lx, Ly, Lz = g["Lx"], g["Ly"], g["Lz"]
@@ -107,8 +103,7 @@ def build_layered_case(params: dict | None = None, *,
         (core.BODY_FAT, t_fat, min(lc_bulk, max(t_fat / 2, lc_min))),
         (core.BODY_SKIN, t_skin, max(t_skin / 3, lc_min / 2)),
     ]
-    mesh = layered_slab_mesh(
-        Lx, Ly, Lz,
+    recipe_kwargs = dict(
         layers=layers,
         electrodes=[(e1x, e1y, elec_r), (e2x, e2y, elec_r)],
         elec_shape=shape,
@@ -153,16 +148,70 @@ def build_layered_case(params: dict | None = None, *,
         t_fat=float(t_fat),
         compliance_limit_V=float(st.get("compliance_voltage_V", 100.0)),
     )
-    case = build_case(
-        mesh,
-        sigma_by_body,
+    bc_kwargs = dict(
         mode=mode,
         active_V=1.0,
         injected_current_A=st.get("injected_current_mA", 5.0) * 1e-3,
+    )
+    return (Lx, Ly, Lz), recipe_kwargs, sigma_by_body, bc_kwargs, \
+        meta_extra, params
+
+
+def build_layered_case(params: dict | None = None, *,
+                       t_fat: float | None = None,
+                       elec_r: float | None = None,
+                       sigma_skin: float | None = None,
+                       sigma_contact: float | None = None,
+                       coarse: bool = False,
+                       dtype=jnp.float64,
+                       with_mesh: bool = False,
+                       explicit_zs=None,
+                       to_device: bool = True):
+    """Build a solver-ready Case for one (t_fat, elec_r) sweep point.
+
+    Mirrors build_mesh + detect_elec_bc_ids + write_sif of the reference
+    (run_layered_sweep.py:122-633) in one in-memory pass.  `coarse=True`
+    doubles mesh spacings — the reference's --smoke mode (:167, 1190-1195).
+    """
+    (Lx, Ly, Lz), recipe_kwargs, sigma_by_body, bc_kwargs, meta_extra, \
+        params = layered_model_inputs(
+            params, t_fat=t_fat, elec_r=elec_r, sigma_skin=sigma_skin,
+            sigma_contact=sigma_contact, coarse=coarse,
+            explicit_zs=explicit_zs)
+    mesh = layered_slab_mesh(Lx, Ly, Lz, **recipe_kwargs)
+    case = build_case(
+        mesh,
+        sigma_by_body,
         meta_extra=meta_extra,
         dtype=dtype,
         to_device=to_device,
+        **bc_kwargs,
     )
     if with_mesh:
         return case, params, mesh
     return case, params
+
+
+def build_layered_spec(params: dict | None = None, *,
+                       t_fat: float | None = None,
+                       elec_r: float | None = None,
+                       sigma_skin: float | None = None,
+                       sigma_contact: float | None = None,
+                       coarse: bool = False,
+                       explicit_zs=None):
+    """Compact LatticeSpec for the same sweep point — the fast front end
+    for the device-side assembly (ops/lattice_assembly.py): no tet
+    materialization, no boundary extraction; returns (spec, params).
+
+    Produces the identical operator to build_layered_case +
+    stencil_host_data (tests/test_lattice_assembly.py)."""
+    from pelvistim_fem_tpu.mesh.generate import layered_slab_recipe
+    from pelvistim_fem_tpu.mesh.spec import build_lattice_spec
+    (Lx, Ly, Lz), recipe_kwargs, sigma_by_body, bc_kwargs, _, params = \
+        layered_model_inputs(
+            params, t_fat=t_fat, elec_r=elec_r, sigma_skin=sigma_skin,
+            sigma_contact=sigma_contact, coarse=coarse,
+            explicit_zs=explicit_zs)
+    recipe = layered_slab_recipe(Lx, Ly, Lz, **recipe_kwargs)
+    spec = build_lattice_spec(recipe, sigma_by_body, **bc_kwargs)
+    return spec, params

@@ -37,6 +37,17 @@ def build_pressure_case(params: dict | None = None, *, coarse: bool = False,
     return case, params
 
 
+def build_pressure_spec(params: dict | None = None, *,
+                        coarse: bool = False):
+    """LatticeSpec for the fixed step04 geometry — front end for the
+    device-side assembly fast path (see models/ankle.build_layered_spec)."""
+    from pelvistim_fem_tpu.models.ankle import build_layered_spec
+    params = params or default_params("step04_pressure")
+    pl = get_placement(params)
+    elec_r = pl.get("electrode_r_mm", 10.0) * 1e-3
+    return build_layered_spec(params, elec_r=elec_r, coarse=coarse)
+
+
 def sigma_skin_tables(case, params) -> jnp.ndarray:
     """(S, T) material tables varying the skin conductivity — the
     reference's sigma_skin_sweep axis (step03 params.yaml:33,

@@ -1,0 +1,289 @@
+"""Device-side stencil assembly + multigrid setup from a LatticeSpec.
+
+The TPU-native answer to VERDICT item 2: instead of assembling the
+27-point stencil coefficients on the (single-core) host and shipping
+~hundreds of MB of per-body stacks over the axon tunnel, ship the ~5 MB
+LatticeSpec (knot axes + coordinate deviations + per-class cell bodies +
+BC grids) and build everything on device inside ONE jitted program:
+
+    coefficients  — per-Kuhn-class closed-form P1 stiffness from cell
+                    corner coordinates, accumulated as 96 padded adds
+                    (pure elementwise; XLA fuses them, no scatter);
+    MG hierarchy  — Galerkin probing (R A_b P read off with period-3
+                    comb vectors) translated to jnp: one batched
+                    (bodies x 27 combs) stencil apply + a phase-indexed
+                    gather per level;
+    solve         — the standard MG-preconditioned CG (ops/multigrid).
+
+After the one-time compile, a full megatet re-assemble + hierarchy +
+solve is a single sub-second device call — the per-case cost of a
+geometry-varying sweep (the reference re-meshes and re-solves per case,
+run_layered_sweep.py:1061-1124).
+
+Numerics: edge vectors are reconstructed as (exact 1-D knot difference)
++ (deviation difference), so f32 per-cell gradients are accurate to f32
+roundoff of the EDGE — no catastrophic cancellation against absolute
+coordinates (see mesh/spec.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh.generate import _KUHN
+from pelvistim_fem_tpu.mesh.spec import LatticeSpec
+from pelvistim_fem_tpu.ops.multigrid import (MGHierarchy, MGLevel,
+                                             make_transfers,
+                                             solve_stencil_mg)
+from pelvistim_fem_tpu.ops.stencil import OFFSETS, StencilCase
+
+_OFFSET_INDEX = {off: o for o, off in enumerate(OFFSETS)}
+
+
+def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int):
+    """Per-body stencil coefficient stacks (B, 27, X, Y, Z) from grid
+    geometry, fully on device.
+
+    h_axes: (hx (nx,), hy (ny,), hz (nz,)) per-cell knot spacings,
+    differenced on host in f64 (differencing f32 absolute knots on
+    device would re-introduce the cancellation the deviation split
+    avoids).
+    coords_dev: (3, X, Y, Z) node deviation from the knot grid.
+    body6: (6, nx, ny, nz) int8 per-(cell, Kuhn class) body id (0 =
+    carved).  Matches the host path assemble_stencil_coeffs +
+    build_mesh_from_lattice classification exactly (parity-tested).
+    """
+    dt = coords_dev.dtype
+    X, Y, Z = coords_dev.shape[1:]
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+
+    def corner_dev(c):
+        return coords_dev[:, c[0]:c[0] + nx, c[1]:c[1] + ny,
+                          c[2]:c[2] + nz]
+
+    # per-offset accumulation of padded per-cell contributions
+    per_off = [[] for _ in range(27)]
+    bids = jnp.arange(1, n_bodies + 1, dtype=jnp.int32)
+    for t in range(6):
+        c = _KUHN[t]
+        d0 = corner_dev(c[0])
+        # edge vectors p_k - p_0: exact knot part + deviation part
+        # (corner offsets are in {0, 1}, so the knot part along an axis
+        # is just (delta corner offset) * per-cell spacing)
+        es = []
+        for k in (1, 2, 3):
+            dk = corner_dev(c[k]) - d0
+            comps = []
+            for ax in range(3):
+                delta = int(c[k, ax]) - int(c[0, ax])
+                comp = dk[ax]
+                if delta != 0:
+                    shape = [1, 1, 1]
+                    shape[ax] = (nx, ny, nz)[ax]
+                    comp = comp + delta * h_axes[ax].reshape(shape)
+                comps.append(comp)
+            es.append(comps)
+        e1, e2, e3 = es
+
+        def cross(a, b):
+            return (a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0])
+
+        A1 = cross(e2, e3)
+        A2 = cross(e3, e1)
+        A3 = cross(e1, e2)
+        det = e1[0] * A1[0] + e1[1] * A1[1] + e1[2] * A1[2]
+        adet = jnp.abs(det)
+        inv6det = jnp.where(adet > 0, 1.0 / (6.0 * adet), 0.0)
+        ns = [tuple(-(A1[i] + A2[i] + A3[i]) for i in range(3)),
+              A1, A2, A3]
+        onehot = (body6[t][None] == bids[:, None, None, None]).astype(dt)
+        for a in range(4):
+            for b in range(a, 4):
+                k_ab = (ns[a][0] * ns[b][0] + ns[a][1] * ns[b][1]
+                        + ns[a][2] * ns[b][2]) * inv6det
+                contrib = k_ab[None] * onehot            # (B, nx, ny, nz)
+                o_ab = _OFFSET_INDEX[tuple(c[b] - c[a])]
+                per_off[o_ab].append((tuple(c[a]), contrib))
+                if a != b:
+                    o_ba = _OFFSET_INDEX[tuple(c[a] - c[b])]
+                    per_off[o_ba].append((tuple(c[b]), contrib))
+
+    outs = []
+    for o in range(27):
+        acc = jnp.zeros((n_bodies, X, Y, Z), dt)
+        for da, contrib in per_off[o]:
+            acc = acc + jnp.pad(
+                contrib, ((0, 0), (da[0], X - nx - da[0]),
+                          (da[1], Y - ny - da[1]),
+                          (da[2], Z - nz - da[2])))
+        outs.append(acc)
+    return jnp.stack(outs, axis=1)                       # (B, 27, X, Y, Z)
+
+
+def _comb_vectors(shape, dt):
+    """(27, Xc, Yc, Zc) period-3 probing combs, built from iota (no
+    embedded host constants).  Comb c has phase ((dx+1), (dy+1), (dz+1))
+    of OFFSETS[c] — mirror of multigrid._probe_coarse_stencils."""
+    Xc, Yc, Zc = shape
+    ix = jnp.arange(Xc) % 3
+    iy = jnp.arange(Yc) % 3
+    iz = jnp.arange(Zc) % 3
+    phases = jnp.asarray([(dx + 1, dy + 1, dz + 1)
+                          for dx, dy, dz in OFFSETS])     # (27, 3)
+    return ((ix[None, :, None, None] == phases[:, 0, None, None, None])
+            & (iy[None, None, :, None] == phases[:, 1, None, None, None])
+            & (iz[None, None, None, :] == phases[:, 2, None, None, None])
+            ).astype(dt)
+
+
+def _spmv_all(pf, coeff):
+    """Y[b, c] = A_b pf[c]: 27 shifted multiply-adds broadcast over
+    (bodies, combs)."""
+    C, X, Y, Z = pf.shape
+    pfp = jnp.pad(pf, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    out = jnp.zeros((coeff.shape[0],) + pf.shape, pf.dtype)
+    for o, (dx, dy, dz) in enumerate(OFFSETS):
+        sh = jax.lax.slice(pfp, (0, 1 + dx, 1 + dy, 1 + dz),
+                           (C, 1 + dx + X, 1 + dy + Y, 1 + dz + Z))
+        out = out + coeff[:, o, None] * sh[None]
+    return out
+
+
+def _probe_level_jnp(coeff, free, prolong, restrict, coarse_shape):
+    """Galerkin-probe one coarsening on device: (B, 27, Xc, Yc, Zc)."""
+    dt = coeff.dtype
+    Xc, Yc, Zc = coarse_shape
+    combs = _comb_vectors(coarse_shape, dt)              # (27, coarse)
+    pf = jnp.where(free[None], prolong(combs), 0.0)      # (27, fine)
+    ys = _spmv_all(pf, coeff)                            # (B, 27, fine)
+    ys = restrict(jnp.where(free[None, None], ys, 0.0))  # (B, 27, coarse)
+
+    # entry extraction: for target node n and offset d, the source comb
+    # is the unique one whose phase == (n + d) mod 3; out-of-range
+    # sources are zero (mirror of the host np.ix_ selection)
+    ix = jnp.arange(Xc)
+    iy = jnp.arange(Yc)
+    iz = jnp.arange(Zc)
+    d = jnp.asarray(OFFSETS)                             # (27, 3)
+    sx = ix[None, :, None, None] + d[:, 0, None, None, None]
+    sy = iy[None, None, :, None] + d[:, 1, None, None, None]
+    sz = iz[None, None, None, :] + d[:, 2, None, None, None]
+    cidx = ((sx % 3) * 9 + (sy % 3) * 3 + (sz % 3))      # (27, coarse)
+    valid = ((sx >= 0) & (sx < Xc) & (sy >= 0) & (sy < Yc)
+             & (sz >= 0) & (sz < Zc))
+    out = jnp.take_along_axis(
+        ys, jnp.broadcast_to(cidx[None], ys.shape).astype(jnp.int32),
+        axis=1)
+    return out * valid[None].astype(dt)
+
+
+def _hierarchy_jnp(coeff, free, axes, *, min_nodes=100, max_levels=8):
+    """Traced twin of multigrid.build_hierarchy (same coarsening
+    schedule, transfers and probing math; runs inside the caller's jit).
+    axes: static numpy knot vectors."""
+    levels = [MGLevel(coeff=coeff, free=free)]
+    prolongs, restricts = [], []
+    cur_axes = tuple(np.asarray(a, float) for a in axes)
+    cur_coeff, cur_free = coeff, free
+    while len(levels) < max_levels:
+        shape = tuple(len(a) for a in cur_axes)
+        if int(np.prod(shape)) <= min_nodes:
+            break
+        coarse_axes, prolong, restrict = make_transfers(cur_axes)
+        cshape = tuple(len(a) for a in coarse_axes)
+        cc = _probe_level_jnp(cur_coeff, cur_free, prolong, restrict,
+                              cshape)
+        cfree = jnp.abs(cc).sum(axis=(0, 1)) > 0
+        levels.append(MGLevel(coeff=cc, free=cfree))
+        prolongs.append(prolong)
+        restricts.append(restrict)
+        cur_axes, cur_coeff, cur_free = coarse_axes, cc, cfree
+    return MGHierarchy(levels=tuple(levels), prolongs=tuple(prolongs),
+                       restricts=tuple(restricts))
+
+
+def spec_device_arrays(spec: LatticeSpec, dtype=jnp.float32) -> dict:
+    """One host->device shipment of the compact spec (a few MB)."""
+    return dict(
+        h_axes=tuple(jnp.asarray(np.diff(np.asarray(a, np.float64)),
+                                 dtype) for a in spec.axes),
+        coords_dev=jnp.asarray(spec.coords_dev, dtype),
+        body6=jnp.asarray(spec.body6),
+        free=jnp.asarray(spec.free),
+        dirichlet=jnp.asarray(spec.dirichlet, dtype),
+        b_neumann=jnp.asarray(spec.b_neumann, dtype),
+        grid_index=jnp.asarray(spec.grid_index, jnp.int32),
+        sigma_table=jnp.asarray(spec.sigma_table, dtype),
+    )
+
+
+def _axes_static(spec: LatticeSpec):
+    return tuple(tuple(float(v) for v in a) for a in spec.axes)
+
+
+@partial(jax.jit, static_argnames=("axes", "n_bodies", "min_nodes",
+                                   "max_levels"))
+def _assemble_jit(dev, *, axes, n_bodies, min_nodes=100, max_levels=8):
+    axes_np = tuple(np.asarray(a, float) for a in axes)
+    coeff = lattice_coeff(dev["h_axes"], dev["coords_dev"], dev["body6"],
+                          n_bodies)
+    scase = StencilCase(coeff=coeff, free=dev["free"],
+                        dirichlet=dev["dirichlet"],
+                        b_neumann=dev["b_neumann"],
+                        grid_index=dev["grid_index"],
+                        sigma_table=dev["sigma_table"])
+    hier = _hierarchy_jnp(coeff, dev["free"], axes_np,
+                          min_nodes=min_nodes, max_levels=max_levels)
+    return scase, hier
+
+
+def assemble_lattice(spec: LatticeSpec, dtype=jnp.float32, *,
+                     device_arrays=None, min_nodes=100, max_levels=8):
+    """StencilCase + MGHierarchy entirely on device (one jitted call).
+
+    Drop-in for stencil_host_data -> build_stencil_case ->
+    build_hierarchy; the returned pytrees feed every existing solver
+    (solve_stencil_mg, batched_mg_solve, sharded paths)."""
+    dev = device_arrays or spec_device_arrays(spec, dtype)
+    return _assemble_jit(dev, axes=_axes_static(spec),
+                         n_bodies=spec.n_bodies,
+                         min_nodes=min_nodes, max_levels=max_levels)
+
+
+@partial(jax.jit, static_argnames=("axes", "n_bodies", "tol", "maxiter",
+                                   "nu", "coarse_iters", "smoother",
+                                   "min_nodes", "max_levels"))
+def _assemble_solve_jit(dev, sigma_table, *, axes, n_bodies, tol,
+                        maxiter=2_000, nu=2, coarse_iters=24,
+                        smoother="jacobi", min_nodes=100, max_levels=8):
+    scase, hier = _assemble_jit(dev, axes=axes, n_bodies=n_bodies,
+                                min_nodes=min_nodes,
+                                max_levels=max_levels)
+    return solve_stencil_mg(scase, hier, sigma_table, tol=tol,
+                            maxiter=maxiter, nu=nu,
+                            coarse_iters=coarse_iters, smoother=smoother)
+
+
+def solve_lattice_mg(spec: LatticeSpec, sigma_table=None, *,
+                     dtype=jnp.float32, tol=1e-8, maxiter=2_000, nu=2,
+                     coarse_iters=24, smoother="jacobi",
+                     device_arrays=None):
+    """Assemble + coarsen + MG-CG solve as ONE device program.
+
+    phi is returned in mesh node ordering (parity with solve_stencil_mg
+    on the TetMesh path)."""
+    dev = device_arrays or spec_device_arrays(spec, dtype)
+    sig = (dev["sigma_table"] if sigma_table is None
+           else jnp.asarray(sigma_table, dtype))
+    return _assemble_solve_jit(dev, sig, axes=_axes_static(spec),
+                               n_bodies=spec.n_bodies, tol=tol,
+                               maxiter=maxiter, nu=nu,
+                               coarse_iters=coarse_iters,
+                               smoother=smoother)

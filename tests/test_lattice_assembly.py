@@ -1,0 +1,154 @@
+"""Lattice-spec / device-assembly parity tests.
+
+The spec fast path (mesh/spec.py + ops/lattice_assembly.py) must produce
+the IDENTICAL operator, BC data and solution as the TetMesh path
+(recipe.mesh() -> stencil_host_data -> build_stencil_case ->
+build_hierarchy) for every generated geometry class — deformed ankle,
+rect pressure slab with carved contact volumes, and the step01 box in
+voltage mode."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh import core
+from pelvistim_fem_tpu.mesh.generate import box_recipe, layered_slab_recipe
+from pelvistim_fem_tpu.mesh.spec import build_lattice_spec
+from pelvistim_fem_tpu.models.ankle import ankle_outline_pts, ankle_z_top
+from pelvistim_fem_tpu.models.case import build_case
+from pelvistim_fem_tpu.ops import lattice_assembly as la
+from pelvistim_fem_tpu.ops.multigrid import build_hierarchy, solve_stencil_mg
+from pelvistim_fem_tpu.ops.stencil import build_stencil_case, stencil_host_data
+
+SIG5 = {1: 0.35, 2: 0.04, 3: 1e-3, 4: 5e-3, 5: 5e-3}
+
+
+def _ankle_recipe(h_fine=0.006, h_coarse=0.012):
+    Lx, Ly, Lz = 0.08, 0.06, 0.04
+    return layered_slab_recipe(
+        Lx, Ly, Lz,
+        layers=[(core.BODY_MUSCLE, 0.0335, 0.012),
+                (core.BODY_FAT, 0.005, 0.005),
+                (core.BODY_SKIN, 0.0015, 0.0015)],
+        electrodes=[(0.015, 0.045, 0.01), (0.065, 0.045, 0.01)],
+        contact_t=0.0005, contact_h_z=0.0005,
+        h_fine=h_fine, h_coarse=h_coarse,
+        cross_section="ankle",
+        ankle_z_top_fn=lambda x, y: ankle_z_top(x, y, Lx, Ly, Lz),
+        outline_polygon=ankle_outline_pts(Lx, Ly))
+
+
+def _rect_recipe():
+    Lx, Ly, Lz = 0.08, 0.06, 0.04
+    return layered_slab_recipe(
+        Lx, Ly, Lz,
+        layers=[(core.BODY_MUSCLE, 0.0335, 0.012),
+                (core.BODY_FAT, 0.005, 0.005),
+                (core.BODY_SKIN, 0.0015, 0.0015)],
+        electrodes=[(0.015, 0.045, 0.01), (0.065, 0.045, 0.01)],
+        contact_t=0.0005, contact_h_z=0.0005,
+        h_fine=0.005, h_coarse=0.011)
+
+
+def _host_reference(recipe, sig, **bc_kw):
+    mesh = recipe.mesh()
+    case = build_case(mesh, sig, to_device=False, dtype=jnp.float64,
+                      **bc_kw)
+    hd = stencil_host_data(case, mesh)
+    return mesh, case, hd
+
+
+def test_spec_matches_host_data_ankle_current():
+    recipe = _ankle_recipe()
+    mesh, _, hd = _host_reference(recipe, SIG5, mode="current",
+                                  injected_current_A=5e-3)
+    spec = build_lattice_spec(recipe, SIG5, mode="current",
+                              injected_current_A=5e-3)
+    assert spec.grid_shape == mesh.lattice.grid_shape
+    assert np.array_equal(spec.grid_index, mesh.lattice.grid_index)
+    assert np.array_equal(spec.free, hd["free"])
+    np.testing.assert_allclose(spec.dirichlet, hd["dirichlet"], atol=0)
+    np.testing.assert_allclose(spec.b_neumann, hd["b_neumann"],
+                               rtol=0, atol=1e-18)
+    dev = la.spec_device_arrays(spec, jnp.float64)
+    coeff = np.asarray(la.lattice_coeff(dev["h_axes"], dev["coords_dev"],
+                                        dev["body6"], spec.n_bodies))
+    scale = np.abs(hd["coeff"]).max()
+    np.testing.assert_allclose(coeff, hd["coeff"], atol=1e-13 * scale)
+
+
+def test_spec_matches_host_data_box_voltage():
+    recipe = box_recipe(0.04, 0.04, 0.02, 0.004)
+    mesh, _, hd = _host_reference(recipe, {1: 0.2}, mode="voltage",
+                                  active_V=1.0)
+    spec = build_lattice_spec(recipe, {1: 0.2}, mode="voltage",
+                              active_V=1.0)
+    assert np.array_equal(spec.free, hd["free"])
+    np.testing.assert_allclose(spec.dirichlet, hd["dirichlet"], atol=0)
+    assert np.array_equal(spec.grid_index, mesh.lattice.grid_index)
+    dev = la.spec_device_arrays(spec, jnp.float64)
+    coeff = np.asarray(la.lattice_coeff(dev["h_axes"], dev["coords_dev"],
+                                        dev["body6"], spec.n_bodies))
+    scale = np.abs(hd["coeff"]).max()
+    np.testing.assert_allclose(coeff, hd["coeff"], atol=1e-13 * scale)
+
+
+def test_device_hierarchy_matches_host_probing():
+    recipe = _ankle_recipe(h_fine=0.004, h_coarse=0.008)
+    mesh, case, hd = _host_reference(recipe, SIG5, mode="current",
+                                     injected_current_A=5e-3)
+    hier = build_hierarchy(hd, dtype=jnp.float64)
+    spec = build_lattice_spec(recipe, SIG5, mode="current",
+                              injected_current_A=5e-3)
+    _, hier2 = la.assemble_lattice(spec, jnp.float64)
+    assert len(hier.levels) == len(hier2.levels)
+    for a, b in zip(hier.levels, hier2.levels):
+        ca, cb = np.asarray(a.coeff), np.asarray(b.coeff)
+        assert np.array_equal(np.asarray(a.free), np.asarray(b.free))
+        np.testing.assert_allclose(cb, ca, atol=1e-13 * np.abs(ca).max())
+
+
+def test_solve_lattice_mg_matches_stencil_mg():
+    recipe = _rect_recipe()
+    mesh, case, hd = _host_reference(recipe, SIG5, mode="current",
+                                     injected_current_A=5e-3)
+    scase = build_stencil_case(case, mesh, dtype=jnp.float64,
+                               host_data=hd)
+    hier = build_hierarchy(hd, dtype=jnp.float64)
+    r1 = solve_stencil_mg(scase, hier, tol=1e-10)
+    spec = build_lattice_spec(recipe, SIG5, mode="current",
+                              injected_current_A=5e-3)
+    r2 = la.solve_lattice_mg(spec, dtype=jnp.float64, tol=1e-10)
+    assert bool(np.asarray(r2.converged))
+    # identical operator + identical algorithm => same iteration count
+    assert abs(int(r1.iterations) - int(r2.iterations)) <= 1
+    p1, p2 = np.asarray(r1.phi), np.asarray(r2.phi)
+    np.testing.assert_allclose(p2, p1, atol=1e-8 * np.abs(p1).max())
+
+
+def test_assemble_lattice_feeds_batched_sweep():
+    """The device-assembled (scase, hier) drop into batched_mg_solve —
+    the step04 material sweep with zero host assembly."""
+    from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve
+    recipe = _rect_recipe()
+    spec = build_lattice_spec(recipe, SIG5, mode="current",
+                              injected_current_A=5e-3)
+    scase, hier = la.assemble_lattice(spec, jnp.float64)
+    base = np.asarray(spec.sigma_table)
+    tables = np.tile(base, (4, 1))
+    tables[:, core.BODY_CONTACT_ACTIVE] = np.logspace(-4, -1, 4)
+    tables[:, core.BODY_CONTACT_RETURN] = tables[:, core.BODY_CONTACT_ACTIVE]
+    out = batched_mg_solve(scase, hier, jnp.asarray(tables), tol=1e-8)
+    assert bool(np.asarray(out.converged).all())
+    assert np.isfinite(np.asarray(out.phi)).all()
+
+
+def test_solve_lattice_box_analytic():
+    """step01 gate on the spec path: V(z) = z/Lz."""
+    recipe = box_recipe(0.04, 0.04, 0.02, 0.004)
+    spec = build_lattice_spec(recipe, {1: 0.2}, mode="voltage",
+                              active_V=1.0)
+    r = la.solve_lattice_mg(spec, dtype=jnp.float64, tol=1e-10)
+    mesh = recipe.mesh()
+    z = mesh.nodes[:, 2] / 0.02
+    assert float(np.abs(np.asarray(r.phi) - z).max()) < 1e-7
