@@ -287,3 +287,52 @@ def solve_lattice_mg(spec: LatticeSpec, sigma_table=None, *,
                                maxiter=maxiter, nu=nu,
                                coarse_iters=coarse_iters,
                                smoother=smoother)
+
+
+@partial(jax.jit, static_argnames=("axes", "n_bodies", "tol", "inner_tol",
+                                   "maxiter", "nu", "coarse_iters",
+                                   "smoother", "max_refinements",
+                                   "min_nodes", "max_levels"))
+def _assemble_solve_refined_jit(dev, sigma_table, *, axes, n_bodies, tol,
+                                inner_tol=1e-6, maxiter=2_000, nu=2,
+                                coarse_iters=24, smoother="jacobi",
+                                max_refinements=6, min_nodes=100,
+                                max_levels=8):
+    from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg_refined
+    axes_np = tuple(np.asarray(a, float) for a in axes)
+    # f64 master operator; the MG hierarchy (inner preconditioner) is
+    # probed from the f32 cast — refinement only needs the V-cycle to be
+    # a good f32 preconditioner, while the residual is certified in f64
+    coeff64 = lattice_coeff(dev["h_axes"], dev["coords_dev"],
+                            dev["body6"], n_bodies)
+    scase64 = StencilCase(coeff=coeff64, free=dev["free"],
+                          dirichlet=dev["dirichlet"],
+                          b_neumann=dev["b_neumann"],
+                          grid_index=dev["grid_index"],
+                          sigma_table=dev["sigma_table"])
+    hier32 = _hierarchy_jnp(coeff64.astype(jnp.float32), dev["free"],
+                            axes_np, min_nodes=min_nodes,
+                            max_levels=max_levels)
+    return solve_stencil_mg_refined(
+        scase64, hier32, sigma_table, tol=tol, inner_tol=inner_tol,
+        maxiter=maxiter, nu=nu, coarse_iters=coarse_iters,
+        smoother=smoother, max_refinements=max_refinements)
+
+
+def solve_lattice_mg_refined(spec: LatticeSpec, sigma_table=None, *,
+                             tol=1e-8, inner_tol=1e-6, maxiter=2_000,
+                             nu=2, coarse_iters=24, smoother="jacobi",
+                             max_refinements=6, device_arrays=None):
+    """Assemble (f64) + coarsen (f32) + mixed-precision MG solve as ONE
+    device program: the returned residual is the TRUE f64 relative
+    residual (requires jax_enable_x64; see
+    multigrid.solve_stencil_mg_refined for why plain f32 CG cannot be
+    trusted at the reference's material contrasts)."""
+    dev = device_arrays or spec_device_arrays(spec, jnp.float64)
+    sig = (dev["sigma_table"] if sigma_table is None
+           else jnp.asarray(sigma_table, jnp.float64))
+    return _assemble_solve_refined_jit(
+        dev, sig, axes=_axes_static(spec), n_bodies=spec.n_bodies,
+        tol=tol, inner_tol=inner_tol, maxiter=maxiter, nu=nu,
+        coarse_iters=coarse_iters, smoother=smoother,
+        max_refinements=max_refinements)
