@@ -28,6 +28,7 @@ coordinates (see mesh/spec.py).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import numpy as np
@@ -336,3 +337,103 @@ def solve_lattice_mg_refined(spec: LatticeSpec, sigma_table=None, *,
         tol=tol, inner_tol=inner_tol, maxiter=maxiter, nu=nu,
         coarse_iters=coarse_iters, smoother=smoother,
         max_refinements=max_refinements)
+
+
+def _pad_spec_x(spec: LatticeSpec, n_dev: int) -> LatticeSpec:
+    """Pad the lattice with inert x-planes (carved cells, non-free
+    nodes, zero loads) so every grid dimension sharded over `n_dev`
+    devices divides evenly.  The linear system on the real nodes is
+    unchanged (padded planes carry all-zero stencil rows); flat grid
+    indices are x-major, so grid_index is unaffected by appending
+    x-planes."""
+    X = spec.grid_shape[0]
+    Xp = -(-X // n_dev) * n_dev
+    pad_n = Xp - X           # node planes to append
+    if pad_n == 0:
+        return spec
+    xs, ys, zs = spec.axes
+    h = xs[-1] - xs[-2]
+    xs_p = np.concatenate([xs, xs[-1] + h * np.arange(1, pad_n + 1)])
+    padn = lambda a, fill=0.0: np.concatenate(
+        [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)], axis=0)
+    return dataclasses.replace(
+        spec,
+        axes=(xs_p, ys, zs),
+        coords_dev=np.concatenate(
+            [spec.coords_dev,
+             np.zeros((3, pad_n) + spec.coords_dev.shape[2:])], axis=1),
+        body6=np.concatenate(
+            [spec.body6,
+             np.zeros((6, pad_n) + spec.body6.shape[2:], np.int8)],
+            axis=1),
+        used=padn(spec.used, False),
+        free=padn(spec.free, False),
+        dirichlet=padn(spec.dirichlet),
+        b_neumann=padn(spec.b_neumann),
+    )
+
+
+def assemble_lattice_sharded(spec: LatticeSpec, mesh, *, axis: str = "x",
+                             dtype=jnp.float32, min_nodes=100,
+                             max_levels=8):
+    """Multi-chip device assembly: x-slab-sharded coefficients + MG
+    hierarchy, via GSPMD sharding annotations on the SAME jitted program
+    as assemble_lattice.
+
+    The coefficient build is pure shifted elementwise work (pads +
+    static slices), exactly the pattern XLA's SPMD partitioner converts
+    into local compute + 1-plane halo exchanges over ICI — no manual
+    shard_map needed for assembly.  Outputs: the fine level (scase.coeff
+    (B, 27, X, Y, Z), free/dirichlet/b_neumann grids) sharded into
+    x-slabs over `axis`; coarse hierarchy levels replicated (they are
+    ~8x smaller per level — the same agglomeration layout
+    parallel/stencil_shard.sharded_stencil_solve_mg consumes).
+
+    The returned (scase, hier) feed sharded_stencil_solve_mg directly,
+    so a single large case is assembled AND solved without any device
+    ever holding the full fine grid.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ns = lambda *spec_: NamedSharding(mesh, P(*spec_))
+    repl = ns()
+    spec = _pad_spec_x(spec, mesh.shape[axis])
+    dev = spec_device_arrays(spec, dtype)
+    shardings = dict(
+        h_axes=(repl, repl, repl),
+        coords_dev=ns(None, axis),
+        # cell-axis length is X-1 (never divisible together with the
+        # node axis); int8 and ~6 bytes/cell, so replicate and let the
+        # partitioner slice it locally
+        body6=repl,
+        free=ns(axis),
+        dirichlet=ns(axis),
+        b_neumann=ns(axis),
+        grid_index=repl,
+        sigma_table=repl,
+    )
+    dev = {k: jax.device_put(v, shardings[k]) for k, v in dev.items()}
+
+    # out shardings: fine level x-sharded, coarse levels + transfers
+    # replicated.  Build the pytree by running the (cheap) structure
+    # trace once via eval_shape to learn the hierarchy depth.
+    axes_st = _axes_static(spec)
+    n_bodies = spec.n_bodies
+    fn = partial(_assemble_jit, axes=axes_st, n_bodies=n_bodies,
+                 min_nodes=min_nodes, max_levels=max_levels)
+    scase_sh, hier_sh = jax.eval_shape(fn, dev)
+    n_levels = len(hier_sh.levels)
+
+    out_scase = StencilCase(coeff=ns(None, None, axis), free=ns(axis),
+                            dirichlet=ns(axis), b_neumann=ns(axis),
+                            grid_index=repl, sigma_table=repl)
+    out_levels = tuple(
+        MGLevel(coeff=ns(None, None, axis) if i == 0 else repl,
+                free=ns(axis) if i == 0 else repl)
+        for i in range(n_levels))
+    out_hier = MGHierarchy(levels=out_levels,
+                           prolongs=hier_sh.prolongs,
+                           restricts=hier_sh.restricts)
+
+    run = jax.jit(fn, out_shardings=(out_scase, out_hier))
+    return run(dev)
