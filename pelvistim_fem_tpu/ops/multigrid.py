@@ -575,9 +575,16 @@ def solve_stencil_mg_refined(scase: StencilCase, hier: MGHierarchy,
         x, rel_old, total_it, k = carry
         done = rel_old <= tol
         r64 = b64 - op64(x)
+        # Adaptive inner tolerance: the correction solve only has to
+        # shrink the TRUE residual from rel_old to tol, so later passes
+        # ask for tol/rel_old (x4 safety) instead of the full inner_tol
+        # reduction — measured ~2x fewer total inner iterations at the
+        # step04 contrast (pass 1: rel_old=inf clips to inner_tol).
+        need = 0.25 * tol / jnp.minimum(rel_old, 1.0)
+        tol_k = jnp.clip(need, inner_tol, 0.05)
         res = preconditioned_cg(op32, r64.astype(jnp.float32), Mp,
                                 jnp.zeros_like(r64, jnp.float32),
-                                tol=inner_tol, maxiter=maxiter)
+                                tol=tol_k, maxiter=maxiter)
         x_n = x + res.phi.astype(jnp.float64)
         rel_n = jnp.sqrt(jnp.sum((b64 - op64(x_n)) ** 2)) / jnp.where(
             bnorm > 0, bnorm, 1.0)

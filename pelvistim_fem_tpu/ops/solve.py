@@ -160,11 +160,16 @@ def solve_case_refined(case, sigma_table=None, *, tol=1e-8,
     x = jnp.where(case.free_mask, 0.0, case64.dirichlet_vals)
 
     def refine(carry):
-        x, _, total_it, k = carry
+        x, rel_old, total_it, k = carry
         r64 = b64 - op64(x)
+        # Adaptive inner tolerance: a pass starting at true rel_old only
+        # needs a tol/rel_old reduction (x4 safety), not the full
+        # inner_tol sweep — pass 1 (rel_old=inf) clips to inner_tol.
+        tol_k = jnp.clip(0.25 * tol / jnp.minimum(rel_old, 1.0),
+                         inner_tol, 0.05)
         res = jacobi_pcg(op32, r64.astype(jnp.float32), diag32,
                          jnp.zeros_like(r64, jnp.float32),
-                         tol=inner_tol, maxiter=maxiter)
+                         tol=tol_k, maxiter=maxiter)
         x = x + res.phi.astype(jnp.float64)
         rel = jnp.linalg.norm(b64 - op64(x)) / jnp.where(bnorm > 0, bnorm, 1.0)
         return (x, rel, total_it + res.iterations, k + 1)

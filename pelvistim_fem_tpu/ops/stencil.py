@@ -522,9 +522,14 @@ def solve_stencil_refined(scase: StencilCase, sigma_table=None,
         x, rel_old, total_it, k = carry
         done = rel_old <= tol
         r64 = b64 - op64(x)
+        # Adaptive inner tolerance: a pass starting at true rel_old only
+        # needs a tol/rel_old reduction (x4 safety), not the full
+        # inner_tol sweep — pass 1 (rel_old=inf) clips to inner_tol.
+        tol_k = jnp.clip(0.25 * tol / jnp.minimum(rel_old, 1.0),
+                         inner_tol, 0.05)
         res = jacobi_pcg(op32, r64.astype(jnp.float32), diag32,
                          jnp.zeros_like(r64, jnp.float32),
-                         tol=inner_tol, maxiter=maxiter)
+                         tol=tol_k, maxiter=maxiter)
         x_n = x + res.phi.astype(jnp.float64)
         rel_n = jnp.sqrt(jnp.sum((b64 - op64(x_n)) ** 2)) / jnp.where(
             bnorm > 0, bnorm, 1.0)
