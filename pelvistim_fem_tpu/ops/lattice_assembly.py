@@ -295,9 +295,9 @@ def solve_lattice_mg(spec: LatticeSpec, sigma_table=None, *,
                                    "smoother", "max_refinements",
                                    "min_nodes", "max_levels"))
 def _assemble_solve_refined_jit(dev, sigma_table, *, axes, n_bodies, tol,
-                                inner_tol=1e-6, maxiter=2_000, nu=2,
+                                inner_tol=3e-4, maxiter=2_000, nu=2,
                                 coarse_iters=24, smoother="jacobi",
-                                max_refinements=6, min_nodes=100,
+                                max_refinements=8, min_nodes=100,
                                 max_levels=8):
     from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg_refined
     axes_np = tuple(np.asarray(a, float) for a in axes)
@@ -321,9 +321,9 @@ def _assemble_solve_refined_jit(dev, sigma_table, *, axes, n_bodies, tol,
 
 
 def solve_lattice_mg_refined(spec: LatticeSpec, sigma_table=None, *,
-                             tol=1e-8, inner_tol=1e-6, maxiter=2_000,
+                             tol=1e-8, inner_tol=3e-4, maxiter=2_000,
                              nu=2, coarse_iters=24, smoother="jacobi",
-                             max_refinements=6, device_arrays=None):
+                             max_refinements=8, device_arrays=None):
     """Assemble (f64) + coarsen (f32) + mixed-precision MG solve as ONE
     device program: the returned residual is the TRUE f64 relative
     residual (requires jax_enable_x64; see

@@ -536,9 +536,9 @@ def solve_stencil_mg(scase: StencilCase, hier: MGHierarchy,
                                    "max_refinements"))
 def solve_stencil_mg_refined(scase: StencilCase, hier: MGHierarchy,
                              sigma_table=None, *, tol=1e-8,
-                             inner_tol=1e-6, maxiter=2_000, nu=2,
+                             inner_tol=3e-4, maxiter=2_000, nu=2,
                              coarse_iters=24, smoother="jacobi",
-                             max_refinements=6) -> SolveResult:
+                             max_refinements=8) -> SolveResult:
     """Mixed-precision MG solve: f32 MG-CG inner sweeps + f64 residual
     correction (requires jax_enable_x64; pass scase/hier built in f64).
 
@@ -550,7 +550,16 @@ def solve_stencil_mg_refined(scase: StencilCase, hier: MGHierarchy,
     residual in f64 against the f64 operator and re-solves the
     correction in f32, so the returned `residual` IS the true one.
     Converged lanes FREEZE under vmap (same contract as
-    solve_stencil_refined)."""
+    solve_stencil_refined).
+
+    inner_tol is the per-pass reduction FLOOR; the schedule is adaptive
+    (see `refine`).  3e-4 measured fastest on the v5e step04 100-lane
+    sweep at tol 1e-8 (floor 1e-6 -> 0.78 s, 3e-4 -> 0.70 s, 1e-3 ->
+    0.92 s: looser floors cut f32 iterations 45 -> 33 mean but add f64
+    correction passes).  A full-f64 outer CG with f32 V-cycle
+    preconditioner needs only 20 mean iterations but runs 3.3x slower
+    (2.3 s) — emulated-f64 SpMVs dominate — hence restart-based
+    refinement."""
     from pelvistim_fem_tpu.ops import stencil as st
     if sigma_table is None:
         sigma_table = scase.sigma_table
@@ -608,9 +617,9 @@ def solve_stencil_mg_refined(scase: StencilCase, hier: MGHierarchy,
                                    "coarse_iters", "smoother",
                                    "max_refinements"))
 def batched_mg_solve_refined(scase: StencilCase, hier: MGHierarchy,
-                             sigma_tables, *, tol=1e-8, inner_tol=1e-6,
+                             sigma_tables, *, tol=1e-8, inner_tol=3e-4,
                              maxiter=2_000, nu=2, coarse_iters=24,
-                             smoother="jacobi", max_refinements=6):
+                             smoother="jacobi", max_refinements=8):
     """Material sweep at TRUE f64-certified tolerance: one vmapped
     mixed-precision MG solve per lane (see solve_stencil_mg_refined).
     The honest fast path for hard-contrast sweeps — bench.py uses it."""
