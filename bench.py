@@ -139,7 +139,7 @@ def main():
     # program).
     from pelvistim_fem_tpu.models.ankle import build_layered_spec
     from pelvistim_fem_tpu.ops.lattice_assembly import (
-        solve_lattice_mg, spec_device_arrays)
+        solve_lattice_mg_refined, spec_device_arrays)
     from pelvistim_fem_tpu.utils.config import default_params
     p3 = default_params("step03_ankle_layers")
     p3["mesh"] = {"lc_global_mm": 1.1, "lc_electrode_mm": 0.7,
@@ -147,11 +147,14 @@ def main():
     t0 = time.perf_counter()
     spec_m, _ = build_layered_spec(p3)
     t_spec_m = time.perf_counter() - t0
-    dev_m = spec_device_arrays(spec_m, jnp.float32)
-    r = solve_lattice_mg(spec_m, tol=tol, device_arrays=dev_m)
+    # Certified megatet: f64 master + f32 MG-CG inner sweeps with the
+    # lane-packed flat SpMV kernel (auto-selected) — the reported
+    # residual is the TRUE f64 one at the reference tolerance 1e-8.
+    dev_m = spec_device_arrays(spec_m, jnp.float64)
+    r = solve_lattice_mg_refined(spec_m, tol=tol, device_arrays=dev_m)
     float(np.asarray(r.phi[0]))        # warm/compile
     t0 = time.perf_counter()
-    r = solve_lattice_mg(spec_m, tol=tol, device_arrays=dev_m)
+    r = solve_lattice_mg_refined(spec_m, tol=tol, device_arrays=dev_m)
     float(np.asarray(r.phi[0]))
     t_asm_solve_m = time.perf_counter() - t0
     assert bool(np.asarray(r.converged)), "megatet solve did not converge"
@@ -186,6 +189,7 @@ def main():
         "megatet_assemble_solve_s": round(t_asm_solve_m, 3),
         "megatet_case_s": round(t_spec_m + t_asm_solve_m, 3),
         "megatet_iters": int(np.asarray(r.iterations)),
+        "megatet_true_residual": float(f"{float(np.asarray(r.residual)):.3g}"),
         "device": str(jax.devices()[0]),
     }))
 

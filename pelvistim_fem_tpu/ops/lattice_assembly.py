@@ -260,16 +260,30 @@ def assemble_lattice(spec: LatticeSpec, dtype=jnp.float32, *,
 
 @partial(jax.jit, static_argnames=("axes", "n_bodies", "tol", "maxiter",
                                    "nu", "coarse_iters", "smoother",
-                                   "min_nodes", "max_levels"))
+                                   "min_nodes", "max_levels", "spmv"))
 def _assemble_solve_jit(dev, sigma_table, *, axes, n_bodies, tol,
                         maxiter=2_000, nu=2, coarse_iters=24,
-                        smoother="jacobi", min_nodes=100, max_levels=8):
+                        smoother="jacobi", min_nodes=100, max_levels=8,
+                        spmv=None):
     scase, hier = _assemble_jit(dev, axes=axes, n_bodies=n_bodies,
                                 min_nodes=min_nodes,
                                 max_levels=max_levels)
     return solve_stencil_mg(scase, hier, sigma_table, tol=tol,
                             maxiter=maxiter, nu=nu,
-                            coarse_iters=coarse_iters, smoother=smoother)
+                            coarse_iters=coarse_iters, smoother=smoother,
+                            spmv=spmv)
+
+
+def _auto_spmv(spec: LatticeSpec):
+    """Pick the SpMV kernel for UNBATCHED lattice solves: the
+    lane-packed flat Pallas kernel on large grids (1.36x faster megatet
+    MG iterations on v5e), XLA elsewhere (small grids, CPU tests, and
+    every vmapped path — vmap serializes Pallas kernel grids)."""
+    from pelvistim_fem_tpu.ops.multigrid import FLAT_MIN_NODES
+    G = int(np.prod(spec.grid_shape))
+    if G >= FLAT_MIN_NODES and jax.default_backend() != "cpu":
+        return "flat"
+    return None
 
 
 def solve_lattice_mg(spec: LatticeSpec, sigma_table=None, *,
@@ -287,18 +301,18 @@ def solve_lattice_mg(spec: LatticeSpec, sigma_table=None, *,
                                n_bodies=spec.n_bodies, tol=tol,
                                maxiter=maxiter, nu=nu,
                                coarse_iters=coarse_iters,
-                               smoother=smoother)
+                               smoother=smoother, spmv=_auto_spmv(spec))
 
 
 @partial(jax.jit, static_argnames=("axes", "n_bodies", "tol", "inner_tol",
                                    "maxiter", "nu", "coarse_iters",
                                    "smoother", "max_refinements",
-                                   "min_nodes", "max_levels"))
+                                   "min_nodes", "max_levels", "spmv"))
 def _assemble_solve_refined_jit(dev, sigma_table, *, axes, n_bodies, tol,
                                 inner_tol=3e-4, maxiter=2_000, nu=2,
                                 coarse_iters=24, smoother="jacobi",
                                 max_refinements=8, min_nodes=100,
-                                max_levels=8):
+                                max_levels=8, spmv=None):
     from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg_refined
     axes_np = tuple(np.asarray(a, float) for a in axes)
     # f64 master operator; the MG hierarchy (inner preconditioner) is
@@ -317,7 +331,7 @@ def _assemble_solve_refined_jit(dev, sigma_table, *, axes, n_bodies, tol,
     return solve_stencil_mg_refined(
         scase64, hier32, sigma_table, tol=tol, inner_tol=inner_tol,
         maxiter=maxiter, nu=nu, coarse_iters=coarse_iters,
-        smoother=smoother, max_refinements=max_refinements)
+        smoother=smoother, max_refinements=max_refinements, spmv=spmv)
 
 
 def solve_lattice_mg_refined(spec: LatticeSpec, sigma_table=None, *,
@@ -336,7 +350,7 @@ def solve_lattice_mg_refined(spec: LatticeSpec, sigma_table=None, *,
         dev, sig, axes=_axes_static(spec), n_bodies=spec.n_bodies,
         tol=tol, inner_tol=inner_tol, maxiter=maxiter, nu=nu,
         coarse_iters=coarse_iters, smoother=smoother,
-        max_refinements=max_refinements)
+        max_refinements=max_refinements, spmv=_auto_spmv(spec))
 
 
 def _pad_spec_x(spec: LatticeSpec, n_dev: int) -> LatticeSpec:

@@ -235,3 +235,101 @@ def batched_stencil_spmv_fused_pallas(X, coeff, sigma_tables):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, Xg, Yg, Zg), X.dtype),
     )(sig, Xp, Xp, Xp, coeff)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed FLAT-layout kernel
+#
+# The row kernels above keep the (Y, Z) plane 2-D, so the VPU's 128-wide
+# lane dimension holds only Z values (Z=41 on the megatet grid: 2/3 of
+# every vector lane idle), and the grid has X steps (112) of fixed
+# pipeline latency.  Measured on v5e at megatet scale the XLA SpMV runs
+# at 39 GB/s — 5% of HBM peak — so the hot op has ~10x headroom.
+#
+# This kernel flattens the halo-padded plane: f = (y+1)*(Z+2) + (z+1),
+# F = roundup((Y+2)*(Z+2), 128).  Then every stencil neighbor is ONE
+# uniform flat offset off = dy*(Z+2) + dz, implemented as a lane roll of
+# a fully-packed (R, F) row block — all 128 lanes busy, and R=8 x-rows
+# per grid step cut the megatet grid from 112 steps to 14.  Circular
+# wrap from the roll is harmless: C is zero at every halo/pad position,
+# and interior positions never read a wrapped value (interior f spans
+# [Z+3, (Y+1)(Z+2)-2]; |off| <= Z+3 <= F - interior_max).
+# ---------------------------------------------------------------------------
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def _flat_offsets(Z):
+    return [dy * (Z + 2) + dz for (_, dy, dz) in OFFSETS]
+
+
+def pack_coeff_flat(C, rows=8):
+    """(27, X, Y, Z) -> (27, Xr, F) flat layout with zeroed halo/pad
+    (Xr = roundup(X, rows), F = roundup((Y+2)*(Z+2), 128)).  One-time
+    per solve; the result is what stencil_spmv_flat consumes."""
+    _, X, Y, Z = C.shape
+    Xr = _round_up(X, rows)
+    F0 = (Y + 2) * (Z + 2)
+    F = _round_up(F0, 128)
+    Cp = jnp.pad(C, ((0, 0), (0, Xr - X), (1, 1), (1, 1)))
+    Cf = Cp.reshape(27, Xr, F0)
+    return jnp.pad(Cf, ((0, 0), (0, 0), (0, F - F0)))
+
+
+def _make_flat_kernel(offs):
+    def kernel(xl_ref, xm_ref, xh_ref, c_ref, y_ref):
+        # x{l,m,h}_ref: (R, F) packed rows i-1 / i / i+1; c_ref:
+        # (27, R, F); y_ref: (R, F)
+        rows = (xl_ref, xm_ref, xh_ref)
+        acc = jnp.zeros(y_ref.shape, y_ref.dtype)
+        F = y_ref.shape[1]
+        for o, (dx, _, _) in enumerate(OFFSETS):
+            xs = rows[1 + dx][:, :]
+            off = offs[o]
+            if off != 0:
+                # pltpu.roll wants a non-negative shift; (-off) % F is
+                # the same circular rotation.  Explicit int32: under
+                # jax_enable_x64 a bare Python int lowers to i64, which
+                # tpu.dynamic_rotate rejects.
+                xs = pltpu.roll(xs, jnp.int32((-off) % F), 1)
+            acc = acc + c_ref[o] * xs
+        y_ref[:, :] = acc
+
+    return kernel
+
+
+def stencil_spmv_flat(x, Cf, rows=8):
+    """y = K x with the lane-packed flat kernel.  x (X, Y, Z); Cf from
+    pack_coeff_flat(C, rows).  Returns (X, Y, Z).
+
+    Per apply the packing adds two small copies of x (~4% of the
+    coefficient traffic); Cf itself is packed once per solve."""
+    X, Y, Z = x.shape
+    Xr = Cf.shape[1]
+    F = Cf.shape[2]
+    F0 = (Y + 2) * (Z + 2)
+    xp = jnp.pad(x, ((1, Xr - X + 1), (1, 1), (1, 1)))
+    xf = jnp.pad(xp.reshape(Xr + 2, F0), ((0, 0), (0, F - F0)))
+    xl, xm, xh = xf[0:Xr], xf[1:Xr + 1], xf[2:Xr + 2]
+
+    # index maps return explicit int32 zeros: under jax_enable_x64 a
+    # bare Python 0 traces as i64 and Mosaic rejects the lowering
+    # ("failed to legalize func.return (i32, i64)").  numpy scalar, not
+    # jnp: index maps may not capture jax Array constants.
+    z32 = np.int32(0)
+    blk = lambda: pl.BlockSpec((rows, F), lambda i: (i, z32),
+                               memory_space=pltpu.VMEM)
+    yf = pl.pallas_call(
+        _make_flat_kernel(tuple(_flat_offsets(Z))),
+        grid=(Xr // rows,),
+        in_specs=[blk(), blk(), blk(),
+                  pl.BlockSpec((27, rows, F), lambda i: (z32, i, z32),
+                               memory_space=pltpu.VMEM)],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((Xr, F), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xl, xm, xh, Cf)
+    return yf[:X, :F0].reshape(X, Y + 2, Z + 2)[:, 1:Y + 1, 1:Z + 1]

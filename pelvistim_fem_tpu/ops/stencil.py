@@ -200,12 +200,28 @@ def _use_pallas() -> bool:
         jax.devices()[0].platform != "cpu"
 
 
-def _operator(scase, sigma_table, coeff=None):
+def _operator(scase, sigma_table, coeff=None, spmv=None):
+    """(op, diag, b_eff) for the stencil system.
+
+    spmv: None (honor PELVISTIM_USE_PALLAS), "xla", "pallas", or
+    "flat" — the lane-packed flat-layout Pallas kernel
+    (pallas_stencil.stencil_spmv_flat; 1.36x faster megatet MG
+    iterations on v5e).  "flat" packs the combined coefficients once
+    at operator construction, outside any solver loop."""
     C = combine_coeffs(scase.coeff if coeff is None else coeff,
                        sigma_table)
     free = scase.free
+    if spmv is None:
+        spmv = "pallas" if _use_pallas() else "xla"
 
-    if _use_pallas():
+    if spmv == "flat":
+        from pelvistim_fem_tpu.ops.pallas_stencil import (
+            pack_coeff_flat, stencil_spmv_flat)
+        Cf = pack_coeff_flat(C)
+
+        def raw(x):
+            return stencil_spmv_flat(x, Cf)
+    elif spmv == "pallas":
         from pelvistim_fem_tpu.ops.pallas_stencil import \
             stencil_spmv_pallas
 

@@ -207,11 +207,16 @@ def test_solve_lattice_mg_refined_matches_element_solve():
     np.testing.assert_allclose(p1, p2, atol=1e-7 * scale)
 
 
-def test_assemble_lattice_sharded_matches_and_solves():
+import pytest
+
+
+@pytest.mark.parametrize("n_dev", [5, 8])
+def test_assemble_lattice_sharded_matches_and_solves(n_dev):
     """Multi-chip assembly: x-slab GSPMD-sharded coefficient build +
     hierarchy must (a) equal the unsharded assembly on the real planes
     with all-zero padded planes, and (b) feed the domain-decomposed MG
-    solve with identical iteration counts and solution."""
+    solve with identical iteration counts and solution.  n_dev=5
+    divides the X=25 grid exactly (no padding); n_dev=8 pads to 32."""
     from jax.sharding import Mesh
     import jax
     from pelvistim_fem_tpu.models.pressure import build_pressure_spec
@@ -219,7 +224,7 @@ def test_assemble_lattice_sharded_matches_and_solves():
         sharded_stencil_solve_mg
 
     spec, _ = build_pressure_spec(coarse=True)
-    mesh = Mesh(np.asarray(jax.devices()[:8]), ("x",))
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("x",))
     sc_s, hi_s = la.assemble_lattice_sharded(spec, mesh,
                                              dtype=jnp.float64)
     sc_r, hi_r = la.assemble_lattice(spec, jnp.float64)
