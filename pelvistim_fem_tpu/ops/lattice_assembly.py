@@ -274,14 +274,16 @@ def _assemble_solve_jit(dev, sigma_table, *, axes, n_bodies, tol,
                             spmv=spmv)
 
 
-def _auto_spmv(spec: LatticeSpec):
+def _auto_spmv(spec: LatticeSpec, dtype=jnp.float32):
     """Pick the SpMV kernel for UNBATCHED lattice solves: the
-    lane-packed flat Pallas kernel on large grids (1.36x faster megatet
-    MG iterations on v5e), XLA elsewhere (small grids, CPU tests, and
-    every vmapped path — vmap serializes Pallas kernel grids)."""
+    lane-packed flat Pallas kernel on large f32 grids (1.36x faster
+    megatet MG iterations on v5e), XLA elsewhere (small grids, CPU
+    tests, f64 operands — Mosaic cannot lower f64 on TPU — and every
+    vmapped path, since vmap serializes Pallas kernel grids)."""
     from pelvistim_fem_tpu.ops.multigrid import FLAT_MIN_NODES
     G = int(np.prod(spec.grid_shape))
-    if G >= FLAT_MIN_NODES and jax.default_backend() != "cpu":
+    if (G >= FLAT_MIN_NODES and jax.default_backend() != "cpu"
+            and jnp.dtype(dtype) == jnp.float32):
         return "flat"
     return None
 
@@ -301,7 +303,8 @@ def solve_lattice_mg(spec: LatticeSpec, sigma_table=None, *,
                                n_bodies=spec.n_bodies, tol=tol,
                                maxiter=maxiter, nu=nu,
                                coarse_iters=coarse_iters,
-                               smoother=smoother, spmv=_auto_spmv(spec))
+                               smoother=smoother,
+                               spmv=_auto_spmv(spec, dtype))
 
 
 @partial(jax.jit, static_argnames=("axes", "n_bodies", "tol", "inner_tol",
@@ -412,7 +415,21 @@ def assemble_lattice_sharded(spec: LatticeSpec, mesh, *, axis: str = "x",
     ns = lambda *spec_: NamedSharding(mesh, P(*spec_))
     repl = ns()
     spec = _pad_spec_x(spec, mesh.shape[axis])
-    dev = spec_device_arrays(spec, dtype)
+    # Host numpy -> device_put with the TARGET sharding directly:
+    # staging through spec_device_arrays (plain jnp.asarray) would
+    # commit every full fine-grid array to one device first, defeating
+    # the whole no-device-holds-the-fine-grid contract.
+    host = dict(
+        h_axes=tuple(np.diff(np.asarray(a, np.float64)).astype(dtype)
+                     for a in spec.axes),
+        coords_dev=np.asarray(spec.coords_dev, dtype),
+        body6=spec.body6,
+        free=spec.free,
+        dirichlet=np.asarray(spec.dirichlet, dtype),
+        b_neumann=np.asarray(spec.b_neumann, dtype),
+        grid_index=np.asarray(spec.grid_index, np.int32),
+        sigma_table=np.asarray(spec.sigma_table, dtype),
+    )
     shardings = dict(
         h_axes=(repl, repl, repl),
         coords_dev=ns(None, axis),
@@ -426,28 +443,40 @@ def assemble_lattice_sharded(spec: LatticeSpec, mesh, *, axis: str = "x",
         grid_index=repl,
         sigma_table=repl,
     )
-    dev = {k: jax.device_put(v, shardings[k]) for k, v in dev.items()}
+    dev = jax.tree_util.tree_map(jax.device_put, host, shardings)
 
-    # out shardings: fine level x-sharded, coarse levels + transfers
-    # replicated.  Build the pytree by running the (cheap) structure
-    # trace once via eval_shape to learn the hierarchy depth.
-    axes_st = _axes_static(spec)
-    n_bodies = spec.n_bodies
-    fn = partial(_assemble_jit, axes=axes_st, n_bodies=n_bodies,
-                 min_nodes=min_nodes, max_levels=max_levels)
-    scase_sh, hier_sh = jax.eval_shape(fn, dev)
-    n_levels = len(hier_sh.levels)
-
-    out_scase = StencilCase(coeff=ns(None, None, axis), free=ns(axis),
-                            dirichlet=ns(axis), b_neumann=ns(axis),
-                            grid_index=repl, sigma_table=repl)
-    out_levels = tuple(
-        MGLevel(coeff=ns(None, None, axis) if i == 0 else repl,
-                free=ns(axis) if i == 0 else repl)
-        for i in range(n_levels))
-    out_hier = MGHierarchy(levels=out_levels,
-                           prolongs=hier_sh.prolongs,
-                           restricts=hier_sh.restricts)
-
-    run = jax.jit(fn, out_shardings=(out_scase, out_hier))
+    # Memoized pjit per (mesh, lattice shape, dtype): a fresh jax.jit
+    # wrapper per call would re-trace and remote-recompile (~30 s on
+    # axon) every invocation (CLAUDE.md landmine).  The eval_shape must
+    # run on the REAL sharded dev (not synthetic ShapeDtypeStructs):
+    # the out_shardings hierarchy embeds the transfer closures produced
+    # by _assemble_jit's trace, and only an inner-jit cache hit —
+    # avals include shardings — makes the outer trace reuse those same
+    # closure objects.
+    key = (mesh, axis, _axes_static(spec), spec.n_bodies, min_nodes,
+           max_levels, jnp.dtype(dtype).name, len(spec.grid_index))
+    run = _SHARDED_FN_CACHE.get(key)
+    if run is None:
+        fn = partial(_assemble_jit, axes=key[2], n_bodies=spec.n_bodies,
+                     min_nodes=min_nodes, max_levels=max_levels)
+        _, hier_sh = jax.eval_shape(fn, dev)
+        n_levels = len(hier_sh.levels)
+        # out shardings: fine level x-sharded, coarse levels +
+        # transfers replicated
+        out_scase = StencilCase(
+            coeff=ns(None, None, axis), free=ns(axis),
+            dirichlet=ns(axis), b_neumann=ns(axis),
+            grid_index=repl, sigma_table=repl)
+        out_levels = tuple(
+            MGLevel(coeff=ns(None, None, axis) if i == 0 else repl,
+                    free=ns(axis) if i == 0 else repl)
+            for i in range(n_levels))
+        out_hier = MGHierarchy(levels=out_levels,
+                               prolongs=hier_sh.prolongs,
+                               restricts=hier_sh.restricts)
+        run = jax.jit(fn, out_shardings=(out_scase, out_hier))
+        _SHARDED_FN_CACHE[key] = run
     return run(dev)
+
+
+_SHARDED_FN_CACHE: dict = {}

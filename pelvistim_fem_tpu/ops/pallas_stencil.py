@@ -309,6 +309,11 @@ def stencil_spmv_flat(x, Cf, rows=8):
     X, Y, Z = x.shape
     Xr = Cf.shape[1]
     F = Cf.shape[2]
+    if Xr % rows or Xr < X:
+        raise ValueError(
+            f"rows={rows} incompatible with packed Cf (Xr={Xr}, X={X}):"
+            " pack_coeff_flat and stencil_spmv_flat must agree on a"
+            " rows value dividing Xr, or trailing x-planes are dropped")
     F0 = (Y + 2) * (Z + 2)
     xp = jnp.pad(x, ((1, Xr - X + 1), (1, 1), (1, 1)))
     xf = jnp.pad(xp.reshape(Xr + 2, F0), ((0, 0), (0, F - F0)))
