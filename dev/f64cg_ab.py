@@ -1,5 +1,10 @@
 """A/B: f64 outer MG-CG (f32 V-cycle preconditioner, no restarts) vs
 the mixed-precision refinement path, on the bench sweep at tol 1e-8."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp

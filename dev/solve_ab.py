@@ -2,6 +2,11 @@
 kernel — through the PRODUCTION spmv-parameterized API
 (multigrid.solve_stencil_mg), so the measurement cannot diverge from
 the shipped path.  Timing via repeated solves with scalar readback."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

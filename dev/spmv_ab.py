@@ -1,4 +1,9 @@
 """Megatet SpMV A/B on v5e: XLA vs row-Pallas vs lane-packed flat."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp

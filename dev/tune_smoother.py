@@ -1,8 +1,12 @@
-import time
+"""Smoother/nu scan for the 100-lane refined sweep at tol 1e-8: does a
+stronger smoother cut the hard-lane (max) iteration count enough to
+beat Jacobi nu=2's cheaper cycles?"""
 import os as _os
 import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
     _os.path.abspath(__file__))))
+
+import time
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
@@ -25,17 +29,17 @@ tables[:, core.BODY_CONTACT_ACTIVE] = sigmas
 tables[:, core.BODY_CONTACT_RETURN] = sigmas
 tables = jnp.asarray(tables, jnp.float64)
 
-for it in [1e-4, 3e-4, 1e-3]:
+for sm, nu in (("jacobi", 2), ("jacobi", 3), ("chebyshev", 3),
+               ("chebyshev", 4)):
     out = batched_mg_solve_refined(scase, hier, tables, tol=1e-8,
-                                   inner_tol=it, max_refinements=10)
+                                   smoother=sm, nu=nu)
     float(np.asarray(out.phi[0, 0]))
     t0 = time.perf_counter()
     out = batched_mg_solve_refined(scase, hier, tables, tol=1e-8,
-                                   inner_tol=it, max_refinements=10)
+                                   smoother=sm, nu=nu)
     float(np.asarray(out.phi[0, 0]))
     dt = time.perf_counter() - t0
     its = np.asarray(out.iterations)
-    res = np.asarray(out.residual)
-    print(f"floor={it:g} wall={dt:.3f}s mean_it={its.mean():.1f} "
-          f"max_it={its.max()} max_res={res.max():.2e} "
+    print(f"{sm} nu={nu}: wall={dt:.3f}s mean_it={its.mean():.1f} "
+          f"max_it={its.max()} "
           f"conv={bool(np.asarray(out.converged).all())}", flush=True)
