@@ -240,3 +240,24 @@ def test_assemble_lattice_sharded_matches_and_solves(n_dev):
     assert abs(int(r_ref.iterations) - int(r_sh.iterations)) <= 1
     p1, p2 = np.asarray(r_ref.phi), np.asarray(r_sh.phi)
     np.testing.assert_allclose(p2, p1, atol=1e-9 * np.abs(p1).max())
+
+
+def test_auto_spmv_routing(monkeypatch):
+    """The flat Pallas kernel is only auto-selected for large f32 grids
+    on a non-CPU backend — f64 operands (no Mosaic f64) and small grids
+    stay on XLA."""
+    import jax
+    spec, _ = __import__(
+        "pelvistim_fem_tpu.models.pressure",
+        fromlist=["build_pressure_spec"]).build_pressure_spec(coarse=True)
+
+    monkeypatch.setattr(la.jax, "default_backend", lambda: "tpu")
+    # coarse spec is tiny -> XLA regardless
+    assert la._auto_spmv(spec, jnp.float32) is None
+    # fake a big grid by monkeypatching the threshold
+    import pelvistim_fem_tpu.ops.multigrid as mg
+    monkeypatch.setattr(mg, "FLAT_MIN_NODES", 1)
+    assert la._auto_spmv(spec, jnp.float32) == "flat"
+    assert la._auto_spmv(spec, jnp.float64) is None
+    monkeypatch.setattr(la.jax, "default_backend", lambda: "cpu")
+    assert la._auto_spmv(spec, jnp.float32) is None
