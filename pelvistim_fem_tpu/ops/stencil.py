@@ -170,7 +170,14 @@ def combine_coeffs(coeff, sigma_table):
     to an MXU matmul whose default f32 precision is bf16-based; a ~0.4%
     coefficient perturbation on a kappa ~ 1e6 system yields O(1) solution
     error WITH a converged residual (observed on TPU before this fix).
+
+    B == 1 fast path: pre-combined stacks (single-sigma solves on huge
+    grids, e.g. the pelvis stretch case) take a pure elementwise scale —
+    the einsum's unreduced (B, 27, G) intermediate OOMed 16 GB of HBM
+    at 1.19M nodes x 7 bodies in emulated f64 (13.8 GB padded temp).
     """
+    if coeff.shape[0] == 1:
+        return coeff[0] * sigma_table[1]
     return jnp.einsum("b,bo...->o...", sigma_table[1:], coeff,
                       precision=jax.lax.Precision.HIGHEST)
 
