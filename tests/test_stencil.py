@@ -115,3 +115,32 @@ def test_ship_coeff_slab_transfer_exact():
     c[2] = rng.standard_normal(c[2].shape)
     out = _ship_coeff(c, jnp.float64)
     np.testing.assert_array_equal(np.asarray(out), c)
+
+
+def test_precombined_single_sigma_solve_matches_factored():
+    """B == 1 pre-combined coefficient stacks (the pelvis-megatet memory
+    fix: combine_coeffs takes the elementwise fast path, no einsum
+    intermediate) must solve identically to the body-factored form."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.multigrid import (build_hierarchy,
+                                                 solve_stencil_mg)
+
+    from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                               stencil_host_data)
+    case, params, mesh = build_pressure_case(coarse=True, with_mesh=True)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float64, host_data=hd)
+    hier = build_hierarchy(hd, dtype=jnp.float64)
+    r_fact = solve_stencil_mg(sc, hier, tol=1e-10)
+
+    sig = np.asarray(hd["sigma_table"], np.float64)
+    hd1 = {**hd,
+           "coeff": np.einsum("b,bo...->o...", sig[1:], hd["coeff"])[None],
+           "sigma_table": np.array([0.0, 1.0])}
+    sc1 = build_stencil_case(case, mesh, dtype=jnp.float64, host_data=hd1)
+    hier1 = build_hierarchy(hd1, dtype=jnp.float64)
+    r_pre = solve_stencil_mg(sc1, hier1, tol=1e-10)
+
+    assert abs(int(r_fact.iterations) - int(r_pre.iterations)) <= 1
+    p1, p2 = np.asarray(r_fact.phi), np.asarray(r_pre.phi)
+    np.testing.assert_allclose(p2, p1, atol=1e-9 * np.abs(p1).max())
