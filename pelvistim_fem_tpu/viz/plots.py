@@ -327,8 +327,12 @@ def plot_depth_slice_E_maps(solutions, params, out_dir):
         E = np.asarray(fields.cell_E(case, phi))
         Emag = np.linalg.norm(E, axis=1)
         dz = np.abs(cen[:, 2] - z_n)
-        sl = dz < np.partition(dz, 2000)[2000] if len(dz) > 2000 else \
-            dz < np.median(dz)
+        # INCLUSIVE threshold: lattice cells come in discrete z-layers,
+        # so with a strict < the kth-smallest dz can equal the minimum
+        # and select ZERO cells (qhull needs >= 3 points); <= picks the
+        # whole nearest layer.
+        k = min(2000, len(dz) - 1)
+        sl = dz <= np.partition(dz, k)[k]
         tri = mtri.Triangulation(cen[sl, 0] * 1000, cen[sl, 1] * 1000)
         tc = ax.tricontourf(tri, Emag[sl], levels=40, cmap="viridis")
         circ = plt.Circle((meta.e1_pos[0] * 1000, meta.e1_pos[1] * 1000),
