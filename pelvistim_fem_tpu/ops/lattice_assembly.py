@@ -346,6 +346,8 @@ def solve_lattice_mg_refined(spec: LatticeSpec, sigma_table=None, *,
     residual (requires jax_enable_x64; see
     multigrid.solve_stencil_mg_refined for why plain f32 CG cannot be
     trusted at the reference's material contrasts)."""
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("solve_lattice_mg_refined")
     dev = device_arrays or spec_device_arrays(spec, jnp.float64)
     sig = (dev["sigma_table"] if sigma_table is None
            else jnp.asarray(sigma_table, jnp.float64))

@@ -23,6 +23,19 @@ import jax.numpy as jnp
 from pelvistim_fem_tpu.ops import assembly, bc as bc_ops
 
 
+def require_x64(fn_name: str) -> None:
+    """Refined (certified-residual) solvers contractually measure their
+    residual against an f64 master operator.  With jax_enable_x64 off,
+    dtype canonicalization silently turns every 'f64' array into f32 and
+    the reported residual becomes exactly the lying-f32 recursive
+    residual these APIs exist to prevent — so fail loudly instead."""
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            f"{fn_name} requires jax_enable_x64: without it the 'f64 "
+            "master operator' canonicalizes to f32 and the returned "
+            "residual is no longer a certified true residual")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SolveResult:
@@ -140,8 +153,10 @@ def solve_case_refined(case, sigma_table=None, *, tol=1e-8,
 
     On TPU native f64 is software-emulated, so running the O(maxiter) CG
     loop in f32 and only the few refinement residuals in f64 reaches the
-    reference's 1e-8 tolerance at f32 speed.
+    reference's 1e-8 tolerance at f32 speed.  Converged lanes FREEZE
+    under vmap (same contract as solve_stencil_refined).
     """
+    require_x64("solve_case_refined")
     if sigma_table is None:
         sigma_table = case.sigma_table
 
@@ -161,6 +176,7 @@ def solve_case_refined(case, sigma_table=None, *, tol=1e-8,
 
     def refine(carry):
         x, rel_old, total_it, k = carry
+        done = rel_old <= tol
         r64 = b64 - op64(x)
         # Adaptive inner tolerance: a pass starting at true rel_old only
         # needs a tol/rel_old reduction (x4 safety), not the full
@@ -170,9 +186,15 @@ def solve_case_refined(case, sigma_table=None, *, tol=1e-8,
         res = jacobi_pcg(op32, r64.astype(jnp.float32), diag32,
                          jnp.zeros_like(r64, jnp.float32),
                          tol=tol_k, maxiter=maxiter)
-        x = x + res.phi.astype(jnp.float64)
-        rel = jnp.linalg.norm(b64 - op64(x)) / jnp.where(bnorm > 0, bnorm, 1.0)
-        return (x, rel, total_it + res.iterations, k + 1)
+        x_n = x + res.phi.astype(jnp.float64)
+        rel_n = jnp.linalg.norm(b64 - op64(x_n)) / jnp.where(
+            bnorm > 0, bnorm, 1.0)
+        # Converged lanes freeze: under vmap the batched loop runs until
+        # ALL lanes meet tol; without the freeze, finished lanes keep
+        # running loose 5%-clipped correction passes (wasted iterations).
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(x_n, x), sel(rel_n, rel_old),
+                sel(total_it + res.iterations, total_it), k + 1)
 
     def cond(carry):
         _, rel, _, k = carry

@@ -175,8 +175,12 @@ def combine_coeffs(coeff, sigma_table):
     grids, e.g. the pelvis stretch case) take a pure elementwise scale —
     the einsum's unreduced (B, 27, G) intermediate OOMed 16 GB of HBM
     at 1.19M nodes x 7 bodies in emulated f64 (13.8 GB padded temp).
+    The fast path only engages when the sigma table matches the B==1
+    stack (length 2); a stale full-length table paired with a
+    pre-combined stack falls through to the einsum, which raises the
+    shape mismatch instead of silently scaling by sigma_table[1].
     """
-    if coeff.shape[0] == 1:
+    if coeff.shape[0] == 1 and sigma_table.shape[-1] == 2:
         return coeff[0] * sigma_table[1]
     return jnp.einsum("b,bo...->o...", sigma_table[1:], coeff,
                       precision=jax.lax.Precision.HIGHEST)
@@ -526,6 +530,8 @@ def solve_stencil_refined(scase: StencilCase, sigma_table=None,
     sweeps — see solve_stencil).  Under vmap, converged lanes FREEZE
     (carry unchanged) so extra refinements of unfinished lanes cannot
     perturb finished ones."""
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("solve_stencil_refined")
     if sigma_table is None:
         sigma_table = scase.sigma_table
     to = lambda a, dt: jax.tree_util.tree_map(

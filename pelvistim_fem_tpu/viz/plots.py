@@ -331,7 +331,10 @@ def plot_depth_slice_E_maps(solutions, params, out_dir):
         # so with a strict < the kth-smallest dz can equal the minimum
         # and select ZERO cells (qhull needs >= 3 points); <= picks the
         # whole nearest layer.
-        k = min(2000, len(dz) - 1)
+        # Cap k below len(dz)-1 on coarse meshes: k = len(dz)-1 would
+        # set the threshold to max(dz) and turn the "slice" into a
+        # full-volume projection.
+        k = min(2000, max(3, len(dz) // 2))
         sl = dz <= np.partition(dz, k)[k]
         tri = mtri.Triangulation(cen[sl, 0] * 1000, cen[sl, 1] * 1000)
         tc = ax.tricontourf(tri, Emag[sl], levels=40, cmap="viridis")
