@@ -83,3 +83,47 @@ def test_sharded_mg_beats_jacobi_iterations(mg_problem):
     rm = sharded_stencil_solve_mg(sc, hier, mesh, tol=1e-8, maxiter=2000)
     assert bool(rj.converged) and bool(rm.converged)
     assert int(rm.iterations) * 4 <= int(rj.iterations)
+
+@pytest.fixture(scope="module")
+def refined_ref(mg_problem):
+    from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg_refined
+    sc, hier, _ = mg_problem
+    return solve_stencil_mg_refined(sc, hier, tol=1e-8, maxiter=2000)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_mg_refined_certified_1e8(mg_problem, refined_ref, n_dev):
+    """Certified 1e-8 on multi-chip (VERDICT round-2 item 1): the
+    sharded refined solve must report the TRUE f64 relative residual
+    (independently recomputed on host) <= 1e-8, with inner-iteration
+    parity +-1 vs the single-device solve_stencil_mg_refined."""
+    from pelvistim_fem_tpu.ops.multigrid import _np_spmv
+    from pelvistim_fem_tpu.parallel.stencil_shard import \
+        sharded_stencil_solve_mg_refined
+    sc, hier, _ = mg_problem
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("x",))
+    r = sharded_stencil_solve_mg_refined(sc, hier, mesh, tol=1e-8,
+                                         maxiter=2000)
+    assert bool(r.converged)
+    assert abs(int(r.iterations) - int(refined_ref.iterations)) <= 1
+
+    # independent TRUE-residual check in host f64
+    C = np.einsum("b,bo...->o...",
+                  np.asarray(sc.sigma_table, np.float64)[1:],
+                  np.asarray(sc.coeff, np.float64))
+    free = np.asarray(sc.free)
+    diri = np.asarray(sc.dirichlet, np.float64)
+    b = np.asarray(sc.b_neumann, np.float64)
+    gi = np.asarray(sc.grid_index)
+    Xg = np.zeros(free.size)
+    Xg[gi] = np.asarray(r.phi)
+    Xg = Xg.reshape(free.shape)
+    rr = np.where(free, b - _np_spmv(np.where(free, Xg, diri), C), 0.0)
+    beff = np.where(free, b - _np_spmv(np.where(free, 0.0, diri), C), 0.0)
+    true_rel = np.linalg.norm(rr) / np.linalg.norm(beff)
+    assert true_rel <= 1.1e-8, true_rel
+    np.testing.assert_allclose(true_rel, float(np.asarray(r.residual)),
+                               rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(r.phi), np.asarray(refined_ref.phi),
+        atol=2e-8 * float(np.abs(np.asarray(refined_ref.phi)).max()))
