@@ -54,34 +54,28 @@ def main():
     print(f"  bodies (core/muscle/fat/skin/bone/contacts): "
           f"{np.bincount(mesh.tet_body)[1:].tolist()}")
 
+    t_spec = 0.0
     t0 = time.perf_counter()
     if args.megatet:
-        import jax.numpy as jnp
+        from pelvistim_fem_tpu.models.pelvis import build_pelvis_spec
+        from pelvistim_fem_tpu.ops.lattice_assembly import \
+            solve_lattice_mg_refined
 
-        from pelvistim_fem_tpu.ops.multigrid import (
-            FLAT_MIN_NODES, build_hierarchy, solve_stencil_mg_refined)
-        from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
-                                                   stencil_host_data)
-        hd = stencil_host_data(case, mesh)
-        # f64 master + f32 MG-CG inner sweeps: flux/compliance/AF
+        # Lattice-spec fast path: host builds only the compact grid
+        # spec (no tet materialization); ONE jitted device call
+        # assembles the f64 master coefficients + f32 MG hierarchy and
+        # solves with mixed-precision refinement — flux/compliance/AF
         # metrics get a CERTIFIED true residual at the reference 1e-8
         # (f32 recursive residuals lie at tissue contrast; CLAUDE.md).
-        # Single-sigma solve: pre-combine the 7 per-body stacks on the
-        # host into one (1, 27, G) stack — the body-factored form's
-        # einsum intermediate OOMs HBM at this scale in emulated f64,
-        # and a fixed sigma needs no factoring.
-        sig = np.asarray(hd["sigma_table"], np.float64)
-        hd = {**hd,
-              "coeff": np.einsum("b,bo...->o...", sig[1:],
-                                 hd["coeff"])[None],
-              "sigma_table": np.array([0.0, 1.0])}
-        sc = build_stencil_case(case, mesh, dtype=jnp.float64,
-                                host_data=hd)
-        hier = build_hierarchy(hd, dtype=jnp.float32)
-        spmv = ("flat" if hd["free"].size >= FLAT_MIN_NODES
-                and jax.default_backend() != "cpu" else None)
-        res = solve_stencil_mg_refined(sc, hier, tol=1e-8,
-                                       maxiter=2000, spmv=spmv)
+        # Same per-case discipline that makes the 1.75M-tet ankle case
+        # ~0.4 s (reference analogue: step04's build-once-reuse,
+        # run_pressure_sweep.py:664-723).
+        spec, _ = build_pelvis_spec(params, resolution_scale=scale)
+        t_spec = time.perf_counter() - t0
+        print(f"  lattice spec: {t_spec:.2f} s "
+              f"(grid {spec.grid_shape})")
+        t0 = time.perf_counter()
+        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000)
     else:
         from pelvistim_fem_tpu.runner import solve_auto
         res = solve_auto(case, mesh, tol=1e-8)
@@ -112,6 +106,7 @@ def main():
     (out / "summary.json").write_text(json.dumps({
         "n_nodes": case.n_nodes, "n_tets": case.n_tets,
         "iterations": it, "solve_s": round(t_solve, 3),
+        "spec_s": round(t_spec, 3),
         "I_active_A": cur["I_active"], "flux_err": cur["flux_err"],
         "flux_err_consistent": cur["flux_err_consistent"],
         "compliance_V": cv,

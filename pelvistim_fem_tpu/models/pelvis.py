@@ -14,12 +14,13 @@ same lattice/stencil machinery on 6 tissue types.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax.numpy as jnp
 
 from pelvistim_fem_tpu.mesh import core
-from pelvistim_fem_tpu.mesh.generate import layered_slab_mesh
 from pelvistim_fem_tpu.models.case import build_case
 from pelvistim_fem_tpu.utils.config import (default_params, get_placement,
                                             get_stim)
@@ -42,11 +43,22 @@ def _sacrum_mask(p, x, y, z):
     return (r < 1.0) & (z > s["z_bottom"]) & (z < s["z_top"])
 
 
-def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
-                      resolution_scale: float = 1.0,
-                      dtype=jnp.float64, with_mesh: bool = False):
-    """Build the pelvic Case.  resolution_scale < 1 refines (0.33 gives
-    ~1M tets); coarse=True doubles spacings for smoke runs."""
+def pelvis_recipe(params: dict | None = None, *, coarse: bool = False,
+                  resolution_scale: float = 1.0):
+    """LatticeRecipe for the pelvic model — the single source of truth
+    for its geometry, shared by the TetMesh path (`recipe.mesh()`) and
+    the lattice-spec device-assembly fast path (`build_pelvis_spec`).
+
+    The pelvis-specific body classification (contact id remap 4/5 -> 6/7
+    above the skin, sacrum super-ellipsoid -> BODY_BONE) is folded into
+    the recipe's body_fn, so it applies to UNDEFORMED cell centroids in
+    both paths — the same classify-before-deform convention every other
+    lattice model uses (mesh/generate.py build_mesh_from_lattice).
+
+    Returns (recipe, sigma_by_body, params).
+    """
+    from pelvistim_fem_tpu.mesh.generate import layered_slab_recipe
+
     params = params or default_params("pelvis")
     g = params["geometry"]
     Lx, Ly, Lz = g["Lx"], g["Ly"], g["Lz"]
@@ -78,7 +90,7 @@ def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
         (BODY_FAT, t_fat, min(lc_bulk, max(t_fat / 3, lc_min))),
         (BODY_SKIN, t_skin, max(t_skin / 2, lc_min / 2)),
     ]
-    mesh = layered_slab_mesh(
+    base = layered_slab_recipe(
         Lx, Ly, Lz,
         layers=layers,
         electrodes=[(e1x, e1y, elec_r), (e2x, e2y, elec_r)],
@@ -88,23 +100,25 @@ def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
         h_fine=lc_elec,
         h_coarse=lc_bulk,
     )
+    base_body_fn = base.body_fn
 
-    # Post-pass body reassignment: the generic mesher tags contact cells
-    # with core.BODY_CONTACT_ACTIVE/RETURN (4/5), which collide with our
-    # skin(4)/bone(5) ids — disambiguate by z (contact sits above Lz) and
-    # remap to 6/7; then embed the sacrum by reassigning cells inside
-    # the super-ellipsoid.
-    cen = mesh.nodes[mesh.tets].mean(axis=1)
-    is_contact = cen[:, 2] > Lz + 1e-12
-    body = mesh.tet_body.copy()
-    body[is_contact & (mesh.tet_body == core.BODY_CONTACT_ACTIVE)] = \
-        BODY_CONTACT_ACTIVE
-    body[is_contact & (mesh.tet_body == core.BODY_CONTACT_RETURN)] = \
-        BODY_CONTACT_RETURN
-    sac = _sacrum_mask(params, cen[:, 0], cen[:, 1], cen[:, 2]) \
-        & ~is_contact
-    body[sac] = BODY_BONE
-    mesh.tet_body = body
+    def body_fn(cx, cy, cz):
+        # The generic mesher tags contact cells with
+        # core.BODY_CONTACT_ACTIVE/RETURN (4/5), which collide with our
+        # skin(4)/bone(5) ids — disambiguate by z (contact sits above
+        # Lz) and remap to 6/7; then embed the sacrum by reassigning
+        # cells inside the super-ellipsoid.
+        body = np.asarray(base_body_fn(cx, cy, cz), np.int32).copy()
+        is_contact = cz > Lz + 1e-12
+        body[is_contact & (body == core.BODY_CONTACT_ACTIVE)] = \
+            BODY_CONTACT_ACTIVE
+        body[is_contact & (body == core.BODY_CONTACT_RETURN)] = \
+            BODY_CONTACT_RETURN
+        sac = _sacrum_mask(params, cx, cy, cz) & ~is_contact & (body > 0)
+        body[sac] = BODY_BONE
+        return body
+
+    recipe = dataclasses.replace(base, body_fn=body_fn)
 
     c = params["conductivities"]
     sigma_by_body = {
@@ -116,6 +130,56 @@ def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
         BODY_CONTACT_ACTIVE: ct.get("sigma_contact_Spm", 0.02),
         BODY_CONTACT_RETURN: ct.get("sigma_contact_Spm", 0.02),
     }
+    return recipe, sigma_by_body, params
+
+
+def build_pelvis_spec(params: dict | None = None, *, coarse: bool = False,
+                      resolution_scale: float = 1.0, recipe=None,
+                      sigma_by_body=None):
+    """Compact LatticeSpec for the pelvic model — feeds the device-side
+    assembly (ops/lattice_assembly.solve_lattice_mg_refined): host builds
+    only the ~MB-scale spec, one jitted call assembles coefficients + MG
+    hierarchy + solves.  The fast path that makes the 6.8M-tet megatet
+    configuration a sub-3-s per-case solve (VERDICT round-2 item 2;
+    reference analogue: step04's build-once-reuse discipline,
+    run_pressure_sweep.py:664-723).
+
+    Pass recipe/sigma_by_body from a prior pelvis_recipe() call to share
+    one geometry instance with the TetMesh metrics path."""
+    from pelvistim_fem_tpu.mesh.spec import build_lattice_spec
+
+    if recipe is None:
+        recipe, sigma_by_body, params = pelvis_recipe(
+            params, coarse=coarse, resolution_scale=resolution_scale)
+    st = get_stim(params or default_params("pelvis"))
+    spec = build_lattice_spec(
+        recipe, sigma_by_body,
+        mode=st.get("control_mode", "current"),
+        injected_current_A=st.get("injected_current_mA", 20.0) * 1e-3)
+    return spec, params
+
+
+def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
+                      resolution_scale: float = 1.0,
+                      dtype=jnp.float64, with_mesh: bool = False):
+    """Build the pelvic Case.  resolution_scale < 1 refines (0.33 gives
+    ~1M tets); coarse=True doubles spacings for smoke runs."""
+    recipe, sigma_by_body, params = pelvis_recipe(
+        params, coarse=coarse, resolution_scale=resolution_scale)
+    mesh = recipe.mesh()
+
+    g = params["geometry"]
+    Lz = g["Lz"]
+    ls = params["layers"]
+    t_skin, t_fat = ls["t_skin"], ls["t_fat"]
+    pl = get_placement(params)
+    e1x, e1y = map(float, pl["active_xy"])
+    e2x, e2y = map(float, pl["return_xy"])
+    elec_r = pl.get("electrode_r_mm", 15.0) * 1e-3
+    shape = pl.get("electrode_shape", "circle")
+    ct = params.get("contact", {})
+    t_contact = (ct.get("t_contact_mm", 0.5) * 1e-3
+                 if ct.get("enabled", True) else 0.0)
 
     st = get_stim(params)
     meta_extra = dict(

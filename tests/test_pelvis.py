@@ -79,3 +79,31 @@ def test_af_sign_structure(pelvis):
     af = activating_function(mesh, res.phi, nerve_path(params))
     assert af["max_AF"] > 0 and af["min_AF"] < 0
     assert np.isfinite(af["peak_E_tangential"])
+
+def test_pelvis_spec_parity_with_element_path(pelvis):
+    """The pelvis lattice-spec device-assembly fast path (VERDICT
+    round-2 item 2) must reproduce the TetMesh element-path solution:
+    one pelvis_recipe drives both, so body classification (contact
+    remap, sacrum super-ellipsoid) is shared by construction."""
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.models.pelvis import build_pelvis_spec
+    from pelvistim_fem_tpu.ops import lattice_assembly as la
+    case, params, mesh, res = pelvis
+    spec, _ = build_pelvis_spec(coarse=True)
+    assert spec.n_bodies == 7
+    r = la.solve_lattice_mg_refined(spec, tol=1e-9)
+    assert bool(np.asarray(r.converged))
+    p1, p2 = np.asarray(r.phi), np.asarray(res.phi)
+    assert p1.shape == p2.shape
+    np.testing.assert_allclose(p1, p2, atol=3e-8 * np.abs(p2).max())
+
+
+def test_pelvis_spec_current_integrates_exactly():
+    """Spec-path Neumann load must integrate to the injected current
+    from the TRUE (deformed) mesh electrode area."""
+    from pelvistim_fem_tpu.models.pelvis import build_pelvis_spec
+    spec, params = build_pelvis_spec(coarse=True)
+    I = params["stim"]["injected_current_mA"] * 1e-3
+    np.testing.assert_allclose(spec.b_neumann.sum(), I, rtol=1e-9)
+    assert spec.area_active > 0 and spec.area_return > 0
