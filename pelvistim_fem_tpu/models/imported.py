@@ -46,8 +46,8 @@ def read_mesh_any(path) -> TetMesh:
 
 def build_imported_case(mesh: TetMesh, params: dict | None = None, *,
                         sigma_contact: float | None = None,
-                        dtype=jnp.float64,
-                        verbose: bool = True) -> Case:
+                        dtype=jnp.float64, verbose: bool = True,
+                        with_mesh: bool = False) -> Case:
     """Assemble a Case from an imported mesh with ARBITRARY boundary
     numbering.
 
@@ -122,7 +122,7 @@ def build_imported_case(mesh: TetMesh, params: dict | None = None, *,
         t_fat=t_fat,
         compliance_limit_V=float(st.get("compliance_voltage_V", 100.0)),
     )
-    return build_case(
+    case = build_case(
         mesh,
         sigma_by_body,
         mode=mode,
@@ -131,6 +131,11 @@ def build_imported_case(mesh: TetMesh, params: dict | None = None, *,
         meta_extra=meta_extra,
         dtype=dtype,
     )
+    if with_mesh:
+        # the RENUMBERED mesh (canonical bcids) — host-data source for
+        # the AMG hierarchy build (runner.solve_auto / ops/amg.py)
+        return case, mesh
+    return case
 
 
 def solve_imported(path, params: dict | None = None, *, tol: float = 1e-8,
@@ -148,8 +153,11 @@ def solve_imported(path, params: dict | None = None, *, tol: float = 1e-8,
     params = params or default_params("step03_ankle_layers")
     mesh = read_mesh_any(path)
     mesh = mesh.with_positive_volumes()
-    case = build_imported_case(mesh, params, dtype=runner.preferred_dtype(),
-                               verbose=verbose)
-    res = runner.solve_auto(case, mesh=None, tol=tol)
+    case, mesh_c = build_imported_case(mesh, params,
+                                       dtype=runner.preferred_dtype(),
+                                       verbose=verbose, with_mesh=True)
+    # the canonical-bcid mesh feeds the AMG hierarchy build host-side
+    # (lattice-less -> solve_auto routes through ops/amg.py)
+    res = runner.solve_auto(case, mesh=mesh_c, tol=tol)
     row = extract_results(case, res.phi, params, verbose=verbose)
     return case, res, row, mesh

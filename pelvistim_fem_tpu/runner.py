@@ -54,7 +54,27 @@ def solve_auto(case, mesh=None, *, tol=1e-8, maxiter=30_000, timer=None):
             scase = build_stencil_case(case, mesh, dtype=jnp.float32)
             res = solve_stencil(scase, tol=max(tol, 1e-6), maxiter=maxiter)
     else:
-        if f64_ok and not on_tpu():
+        # Element path (no lattice provenance — imported meshes).  For
+        # anything beyond trivial size, smoothed-aggregation AMG
+        # (ops/amg.py) replaces UMFPACK's role: Jacobi-PCG pays
+        # 100s-1000s of iterations at the reference's tissue contrasts
+        # where AMG-CG takes ~15-30.  The hierarchy build needs HOST
+        # problem data — engaged when the caller passed the mesh (or on
+        # CPU, where device readback is free); tiny cases keep plain CG.
+        use_amg = (case.n_nodes >= 2000
+                   and (mesh is not None or not on_tpu()))
+        if use_amg:
+            from pelvistim_fem_tpu.ops.amg import (build_amg,
+                                                   solve_case_amg,
+                                                   solve_case_amg_refined)
+            amg = build_amg(case, mesh=mesh, dtype=jnp.float32)
+            if f64_ok:
+                res = solve_case_amg_refined(case, amg, tol=tol,
+                                             maxiter=maxiter)
+            else:
+                res = solve_case_amg(case, amg, tol=max(tol, 1e-6),
+                                     maxiter=maxiter)
+        elif f64_ok and not on_tpu():
             res = solve_case(case, tol=tol, maxiter=maxiter)
         elif f64_ok:
             # TPU + x64: mixed-precision refinement reaches the full
