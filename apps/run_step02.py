@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """step02 — bipolar electrode shape x radius sweep (8 cases).
 
-TPU-native replacement for step02_electrodes/run_sweep.py:299-341: the
-geometry varies per case, so each case is its own lattice build + stencil
-solve (jit-cached per grid shape).  Extracts top-surface |J| and the
-peak/mean-J-vs-area summary the reference plots (:286-295, :346-472).
+TPU-native replacement for step02_electrodes/run_sweep.py:299-341.  The
+geometry varies per case (different graded lattices per radius), so the
+default path pads every case's stencil problem onto one grid envelope
+and solves the WHOLE sweep as one batched device call
+(parallel/geometry_sweep.build_padded_group): one jit compile instead
+of eight, with each lane solving exactly its serial operator (inert
+padding planes).  --serial keeps the per-case loop.
+Extracts top-surface |J| and the peak/mean-J-vs-area summary the
+reference plots (:286-295, :346-472).
 
 Usage:  python apps/run_step02.py [--outdir results_step02] [--plot]
+                                  [--serial] [--quick]
 """
 
 import argparse
@@ -42,7 +48,11 @@ def main():
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="2 cases only (circle/square at r=10mm)")
+    ap.add_argument("--serial", action="store_true",
+                    help="per-case solve loop (default: one padded batch)")
     args = ap.parse_args()
+
+    import jax.numpy as jnp
 
     from pelvistim_fem_tpu.models.electrodes import build_electrode_case
     from pelvistim_fem_tpu.ops import metrics
@@ -60,32 +70,72 @@ def main():
     out_root = Path(args.outdir)
     rows, maps = [], {}
     t_start = time.perf_counter()
+
+    labels, built = [], []
     for shape in shapes:
         for r in radii:
             label = f"{shape}_r{int(r*1000)}mm"
-            print(f"\n[{label}]")
             case, _, mesh = build_electrode_case(
                 p, shape=shape, r=r, dtype=preferred_dtype(),
                 with_mesh=True)
-            print(f"    {case.n_nodes} nodes, {case.n_tets} tets")
+            print(f"  [{label}] {case.n_nodes} nodes, "
+                  f"{case.n_tets} tets")
+            labels.append((label, shape, r))
+            built.append((case, mesh))
+
+    if args.serial:
+        phis = []
+        for (label, shape, r), (case, mesh) in zip(labels, built):
+            print(f"\n[{label}]")
             res = solve_auto(case, mesh, tol=1e-8)
-            x, y, J = extract_top_J(case, mesh, res.phi)
-            maps[label] = (x, y, J)
-            cur = metrics.injected_currents(case, res.phi)
-            area = np.pi * r * r if shape == "circle" else (2 * r) ** 2
-            rows.append({
-                "shape": shape,
-                "r_mm": r * 1000,
-                "area_cm2": area * 1e4,
-                "area_mesh_cm2": case.meta.elec_area_mesh * 1e4,
-                "peak_J": float(J.max()),
-                "mean_J_top": float(J.mean()),
-                "I_total_A": cur["I_active"],
-                "I_consistent_A": cur["I_active_consistent"],
-                "flux_err": cur["flux_err"],
-            })
-            print(f"    peak_J={J.max():.3f} A/m2  I={cur['I_active']:.4e} A"
-                  f"  flux_err={cur['flux_err']:.2e}")
+            phis.append(np.asarray(res.phi))
+    else:
+        # ONE padded batch: all 8 heterogeneous lattices solve in a
+        # single compile + device call on exactly their serial
+        # operators (inert padding planes).
+        import jax
+
+        from pelvistim_fem_tpu.ops.stencil import (
+            batched_case_solve, batched_case_solve_refined)
+        from pelvistim_fem_tpu.parallel.geometry_sweep import \
+            build_padded_group
+        f64_ok = jax.config.jax_enable_x64
+        dtype = jnp.float64 if f64_ok else jnp.float32
+        t0 = time.perf_counter()
+        stacked, extract = build_padded_group(built, dtype=dtype)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        if f64_ok:
+            out = batched_case_solve_refined(stacked, tol=1e-8,
+                                             maxiter=30_000)
+        else:
+            out = batched_case_solve(stacked, tol=1e-6, maxiter=30_000)
+        jax.block_until_ready(out.phi)
+        t_solve = time.perf_counter() - t0
+        print(f"\n  padded batch {tuple(stacked.free.shape)}: "
+              f"assemble {t_build:.2f} s, solve {t_solve:.2f} s, "
+              f"iters {np.asarray(out.iterations).tolist()}")
+        assert bool(np.asarray(out.converged).all())
+        phis = extract(out.phi)
+
+    for (label, shape, r), (case, mesh), phi in zip(labels, built, phis):
+        x, y, J = extract_top_J(case, mesh, phi)
+        maps[label] = (x, y, J)
+        cur = metrics.injected_currents(case, phi)
+        area = np.pi * r * r if shape == "circle" else (2 * r) ** 2
+        rows.append({
+            "shape": shape,
+            "r_mm": r * 1000,
+            "area_cm2": area * 1e4,
+            "area_mesh_cm2": case.meta.elec_area_mesh * 1e4,
+            "peak_J": float(J.max()),
+            "mean_J_top": float(J.mean()),
+            "I_total_A": cur["I_active"],
+            "I_consistent_A": cur["I_active_consistent"],
+            "flux_err": cur["flux_err"],
+        })
+        print(f"  [{label}] peak_J={J.max():.3f} A/m2  "
+              f"I={cur['I_active']:.4e} A  flux_err={cur['flux_err']:.2e}")
 
     wall = time.perf_counter() - t_start
     save_results(rows, out_root)

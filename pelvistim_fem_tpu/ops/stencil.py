@@ -593,3 +593,36 @@ def batched_geometry_solve_refined(scase: StencilCase, coeff_stack,
             scase, s, C, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
             max_refinements=max_refinements)
     )(coeff_stack, sigma_tables)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def batched_case_solve(stacked: StencilCase, *, tol=1e-8,
+                       maxiter=10_000):
+    """Batch over WHOLE heterogeneous cases padded onto one grid.
+
+    `stacked` is a StencilCase whose every leaf carries a leading case
+    axis S (parallel/geometry_sweep.build_padded_group): per-case
+    coefficients AND per-case BC grids, so cases may differ in lattice,
+    boundary conditions and materials — the fully general TPU-native
+    form of the reference's geometry-varying sweep loops (step02
+    run_sweep.py:299-341).  Padded planes are inert (non-free, zero
+    coefficients/loads), so each lane solves exactly its serial
+    operator (matching to solver tolerance; vmap only changes the
+    dot-product reduction order).  phi returns in per-lane flat padded-
+    grid ordering (grid_index = arange)."""
+    return jax.vmap(
+        lambda sc: solve_stencil(sc, tol=tol, maxiter=maxiter))(stacked)
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter",
+                                   "max_refinements"))
+def batched_case_solve_refined(stacked: StencilCase, *, tol=1e-8,
+                               inner_tol=1e-6, maxiter=10_000,
+                               max_refinements=6):
+    """batched_case_solve at the certified tolerance: one vmapped
+    mixed-precision refined solve per heterogeneous case (converged
+    lanes freeze)."""
+    return jax.vmap(
+        lambda sc: solve_stencil_refined(
+            sc, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+            max_refinements=max_refinements))(stacked)

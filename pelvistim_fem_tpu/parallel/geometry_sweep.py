@@ -107,3 +107,71 @@ def solve_t_fat_group(params, t_fat_list, elec_r, *, coarse=False,
         out = batched_geometry_solve(scase, coeff_stack, tables, tol=tol,
                                      maxiter=maxiter)
     return out, cases, meshes
+
+
+def build_padded_group(case_mesh_list, dtype=jnp.float64):
+    """Stack HETEROGENEOUS-lattice cases onto one padded grid.
+
+    The general bucketing scheme for geometry-varying sweeps whose cases
+    do NOT share a lattice (step02's radius axis changes the graded
+    knot sets themselves — run_sweep.py:299-341): every case's grid is
+    embedded at the origin of the (Xmax, Ymax, Zmax) envelope and padded
+    with inert planes (non-free nodes, zero coefficients/loads): the
+    padded operator is exactly the serial one, so each lane matches its
+    serial solve to solver tolerance (only vmap's dot-product reduction
+    order differs), while the whole sweep is ONE compile + ONE batched
+    device call.
+
+    Returns (stacked StencilCase with leading case axis S, extract) —
+    extract(phi_grid (S, Gmax)) -> list of per-case mesh-node phi.
+    """
+    from pelvistim_fem_tpu.ops.stencil import StencilCase
+
+    hds = [stencil_host_data(c, m) for c, m in case_mesh_list]
+    S = len(hds)
+    shapes = [h["free"].shape for h in hds]
+    Xm = max(s[0] for s in shapes)
+    Ym = max(s[1] for s in shapes)
+    Zm = max(s[2] for s in shapes)
+    Bm = max(h["coeff"].shape[0] for h in hds)
+    Tm = max(len(h["sigma_table"]) for h in hds)
+
+    def padg(a, lead=()):
+        X, Y, Z = a.shape[-3:]
+        cfg = [(0, 0)] * (a.ndim - 3) + [(0, Xm - X), (0, Ym - Y),
+                                         (0, Zm - Z)]
+        return np.pad(a, cfg)
+
+    coeffs = np.stack([
+        padg(np.pad(h["coeff"],
+                    [(0, Bm - h["coeff"].shape[0]), (0, 0), (0, 0),
+                     (0, 0), (0, 0)])) for h in hds])
+    frees = np.stack([padg(h["free"]) for h in hds])
+    diris = np.stack([padg(h["dirichlet"]) for h in hds])
+    bneus = np.stack([padg(h["b_neumann"]) for h in hds])
+    sigmas = np.stack([np.pad(h["sigma_table"],
+                              (0, Tm - len(h["sigma_table"])))
+                       for h in hds])
+    G = Xm * Ym * Zm
+    stacked = StencilCase(
+        coeff=jnp.asarray(coeffs, dtype),
+        free=jnp.asarray(frees),
+        dirichlet=jnp.asarray(diris, dtype),
+        b_neumann=jnp.asarray(bneus, dtype),
+        # identity gather: the batched solvers return per-lane phi in
+        # flat padded-grid ordering; per-case node extraction happens
+        # host-side in `extract` (grid_index lengths differ per case)
+        grid_index=jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32),
+                                    (S, G)),
+        sigma_table=jnp.asarray(sigmas, dtype),
+    )
+
+    def extract(phi_grid):
+        out = []
+        pg = np.asarray(phi_grid).reshape(S, Xm, Ym, Zm)
+        for s, h in enumerate(hds):
+            X, Y, Z = shapes[s]
+            out.append(pg[s, :X, :Y, :Z].reshape(-1)[h["grid_index"]])
+        return out
+
+    return stacked, extract
