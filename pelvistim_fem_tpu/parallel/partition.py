@@ -73,13 +73,12 @@ def partition_case(case, n_shards: int) -> PartitionedCase:
         body = np.concatenate([body, np.zeros(pad, np.int32)])
 
     tets = tets.reshape(n_shards, Ms, 4)
-    perms = np.empty((n_shards, Ms * 4), np.int32)
-    segs = np.empty((n_shards, Ms * 4), np.int32)
-    for s in range(n_shards):
-        flat = tets[s].reshape(-1)
-        p = np.argsort(flat, kind="stable").astype(np.int32)
-        perms[s] = p
-        segs[s] = flat[p]
+    # per-shard sorted scatter plans, vectorized over the shard axis
+    # (the previous per-shard Python argsort loop was quadratic-ish
+    # pain at megatet imported-mesh sizes)
+    flat = tets.reshape(n_shards, Ms * 4)
+    perms = np.argsort(flat, axis=1, kind="stable").astype(np.int32)
+    segs = np.take_along_axis(flat, perms, axis=1).astype(np.int32)
 
     f = lambda a: jnp.asarray(a)
     return PartitionedCase(
@@ -278,3 +277,228 @@ def sharded_sweep_solve_mg(pcase: PartitionedCase, sigma_tables,
                pcase.vol, pcase.tet_body, pcase.scatter_perm,
                pcase.scatter_segids, pcase.free_mask, pcase.dirichlet_vals,
                pcase.b_neumann)
+
+
+# ── Node-owned halo partitioning (memory-scaling variant) ──────────────
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OwnedPartition:
+    """Element shards with NODE storage partitioned too.
+
+    Unlike PartitionedCase (nodal vectors replicated — compute scaling
+    only), every nodal vector here lives as per-shard windows of width
+    W = Q + hR: shard s owns global nodes [s*Q, (s+1)*Q) and carries a
+    read-only halo of the next hR nodes.  Elements are assigned to the
+    shard owning their smallest node index, so all four corners of any
+    element fall inside its shard's window (hR = max element node
+    span past the owned range; requires a locality node ordering —
+    generated lattices are x-major already, imported meshes can be
+    permuted with locality_order()).  Memory per device is ~N/S.
+    """
+    tets_w: jax.Array          # (S, Ms, 4) i32 — window-relative
+    grads: jax.Array           # (S, Ms, 4, 3)
+    vol: jax.Array             # (S, Ms) — 0 for padding elements
+    tet_body: jax.Array        # (S, Ms) i32
+    scatter_perm: jax.Array    # (S, 4*Ms) i32
+    scatter_segids: jax.Array  # (S, 4*Ms) i32 — window-relative
+    free_w: jax.Array          # (S, W) bool
+    diri_w: jax.Array          # (S, W)
+    bneu_w: jax.Array          # (S, W)
+    owned_w: jax.Array         # (S, W) bool — owned AND < n_nodes
+    sigma_table: jax.Array     # (T,)
+    n_nodes: int = dataclasses.field(metadata=dict(static=True),
+                                     default=0)
+    Q: int = dataclasses.field(metadata=dict(static=True), default=0)
+    hR: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def locality_order(mesh):
+    """Reverse-Cuthill-McKee node permutation for imported meshes whose
+    native ordering has no locality (perm[new] = old).  Generated
+    lattice meshes are already x-major and need no reordering."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    t = np.asarray(mesh.tets)
+    n = int(t.max()) + 1
+    i = np.repeat(t, 4, axis=1).reshape(-1)
+    j = np.tile(t, (1, 4)).reshape(-1)
+    A = sp.coo_matrix((np.ones_like(i, np.int8), (i, j)),
+                      shape=(n, n)).tocsr()
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+
+
+def partition_case_owned(case, n_shards: int) -> OwnedPartition:
+    """Host-side node-owned partition of a Case (see OwnedPartition)."""
+    tets = np.asarray(case.tets)
+    grads = np.asarray(case.grads)
+    vol = np.asarray(case.vol)
+    body = np.asarray(case.tet_body)
+    N = int(case.free_mask.shape[0])
+    S = n_shards
+    Q = -(-N // S)
+
+    emin = tets.min(axis=1)
+    emax = tets.max(axis=1)
+    shard_of = emin // Q                          # (M,)
+    hR = max(1, int((emax - (shard_of + 1) * Q + 1).max()))
+    if hR > Q:
+        raise ValueError(
+            f"element node span {hR} exceeds owned width {Q}: the mesh "
+            "node ordering has no locality — permute with "
+            "locality_order() first")
+    W = Q + hR
+
+    counts = np.bincount(shard_of, minlength=S)
+    Ms = int(counts.max())
+    order = np.argsort(shard_of, kind="stable")
+    offs = np.zeros(S + 1, np.int64)
+    offs[1:] = np.cumsum(counts)
+
+    def shardify(a, fill=0):
+        out = np.full((S, Ms) + a.shape[1:], fill, a.dtype)
+        for s in range(S):
+            sl = order[offs[s]:offs[s + 1]]
+            out[s, :len(sl)] = a[sl]
+        return out
+
+    tw = shardify(tets)
+    # window-relative indices; padding elements point at slot 0 with
+    # zero volume
+    tw = tw - (np.arange(S) * Q)[:, None, None]
+    for s in range(S):
+        tw[s, counts[s]:] = 0
+    gw = shardify(grads, 0.0)
+    vw = shardify(vol, 0.0)
+    bw = shardify(body)
+
+    flat = tw.reshape(S, Ms * 4)
+    perms = np.argsort(flat, axis=1, kind="stable").astype(np.int32)
+    segs = np.take_along_axis(flat, perms, axis=1).astype(np.int32)
+
+    def window(a, fill=0.0):
+        dt = a.dtype
+        pad = np.full(S * Q + hR - N, fill, dt)
+        g = np.concatenate([np.asarray(a), pad])
+        idx = (np.arange(S) * Q)[:, None] + np.arange(W)[None]
+        return g[idx]
+
+    gidx = (np.arange(S) * Q)[:, None] + np.arange(W)[None]
+    owned = (np.arange(W)[None] < Q) & (gidx < N)
+
+    return OwnedPartition(
+        tets_w=jnp.asarray(tw, jnp.int32),
+        grads=jnp.asarray(gw),
+        vol=jnp.asarray(vw),
+        tet_body=jnp.asarray(bw, jnp.int32),
+        scatter_perm=jnp.asarray(perms),
+        scatter_segids=jnp.asarray(segs),
+        free_w=jnp.asarray(window(np.asarray(case.free_mask), False)),
+        diri_w=jnp.asarray(window(np.asarray(case.dirichlet_vals))),
+        bneu_w=jnp.asarray(window(np.asarray(case.b_neumann))),
+        owned_w=jnp.asarray(owned),
+        sigma_table=case.sigma_table,
+        n_nodes=N, Q=Q, hR=hR,
+    )
+
+
+def _owned_complete(y, Q, hR, axis):
+    """Turn per-shard window partial sums into globally consistent
+    windows: (1) tail partials [Q:] ride one ppermute to the right
+    neighbor's owned head; (2) the completed head rides one ppermute
+    back to the left neighbor's tail ghost slots."""
+    n = jax.lax.axis_size(axis)
+    i = jax.lax.axis_index(axis)
+    zero = jnp.zeros((hR,) + y.shape[1:], y.dtype)
+    if n == 1:
+        return y.at[Q:].set(zero)
+    right = [(j, j + 1) for j in range(n - 1)]
+    left = [(j, j - 1) for j in range(1, n)]
+    from_left = jax.lax.ppermute(y[Q:], axis, right)
+    y = y.at[:hR].add(jnp.where(i == 0, zero, from_left))
+    from_right = jax.lax.ppermute(y[:hR], axis, left)
+    return y.at[Q:].set(jnp.where(i == n - 1, zero, from_right))
+
+
+def sharded_solve_owned(pc: OwnedPartition, mesh: Mesh, *,
+                        axis: str = "x", sigma_table=None,
+                        tol: float = 1e-8,
+                        maxiter: int = 10_000) -> SolveResult:
+    """Jacobi-PCG with BOTH elements and nodes partitioned (window
+    layout, 2 ppermutes per matvec over ICI).  The memory-scaling
+    element-path partition: per-device storage is ~N/S nodal entries +
+    its element shard — no replicated nodal vectors.  phi is returned
+    gathered, in mesh node ordering."""
+    if sigma_table is None:
+        sigma_table = pc.sigma_table
+    Q, hR, W = pc.Q, pc.hR, pc.Q + pc.hR
+    n = pc.n_nodes
+    sigvol = sigma_table[pc.tet_body] * pc.vol
+    sh = P(axis)
+    repl = P()
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh),
+             out_specs=(sh, P(), P(), P()))
+    def run(tets, grads, sv, perm, segids, free, diri, bneu, owned):
+        tets, grads, sv = tets[0], grads[0], sv[0]
+        perm, segids = perm[0], segids[0]
+        free, diri = free[0], diri[0]
+        bneu, owned = bneu[0], owned[0]
+
+        def raw_spmv(x):
+            y = _local_spmv(x, tets, grads, sv, perm, segids, W)
+            return _owned_complete(y, Q, hR, axis)
+
+        def op(x):
+            xm = jnp.where(free, x, 0.0)
+            return jnp.where(free, raw_spmv(xm), x)
+
+        red = lambda a: jax.lax.psum(jnp.sum(jnp.where(owned, a, 0.0)),
+                                     axis)
+        dot = lambda a, b: red(a * b)
+        nrm = lambda a: jnp.sqrt(red(a * a))
+
+        d = _local_diag(tets, grads, sv, perm, segids, W)
+        d = _owned_complete(d, Q, hR, axis)
+        diag = jnp.where(free & (d != 0), d, 1.0)
+        minv = 1.0 / diag
+        phi_d = jnp.where(free, 0.0, diri)
+        b_eff = jnp.where(free, bneu - raw_spmv(phi_d), diri)
+        x0 = phi_d
+
+        bnorm = nrm(b_eff)
+        tol_abs = tol * bnorm
+        r0 = b_eff - op(x0)
+        z0 = minv * r0
+        state0 = (x0, r0, z0, dot(r0, z0), z0, jnp.int32(0),
+                  nrm(r0) <= tol_abs)
+
+        def cond(s):
+            *_, k, done = s
+            return jnp.logical_not(done) & (k < maxiter)
+
+        def body(s):
+            x, r, z, rz, p, k, _ = s
+            ap = op(p)
+            alpha = rz / dot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = minv * r
+            rz_n = dot(r, z)
+            beta = rz_n / rz
+            p = z + beta * p
+            return (x, r, z, rz_n, p, k + 1, nrm(r) <= tol_abs)
+
+        x, r, *_, k, _ = jax.lax.while_loop(cond, body, state0)
+        rel = nrm(r) / jnp.where(bnorm > 0, bnorm, 1.0)
+        # gather owned slices -> (S*Q,) global vector
+        return x[:Q], k, rel, rel <= tol
+
+    xo, k, rel, conv = run(pc.tets_w, pc.grads, sigvol, pc.scatter_perm,
+                           pc.scatter_segids, pc.free_w, pc.diri_w,
+                           pc.bneu_w, pc.owned_w)
+    phi = xo.reshape(-1)[:n]
+    return SolveResult(phi=phi, iterations=k, residual=rel,
+                       converged=conv)
