@@ -46,16 +46,85 @@ def _nodal_Jmag(case, phi):
 
 # ── step01 (C6) ───────────────────────────────────────────────────────────────
 
+def _clipped_3d_panel(ax, mesh, phi_np, Ly):
+    """Clipped 3-D potential render (ref step01_box/visualize.py:30-44,
+    95-98): the y < Ly/2 half of the domain, cut plane exposed, faces
+    colored by potential (RdYlBu_r), black outline, isometric view.
+    matplotlib Poly3DCollection replaces the reference's pyvista
+    clip + screenshot."""
+    import matplotlib.colors as mcolors
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    from pelvistim_fem_tpu.mesh.boundary import extract_boundary
+
+    pts = mesh.nodes
+    cen_y = pts[mesh.tets].mean(axis=1)[:, 1]
+    keep = cen_y <= Ly / 2
+    sub = mesh.tets[keep] if keep.any() else mesh.tets
+    faces, _ = extract_boundary(np.ascontiguousarray(sub))
+    tri = pts[faces] * 100                               # cm
+    phiF = phi_np[faces].mean(axis=1)
+    # painter's sort along the isometric view direction
+    view = np.array([1.0, -1.0, 1.0]) / np.sqrt(3)
+    order = np.argsort(tri.mean(axis=1) @ view)
+    tri, phiF = tri[order], phiF[order]
+    norm = mcolors.Normalize(vmin=0.0, vmax=1.0)
+    colors = plt.get_cmap("RdYlBu_r")(norm(phiF))
+    # light lambert shading so the cut plane reads as 3-D
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    nrm = np.cross(e1, e2)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1), 1e-30)[:, None]
+    shade = 0.75 + 0.25 * np.abs(nrm @ view)
+    colors[:, :3] *= shade[:, None]
+    ax.computed_zorder = False
+    ax.add_collection3d(Poly3DCollection(tri, facecolors=colors,
+                                         edgecolors="none"))
+    # full-box outline
+    lo, hi = pts.min(axis=0) * 100, pts.max(axis=0) * 100
+    for s, e in [((lo[0], lo[1], lo[2]), (hi[0], lo[1], lo[2])),
+                 ((lo[0], lo[1], lo[2]), (lo[0], hi[1], lo[2])),
+                 ((lo[0], lo[1], lo[2]), (lo[0], lo[1], hi[2])),
+                 ((hi[0], hi[1], hi[2]), (lo[0], hi[1], hi[2])),
+                 ((hi[0], hi[1], hi[2]), (hi[0], lo[1], hi[2])),
+                 ((hi[0], hi[1], hi[2]), (hi[0], hi[1], lo[2])),
+                 ((hi[0], lo[1], lo[2]), (hi[0], hi[1], lo[2])),
+                 ((hi[0], lo[1], lo[2]), (hi[0], lo[1], hi[2])),
+                 ((lo[0], hi[1], lo[2]), (hi[0], hi[1], lo[2])),
+                 ((lo[0], hi[1], lo[2]), (lo[0], hi[1], hi[2])),
+                 ((lo[0], lo[1], hi[2]), (hi[0], lo[1], hi[2])),
+                 ((lo[0], lo[1], hi[2]), (lo[0], hi[1], hi[2]))]:
+        ax.plot(*zip(s, e), color="black", lw=0.8)
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1])
+    ax.set_zlim(lo[2], hi[2])
+    ax.set_box_aspect(hi - lo)
+    ax.view_init(elev=28, azim=-55)
+    ax.set_axis_off()
+    import matplotlib.cm as mcm
+    sm = mcm.ScalarMappable(norm=norm, cmap="RdYlBu_r")
+    plt.colorbar(sm, ax=ax, label="V (V)", shrink=0.6, pad=0.02)
+    ax.set_title("3D potential field (clipped at y = Ly/2)", fontsize=10)
+
+
 def plot_step01_summary(case, mesh, phi, out_dir):
-    """2x3 summary: V(z) vs analytic, |J| histogram, phi / |J| mid-slices,
-    flux balance, metric table."""
+    """2x4 summary: V(z) vs analytic, |J| histogram, phi / |J|
+    mid-slices, clipped 3-D potential render, J-vector cross-section,
+    flux balance, metric table (ref step01_box/visualize.py:17-205)."""
     from pelvistim_fem_tpu.ops import fields
     pts = mesh.nodes
     phi_np = np.asarray(phi, np.float64)
     Jmag = _nodal_Jmag(case, phi)
     Lz = pts[:, 2].max()
 
-    fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+    fig = plt.figure(figsize=(20, 8))
+    axes = np.empty((2, 4), object)
+    for i in range(2):
+        for j in range(4):
+            if (i, j) == (0, 3):
+                axes[i, j] = fig.add_subplot(2, 4, i * 4 + j + 1,
+                                             projection="3d")
+            else:
+                axes[i, j] = fig.add_subplot(2, 4, i * 4 + j + 1)
 
     ax = axes[0, 0]
     ax.plot(pts[:, 2] * 100, phi_np, ".", ms=1, alpha=0.3,
@@ -81,7 +150,27 @@ def plot_step01_summary(case, mesh, phi, out_dir):
         ax.set_xlabel("x (cm)"); ax.set_ylabel("z (cm)")
         ax.set_title(f"{name} at y mid-plane")
 
+    _clipped_3d_panel(axes[0, 3], mesh, phi_np, float(pts[:, 1].max()))
+
+    # J vectors on the XZ mid-plane (ref visualize.py:101-128); J is
+    # uniform (0, 0, -sigma/Lz) so unit-normalized arrows colored by |J|
     ax = axes[1, 1]
+    Jvec = np.asarray(fields.nodal_average(case, fields.cell_J(case,
+                                                              phi)))
+    J_an = 10.0
+    sl2 = np.abs(pts[:, 1] - np.median(np.unique(pts[:, 1]))) < 1e-9
+    idx_all = np.flatnonzero(sl2)
+    idx = idx_all[::max(1, len(idx_all) // 64)]
+    q = ax.quiver(pts[idx, 0] * 100, pts[idx, 2] * 100,
+                  Jvec[idx, 0] / J_an, Jvec[idx, 2] / J_an, Jmag[idx],
+                  cmap="inferno", clim=(0, J_an * 1.05), pivot="mid",
+                  scale=30, width=0.005, headwidth=3, headlength=4)
+    fig.colorbar(q, ax=ax, label="|J| (A/m$^2$)")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (cm)"); ax.set_ylabel("z (cm)")
+    ax.set_title("J vectors — XZ cross-section")
+
+    ax = axes[1, 2]
     flux = np.asarray(fields.boundary_face_flux(case, phi))
     bcid = mesh.face_bcid
     vals = [abs(flux[bcid == 1].sum()), abs(flux[bcid == 2].sum()),
@@ -89,7 +178,7 @@ def plot_step01_summary(case, mesh, phi, out_dir):
     ax.bar(["top", "bottom", "sides"], vals, color=["C0", "C1", "C2"])
     ax.set_ylabel("|I| (A)"); ax.set_title("Boundary flux balance")
 
-    ax = axes[1, 2]
+    ax = axes[1, 3]
     ax.axis("off")
     rows = [("nodes", f"{case.n_nodes}"), ("tets", f"{case.n_tets}"),
             ("mean |J|", f"{Jmag.mean():.6f} A/m$^2$"),
