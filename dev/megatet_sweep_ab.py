@@ -1,0 +1,89 @@
+"""Megatet WIDE-sweep A/B on v5e (VERDICT round-3 item 3 acceptance).
+
+L=100 material sweep on the ~1.75M-tet step03 ankle grid:
+  A) round-2 state of the art: body-factored fused Jacobi at 1e-6
+     (PARITY.md round-2 table: 40.6 s, ~1095 iters at sigma extremes)
+  B) lane-stacked fused MG at CERTIFIED 1e-8
+     (ops.multigrid.batched_mg_solve_fused_refined)
+
+Usage: python dev/megatet_sweep_ab.py [L] [--small] [--jacobi-only|--mg-only]
+"""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from pelvistim_fem_tpu.models.ankle import build_layered_spec
+from pelvistim_fem_tpu.ops.lattice_assembly import (assemble_lattice,
+                                                    spec_device_arrays)
+from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_fused_refined
+from pelvistim_fem_tpu.ops.stencil import batched_stencil_solve_fused
+from pelvistim_fem_tpu.utils.config import default_params
+
+L = int(_sys.argv[1]) if len(_sys.argv) > 1 and _sys.argv[1].isdigit() \
+    else 100
+p3 = default_params("step03_ankle_layers")
+if "--small" in _sys.argv:
+    p3["mesh"] = {"lc_global_mm": 3.0, "lc_electrode_mm": 2.0,
+                  "lc_skin_min": 0.8}
+else:
+    p3["mesh"] = {"lc_global_mm": 1.1, "lc_electrode_mm": 0.7,
+                  "lc_skin_min": 0.4}
+spec, _ = build_layered_spec(p3)
+G = int(np.prod(spec.grid_shape))
+print(f"grid {spec.grid_shape} G={G} L={L}", flush=True)
+
+dev = spec_device_arrays(spec, jnp.float64)
+t0 = time.perf_counter()
+scase, hier = assemble_lattice(spec, jnp.float64, device_arrays=dev)
+float(np.asarray(hier.levels[-1].coeff[0, 13, 0, 0, 0]))
+print(f"assemble+hierarchy {time.perf_counter()-t0:.2f} s "
+      f"(levels {[tuple(l.free.shape) for l in hier.levels]})",
+      flush=True)
+
+tables = np.tile(np.asarray(spec.sigma_table), (L, 1))
+tables[:, 4] = tables[:, 5] = np.logspace(-4.3, -1, L)
+tables = jnp.asarray(tables)
+
+
+def run(name, fn):
+    print(f"compiling {name} ...", flush=True)
+    t0 = time.perf_counter()
+    out = fn()
+    float(np.asarray(out.phi).ravel()[0])
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fn()
+    float(np.asarray(out.phi).ravel()[0])
+    t_warm = time.perf_counter() - t0
+    it = np.asarray(out.iterations)
+    res = np.asarray(out.residual)
+    print(f"{name}: warm {t_warm:.2f} s (cold {t_cold:.1f}), iters "
+          f"min/mean/max {it.min()}/{it.mean():.0f}/{it.max()}, "
+          f"max residual {res.max():.2e}, all converged "
+          f"{bool(np.asarray(out.converged).all())}", flush=True)
+    return out, t_warm
+
+
+if "--mg-only" not in _sys.argv:
+    jac, t_jac = run(
+        "fused Jacobi @1e-6   ",
+        lambda: batched_stencil_solve_fused(scase, tables, tol=1e-6,
+                                            maxiter=4000))
+if "--jacobi-only" not in _sys.argv:
+    mg, t_mg = run(
+        "fused MG-ref @1e-8   ",
+        lambda: batched_mg_solve_fused_refined(scase, hier, tables,
+                                               tol=1e-8, maxiter=2000))
+if "--mg-only" not in _sys.argv and "--jacobi-only" not in _sys.argv:
+    print(f"speedup (certified 1e-8 MG vs uncertified 1e-6 Jacobi): "
+          f"{t_jac/t_mg:.2f}x", flush=True)

@@ -346,3 +346,93 @@ def stencil_spmv_flat(x, Cf, rows=None):
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xl, xm, xh, Cf)
     return yf[:X, :F0].reshape(X, Y + 2, Z + 2)[:, 1:Y + 1, 1:Z + 1]
+
+
+# ---------------------------------------------------------------------------
+# BATCHED lane-packed flat kernel (round-3, VERDICT item 5)
+#
+# The flat kernel above is single-solve-only (vmap serializes Pallas
+# grids into separate kernel launches).  This variant folds the sweep
+# lanes into the KERNEL GRID instead: grid = (Xr/R, L) with lanes
+# innermost, so the (B, 27, R, F) body-factored coefficient block's
+# index map is constant across the inner lane steps and Pallas keeps it
+# VMEM-resident while all L lanes of a row-block stream through.  Per
+# matvec the coefficients are read from HBM ONCE (27*B*G) instead of
+# per-lane (the vmapped path's O(L*27*G)) and the per-lane combine is
+# B*27 VPU multiply-adds on fully-packed 128-lane vectors.
+# ---------------------------------------------------------------------------
+
+
+def pack_coeff_flat_bodies(coeff, rows=None):
+    """(B, 27, X, Y, Z) per-body stacks -> (B, 27, Xr, F) flat layout
+    (see pack_coeff_flat)."""
+    return jnp.stack([pack_coeff_flat(c, rows) for c in coeff])
+
+
+def _make_flat_fused_kernel(offs, B):
+    def kernel(sig_ref, xl_ref, xm_ref, xh_ref, c_ref, y_ref):
+        # sig_ref (L, B) SMEM; x*_ref (1, R, F) lane l's packed rows
+        # i-1 / i / i+1; c_ref (B, 27, R, F); y_ref (1, R, F)
+        lane = pl.program_id(1)
+        rows3 = (xl_ref, xm_ref, xh_ref)
+        F = y_ref.shape[2]
+        acc = jnp.zeros(y_ref.shape[1:], y_ref.dtype)
+        for o, (dx, _, _) in enumerate(OFFSETS):
+            xs = rows3[1 + dx][0]
+            off = offs[o]
+            if off != 0:
+                xs = pltpu.roll(xs, jnp.int32((-off) % F), 1)
+            co = sig_ref[lane, 0] * c_ref[0, o]
+            for b in range(1, B):
+                co = co + sig_ref[lane, b] * c_ref[b, o]
+            acc = acc + co * xs
+        y_ref[0] = acc
+
+    return kernel
+
+
+def batched_stencil_spmv_flat(X4, Cf, sigma_tables, rows=None):
+    """Lane-batched body-factored flat SpMV.
+
+    X4 (L, Xg, Yg, Zg); Cf (B, 27, Xr, F) from pack_coeff_flat_bodies;
+    sigma_tables (L, T) with body b at slot b+1.  Returns
+    (L, Xg, Yg, Zg).
+
+    Grid (Xr/R, L), lanes innermost: the coefficient block is fetched
+    once per row-block and reused for every lane, so HBM coefficient
+    traffic is O(B*27*G) per matvec regardless of L."""
+    rows = FLAT_ROWS if rows is None else rows
+    L, Xg, Yg, Zg = X4.shape
+    B, _, Xr, F = Cf.shape
+    if Xr % rows or Xr < Xg:
+        raise ValueError(f"rows={rows} incompatible with packed Cf "
+                         f"(Xr={Xr}, X={Xg})")
+    F0 = (Yg + 2) * (Zg + 2)
+    sig = sigma_tables[:, 1:1 + B].astype(X4.dtype)      # (L, B)
+    xp = jnp.pad(X4, ((0, 0), (1, Xr - Xg + 1), (1, 1), (1, 1)))
+    xf = jnp.pad(xp.reshape(L, Xr + 2, F0),
+                 ((0, 0), (0, 0), (0, F - F0)))
+    xl, xm, xh = xf[:, 0:Xr], xf[:, 1:Xr + 1], xf[:, 2:Xr + 2]
+
+    z32 = np.int32(0)
+    blk = lambda s: pl.BlockSpec(
+        (1, rows, F), lambda i, l, s=s: (l, i, z32),
+        memory_space=pltpu.VMEM)
+    yf = pl.pallas_call(
+        _make_flat_fused_kernel(tuple(_flat_offsets(Zg)), B),
+        grid=(Xr // rows, L),
+        in_specs=[
+            pl.BlockSpec((L, B), lambda i, l: (z32, z32),
+                         memory_space=pltpu.SMEM),
+            blk(0), blk(0), blk(0),
+            pl.BlockSpec((B, 27, rows, F),
+                         lambda i, l: (z32, z32, i, z32),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=blk(0),
+        out_shape=jax.ShapeDtypeStruct((L, Xr, F), X4.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=512 * 1024 * 1024),
+    )(sig, xl, xm, xh, Cf)
+    return yf[:, :Xg, :F0].reshape(
+        L, Xg, Yg + 2, Zg + 2)[:, :, 1:Yg + 1, 1:Zg + 1]

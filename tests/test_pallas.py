@@ -120,3 +120,21 @@ def test_flat_mode_mg_solve_matches_xla(monkeypatch):
     p1, p2 = np.asarray(r_x.phi), np.asarray(r_f.phi)
     np.testing.assert_allclose(p2, p1, atol=1e-8 * np.abs(p1).max())
     assert abs(int(r_x.iterations) - int(r_f.iterations)) <= 2
+
+
+@pytest.mark.parametrize("shape,L,B", [((9, 7, 6), 4, 3),
+                                       ((17, 12, 9), 6, 5)])
+def test_batched_flat_kernel_matches_fused_xla(shape, L, B):
+    """Lane-batched flat kernel (grid lanes innermost, coefficients
+    VMEM-resident across lanes) vs the XLA body-factored fused SpMV."""
+    from pelvistim_fem_tpu.ops.stencil import batched_stencil_spmv_fused
+    rng = np.random.default_rng(3)
+    X4 = jnp.asarray(rng.standard_normal((L,) + shape), jnp.float32)
+    coeff = jnp.asarray(rng.standard_normal((B, 27) + shape),
+                        jnp.float32)
+    tables = jnp.asarray(rng.standard_normal((L, B + 1)), jnp.float32)
+    ref = batched_stencil_spmv_fused(X4, coeff, tables)
+    Cf = ps.pack_coeff_flat_bodies(coeff)
+    y = ps.batched_stencil_spmv_flat(X4, Cf, tables)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
