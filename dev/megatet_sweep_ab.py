@@ -23,8 +23,8 @@ import jax.numpy as jnp
 jax.config.update("jax_enable_x64", True)
 
 from pelvistim_fem_tpu.models.ankle import build_layered_spec
-from pelvistim_fem_tpu.ops.lattice_assembly import (assemble_lattice,
-                                                    spec_device_arrays)
+from pelvistim_fem_tpu.ops.lattice_assembly import (
+    assemble_lattice_refined, spec_device_arrays)
 from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_fused_refined
 from pelvistim_fem_tpu.ops.stencil import batched_stencil_solve_fused
 from pelvistim_fem_tpu.utils.config import default_params
@@ -44,7 +44,7 @@ print(f"grid {spec.grid_shape} G={G} L={L}", flush=True)
 
 dev = spec_device_arrays(spec, jnp.float64)
 t0 = time.perf_counter()
-scase, hier = assemble_lattice(spec, jnp.float64, device_arrays=dev)
+scase, hier = assemble_lattice_refined(spec, device_arrays=dev)
 float(np.asarray(hier.levels[-1].coeff[0, 13, 0, 0, 0]))
 print(f"assemble+hierarchy {time.perf_counter()-t0:.2f} s "
       f"(levels {[tuple(l.free.shape) for l in hier.levels]})",
@@ -84,6 +84,19 @@ if "--jacobi-only" not in _sys.argv:
         "fused MG-ref @1e-8   ",
         lambda: batched_mg_solve_fused_refined(scase, hier, tables,
                                                tol=1e-8, maxiter=2000))
+    from pelvistim_fem_tpu.ops.multigrid import flat_batched_ok
+    coeff32 = scase.coeff.astype(jnp.float32)
+    if "--flat" in _sys.argv and flat_batched_ok(coeff32, L):
+        mgf, t_mgf = run(
+            "fused MG-ref flat    ",
+            lambda: batched_mg_solve_fused_refined(scase, hier, tables,
+                                                   tol=1e-8,
+                                                   maxiter=2000,
+                                                   spmv="flat"))
+        print(f"flat-kernel speedup over fused-XLA MG: "
+              f"{t_mg/t_mgf:.2f}x", flush=True)
+    elif "--flat" in _sys.argv:
+        print(f"flat kernel outside envelope at L={L}", flush=True)
 if "--mg-only" not in _sys.argv and "--jacobi-only" not in _sys.argv:
     print(f"speedup (certified 1e-8 MG vs uncertified 1e-6 Jacobi): "
           f"{t_jac/t_mg:.2f}x", flush=True)

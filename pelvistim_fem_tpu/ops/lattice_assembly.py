@@ -482,3 +482,39 @@ def assemble_lattice_sharded(spec: LatticeSpec, mesh, *, axis: str = "x",
 
 
 _SHARDED_FN_CACHE: dict = {}
+
+
+@partial(jax.jit, static_argnames=("axes", "n_bodies", "min_nodes",
+                                   "max_levels"))
+def _assemble_refined_jit(dev, *, axes, n_bodies, min_nodes=100,
+                          max_levels=8):
+    axes_np = tuple(np.asarray(a, float) for a in axes)
+    coeff64 = lattice_coeff(dev["h_axes"], dev["coords_dev"],
+                            dev["body6"], n_bodies)
+    scase64 = StencilCase(coeff=coeff64, free=dev["free"],
+                          dirichlet=dev["dirichlet"],
+                          b_neumann=dev["b_neumann"],
+                          grid_index=dev["grid_index"],
+                          sigma_table=dev["sigma_table"])
+    hier32 = _hierarchy_jnp(coeff64.astype(jnp.float32), dev["free"],
+                            axes_np, min_nodes=min_nodes,
+                            max_levels=max_levels)
+    return scase64, hier32
+
+
+def assemble_lattice_refined(spec: LatticeSpec, *, device_arrays=None,
+                             min_nodes=100, max_levels=8):
+    """(f64 StencilCase, f32 MGHierarchy) for certified refined sweeps.
+
+    The split the refined solvers need: f64 master coefficients for
+    residual certification + an f32-PROBED hierarchy (the inner
+    preconditioner only has to be a good f32 V-cycle, and probing the
+    megatet hierarchy in f64 overflows the XLA scatter's scoped-VMEM
+    budget on the axon backend — measured 18.98M vs 16M at the 1.75M-tet
+    grid).  Feeds batched_mg_solve_fused_refined / batched_mg_solve_refined
+    directly; requires jax_enable_x64."""
+    dev = device_arrays or spec_device_arrays(spec, jnp.float64)
+    return _assemble_refined_jit(dev, axes=_axes_static(spec),
+                                 n_bodies=spec.n_bodies,
+                                 min_nodes=min_nodes,
+                                 max_levels=max_levels)

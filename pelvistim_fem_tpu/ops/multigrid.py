@@ -666,18 +666,48 @@ def batched_mg_solve_refined(scase: StencilCase, hier: MGHierarchy,
 # O(L*G + B*27*G), iteration counts identical to the vmapped MG path.
 
 
-def _fused_level_pieces(coeff, free, sig):
+def flat_batched_ok(coeff, L) -> bool:
+    """Whether the lane-batched flat Pallas kernel can serve a fused
+    sweep of width L on this coefficient stack: TPU only, f32 only
+    (Mosaic has no f64), and the operand set must fit the axon AOT
+    scoped-VMEM accounting envelope (whole operands are charged against
+    the 512 MB limit the kernel requests — ops/pallas_stencil.py)."""
+    if jax.default_backend() == "cpu" or coeff.dtype != jnp.float32:
+        return False
+    B, _, X, Y, Z = coeff.shape
+    F = -(-((Y + 2) * (Z + 2)) // 128) * 128
+    Xr = -(-X // 8) * 8
+    operand_bytes = 4 * (3 * L * (Xr + 2) * F     # xl/xm/xh views
+                         + B * 27 * Xr * F        # packed coefficients
+                         + L * Xr * F)            # output
+    return operand_bytes <= 460 * 1024 * 1024
+
+
+def _fused_level_pieces(coeff, free, sig, spmv=None):
     """(op, dinv, freeb) for one lane-stacked fused level.
 
     coeff (B, 27, X, Y, Z); free (X, Y, Z); sig (L, T) full sigma
-    tables (body b at slot b+1)."""
+    tables (body b at slot b+1).  spmv="flat" routes the matvec through
+    the lane-batched flat Pallas kernel (coefficients VMEM-resident
+    across lanes — 1.15-1.69x over the fused-XLA matvec on v5e at
+    megatet scale, L=8-32)."""
     from pelvistim_fem_tpu.ops.stencil import batched_stencil_spmv_fused
     freeb = free[None]
 
-    def op(Xs):
-        Xm = jnp.where(freeb, Xs, 0.0)
-        Ys = batched_stencil_spmv_fused(Xm, coeff, sig)
-        return jnp.where(freeb, Ys, Xs)
+    if spmv == "flat":
+        from pelvistim_fem_tpu.ops.pallas_stencil import (
+            batched_stencil_spmv_flat, pack_coeff_flat_bodies)
+        Cf = pack_coeff_flat_bodies(coeff)
+
+        def op(Xs):
+            Xm = jnp.where(freeb, Xs, 0.0)
+            Ys = batched_stencil_spmv_flat(Xm, Cf, sig)
+            return jnp.where(freeb, Ys, Xs)
+    else:
+        def op(Xs):
+            Xm = jnp.where(freeb, Xs, 0.0)
+            Ys = batched_stencil_spmv_fused(Xm, coeff, sig)
+            return jnp.where(freeb, Ys, Xs)
 
     diag_l = jnp.einsum("lb,bxyz->lxyz", sig[:, 1:1 + coeff.shape[0]],
                         coeff[:, DIAG_OFFSET],
@@ -686,15 +716,23 @@ def _fused_level_pieces(coeff, free, sig):
     return op, 1.0 / diag, freeb
 
 
-def _fused_cycle(hier, sig, b, *, nu=2, omega=0.7, coarse_iters=24):
+def _fused_cycle(hier, sig, b, *, nu=2, omega=0.7, coarse_iters=24,
+                 spmv=None):
     """One lane-stacked V-cycle (exact recursion of cycle_impl with
-    lane-wise reductions).  b (L, X, Y, Z) -> z (L, X, Y, Z)."""
+    lane-wise reductions).  b (L, X, Y, Z) -> z (L, X, Y, Z).
+
+    spmv="flat" engages the lane-batched flat Pallas kernel on levels
+    large enough to amortize its pipeline cost (FLAT_MIN_NODES, same
+    rule as _level_op)."""
     levels = hier.levels
     n_levels = len(levels)
     red = lambda a: jnp.sum(a, axis=(1, 2, 3))          # -> (L,)
     ex = lambda v: v[:, None, None, None]
-    pieces = [_fused_level_pieces(lv.coeff, lv.free, sig)
-              for lv in levels]
+    pieces = [_fused_level_pieces(
+        lv.coeff, lv.free, sig,
+        spmv=spmv if (spmv == "flat"
+                      and lv.free.size >= FLAT_MIN_NODES) else None)
+        for lv in levels]
 
     def cycle(level, b):
         op, dinv, _ = pieces[level]
@@ -779,16 +817,21 @@ def _fused_pcg(op, b, M, x0, *, tol, maxiter):
     return x, k
 
 
-def _fused_bc_pieces(scase, hier, sig):
-    """Fine-level (op, b_eff, x0, freeb) for the lane-stacked system."""
+def _fused_bc_pieces(scase, sig, spmv=None):
+    """Fine-level (op, b_eff, x0, freeb) for the lane-stacked system.
+
+    The operator comes from scase.coeff, NOT hier.levels[0]: the
+    refined solver passes an f64 scase with an f32-probed hierarchy
+    (assemble_lattice_refined), and the master operator must stay
+    f64."""
     from pelvistim_fem_tpu.ops.stencil import batched_stencil_spmv_fused
     L = sig.shape[0]
-    op, _, freeb = _fused_level_pieces(hier.levels[0].coeff, scase.free,
-                                       sig)
+    op, _, freeb = _fused_level_pieces(scase.coeff, scase.free,
+                                       sig, spmv=spmv)
     phi_d = jnp.where(scase.free, 0.0, scase.dirichlet)
     Kphi_d = batched_stencil_spmv_fused(
         jnp.broadcast_to(phi_d, (L,) + phi_d.shape),
-        hier.levels[0].coeff, sig)
+        scase.coeff, sig)
     b_eff = jnp.where(freeb, scase.b_neumann[None] - Kphi_d,
                       jnp.broadcast_to(scase.dirichlet[None],
                                        Kphi_d.shape))
@@ -798,22 +841,22 @@ def _fused_bc_pieces(scase, hier, sig):
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "nu", "omega",
-                                   "coarse_iters"))
+                                   "coarse_iters", "spmv"))
 def batched_mg_solve_fused(scase: StencilCase, hier: MGHierarchy,
                            sigma_tables, *, tol=1e-8, maxiter=2_000,
-                           nu=2, omega=0.7, coarse_iters=24):
+                           nu=2, omega=0.7, coarse_iters=24, spmv=None):
     """Material sweep as ONE lane-stacked MG-preconditioned CG with the
     body-factored fused SpMV at every level — the MG form of
     ops.stencil.batched_stencil_solve_fused.  Use when per-lane combined
     coefficients (batched_mg_solve) would exhaust memory: peak is
     O(L*G + B*27*G) while iteration counts match the vmapped MG path."""
     sig = sigma_tables
-    op, b_eff, x0, freeb = _fused_bc_pieces(scase, hier, sig)
+    op, b_eff, x0, freeb = _fused_bc_pieces(scase, sig, spmv=spmv)
 
     def M(r):
         rm = jnp.where(freeb, r, 0.0)
         z = _fused_cycle(hier, sig, rm, nu=nu, omega=omega,
-                         coarse_iters=coarse_iters)
+                         coarse_iters=coarse_iters, spmv=spmv)
         return jnp.where(freeb, z, r)
 
     red = lambda a: jnp.sum(a, axis=(1, 2, 3))
@@ -829,12 +872,12 @@ def batched_mg_solve_fused(scase: StencilCase, hier: MGHierarchy,
 
 @partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter", "nu",
                                    "omega", "coarse_iters",
-                                   "max_refinements"))
+                                   "max_refinements", "spmv"))
 def batched_mg_solve_fused_refined(scase: StencilCase, hier: MGHierarchy,
                                    sigma_tables, *, tol=1e-8,
                                    inner_tol=3e-4, maxiter=2_000, nu=2,
                                    omega=0.7, coarse_iters=24,
-                                   max_refinements=8):
+                                   max_refinements=8, spmv=None):
     """Megatet-scale WIDE sweeps at TRUE f64-certified 1e-8 (VERDICT
     round-2 item 3): f32 lane-stacked fused MG-CG inner sweeps + f64
     fused residual correction, lanes frozen on convergence.  Closes the
@@ -850,18 +893,20 @@ def batched_mg_solve_fused_refined(scase: StencilCase, hier: MGHierarchy,
         lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
         else x, a)
     sc64, sc32 = to(scase, jnp.float64), to(scase, jnp.float32)
-    hier64, hier32 = to(hier, jnp.float64), to(hier, jnp.float32)
+    hier32 = to(hier, jnp.float32)
     sig64 = sigma_tables.astype(jnp.float64)
     sig32 = sigma_tables.astype(jnp.float32)
     L = sigma_tables.shape[0]
 
-    op64, b64, x0, freeb = _fused_bc_pieces(sc64, hier64, sig64)
-    op32, _, _, _ = _fused_bc_pieces(sc32, hier32, sig32)
+    # f64 residual SpMVs stay on the XLA path (no f64 Pallas on TPU);
+    # spmv="flat" accelerates the f32 inner sweeps + V-cycle only.
+    op64, b64, x0, freeb = _fused_bc_pieces(sc64, sig64)
+    op32, _, _, _ = _fused_bc_pieces(sc32, sig32, spmv=spmv)
 
     def M32(r):
         rm = jnp.where(freeb, r, 0.0)
         z = _fused_cycle(hier32, sig32, rm, nu=nu, omega=omega,
-                         coarse_iters=coarse_iters)
+                         coarse_iters=coarse_iters, spmv=spmv)
         return jnp.where(freeb, z, r)
 
     red = lambda a: jnp.sum(a, axis=(1, 2, 3))

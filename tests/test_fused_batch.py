@@ -109,3 +109,39 @@ def test_fused_mg_refined_certified_true_residual():
         np.testing.assert_allclose(true_rel,
                                    float(np.asarray(out.residual[l])),
                                    rtol=0.05)
+
+
+def test_assemble_lattice_refined_feeds_certified_sweep():
+    """assemble_lattice_refined returns the f64-master / f32-probed
+    split (the f64-probed hierarchy overflows scoped VMEM at megatet
+    scale on the axon backend); the fused refined sweep must stay
+    certified with it."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    from pelvistim_fem_tpu.ops import lattice_assembly as la
+    from pelvistim_fem_tpu.ops.multigrid import (
+        _np_spmv, batched_mg_solve_fused_refined)
+    spec, _ = build_pressure_spec(coarse=True)
+    scase, hier = la.assemble_lattice_refined(spec)
+    assert scase.coeff.dtype == jnp.float64
+    assert hier.levels[0].coeff.dtype == jnp.float32
+    base = np.asarray(spec.sigma_table)
+    tables = np.tile(base, (2, 1))
+    tables[:, 4] = tables[:, 5] = [5e-5, 1e-2]
+    out = batched_mg_solve_fused_refined(scase, hier,
+                                         jnp.asarray(tables), tol=1e-8)
+    assert bool(np.asarray(out.converged).all())
+    C0 = np.asarray(scase.coeff, np.float64)
+    free = np.asarray(scase.free)
+    diri = np.asarray(scase.dirichlet)
+    b = np.asarray(scase.b_neumann)
+    gi = np.asarray(scase.grid_index)
+    for l in range(2):
+        C = np.einsum("b,bo...->o...", tables[l][1:], C0)
+        Xg = np.zeros(free.size)
+        Xg[gi] = np.asarray(out.phi[l])
+        Xg = Xg.reshape(free.shape)
+        r = np.where(free, b - _np_spmv(np.where(free, Xg, diri), C), 0.0)
+        beff = np.where(free,
+                        b - _np_spmv(np.where(free, 0.0, diri), C), 0.0)
+        true_rel = np.linalg.norm(r) / np.linalg.norm(beff)
+        assert true_rel <= 1.1e-8, (l, true_rel)
