@@ -25,7 +25,9 @@ jax.config.update("jax_enable_x64", True)
 from pelvistim_fem_tpu.models.ankle import build_layered_spec
 from pelvistim_fem_tpu.ops.lattice_assembly import (
     assemble_lattice_refined, spec_device_arrays)
-from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_fused_refined
+from pelvistim_fem_tpu.ops.multigrid import (
+    batched_mg_solve_fused_refined,
+    batched_mg_solve_fused_refined_chunked)
 from pelvistim_fem_tpu.ops.stencil import batched_stencil_solve_fused
 from pelvistim_fem_tpu.utils.config import default_params
 
@@ -74,25 +76,36 @@ def run(name, fn):
     return out, t_warm
 
 
+import jax.tree_util as jtu
+
+sc32 = jtu.tree_map(
+    lambda x: x.astype(jnp.float32)
+    if jnp.issubdtype(x.dtype, jnp.floating) else x, scase)
+tables32 = tables.astype(jnp.float32)
 if "--mg-only" not in _sys.argv:
+    # round-2 state of the art ran in f32 (uncertified recursive
+    # residual); f64 Jacobi at L=100 OOMs the chip
     jac, t_jac = run(
-        "fused Jacobi @1e-6   ",
-        lambda: batched_stencil_solve_fused(scase, tables, tol=1e-6,
+        "fused Jacobi @1e-6 f32",
+        lambda: batched_stencil_solve_fused(sc32, tables32, tol=1e-6,
                                             maxiter=4000))
 if "--jacobi-only" not in _sys.argv:
+    # whole-sweep L=100 at megatet OOMs HBM (tile padding 3.1x on the
+    # Z=41 minor dim); lane chunks reuse one compiled program
+    CH = 25 if L > 25 else L
     mg, t_mg = run(
         "fused MG-ref @1e-8   ",
-        lambda: batched_mg_solve_fused_refined(scase, hier, tables,
-                                               tol=1e-8, maxiter=2000))
+        lambda: batched_mg_solve_fused_refined_chunked(
+            scase, hier, tables, lanes_per_chunk=CH, tol=1e-8,
+            maxiter=2000))
     from pelvistim_fem_tpu.ops.multigrid import flat_batched_ok
     coeff32 = scase.coeff.astype(jnp.float32)
-    if "--flat" in _sys.argv and flat_batched_ok(coeff32, L):
+    if "--flat" in _sys.argv and flat_batched_ok(coeff32, min(L, 25)):
         mgf, t_mgf = run(
             "fused MG-ref flat    ",
-            lambda: batched_mg_solve_fused_refined(scase, hier, tables,
-                                                   tol=1e-8,
-                                                   maxiter=2000,
-                                                   spmv="flat"))
+            lambda: batched_mg_solve_fused_refined_chunked(
+                scase, hier, tables, lanes_per_chunk=CH, tol=1e-8,
+                maxiter=2000, spmv="flat"))
         print(f"flat-kernel speedup over fused-XLA MG: "
               f"{t_mg/t_mgf:.2f}x", flush=True)
     elif "--flat" in _sys.argv:

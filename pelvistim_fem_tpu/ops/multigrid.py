@@ -942,3 +942,42 @@ def batched_mg_solve_fused_refined(scase: StencilCase, hier: MGHierarchy,
     phi_nodes = x.reshape(L, -1)[:, scase.grid_index]
     return SolveResult(phi=phi_nodes, iterations=total_it, residual=rel,
                        converged=rel <= tol)
+
+
+def batched_mg_solve_fused_refined_chunked(scase: StencilCase,
+                                           hier: MGHierarchy,
+                                           sigma_tables, *,
+                                           lanes_per_chunk=25, **kw):
+    """batched_mg_solve_fused_refined in lane chunks.
+
+    At megatet x L=100 the whole-sweep working set exceeds one chip's
+    HBM — not the data itself but the tile padding: every
+    (..., Y, Z=41) array pads its minor dim to 128 (3.1x expansion,
+    30.3 GB requested vs 15.75 GB on v5e).  Chunking lanes keeps memory
+    O(lanes_per_chunk * G) while every chunk reuses the SAME compiled
+    program (the last chunk is padded with repeated lanes and
+    trimmed).  Results are concatenated in lane order.
+
+    Unless overridden, spmv auto-selects the lane-batched flat Pallas
+    kernel when the per-chunk operand set is inside the envelope
+    (flat_batched_ok) — measured 1.53x over the fused-XLA MG at
+    megatet L=100 (23.9 vs 36.6 s certified; the round-2 Jacobi
+    baseline was 49 s at an UNCERTIFIED 1e-6)."""
+    L = sigma_tables.shape[0]
+    c = min(lanes_per_chunk, L)
+    if "spmv" not in kw:
+        c32 = scase.coeff.astype(jnp.float32)
+        kw["spmv"] = "flat" if flat_batched_ok(c32, c) else None
+    outs = []
+    for i in range(0, L, c):
+        chunk = sigma_tables[i:i + c]
+        pad = c - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], pad, axis=0)])
+        r = batched_mg_solve_fused_refined(scase, hier, chunk, **kw)
+        if pad:
+            r = jax.tree_util.tree_map(lambda a: a[:c - pad], r)
+        outs.append(r)
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *outs)

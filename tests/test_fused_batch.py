@@ -145,3 +145,30 @@ def test_assemble_lattice_refined_feeds_certified_sweep():
                         b - _np_spmv(np.where(free, 0.0, diri), C), 0.0)
         true_rel = np.linalg.norm(r) / np.linalg.norm(beff)
         assert true_rel <= 1.1e-8, (l, true_rel)
+
+
+def test_chunked_fused_refined_matches_whole_batch():
+    """Lane-chunked driver (HBM governor for megatet x wide sweeps):
+    same results as one whole-batch call, including a padded tail
+    chunk."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    from pelvistim_fem_tpu.ops import lattice_assembly as la
+    from pelvistim_fem_tpu.ops.multigrid import (
+        batched_mg_solve_fused_refined,
+        batched_mg_solve_fused_refined_chunked)
+    spec, _ = build_pressure_spec(coarse=True)
+    scase, hier = la.assemble_lattice_refined(spec)
+    base = np.asarray(spec.sigma_table)
+    tables = np.tile(base, (5, 1))
+    tables[:, 4] = tables[:, 5] = np.logspace(np.log10(5e-5), -1, 5)
+    tables = jnp.asarray(tables)
+    whole = batched_mg_solve_fused_refined(scase, hier, tables, tol=1e-8)
+    chunked = batched_mg_solve_fused_refined_chunked(
+        scase, hier, tables, lanes_per_chunk=2, tol=1e-8)
+    assert bool(np.asarray(chunked.converged).all())
+    assert chunked.phi.shape == whole.phi.shape
+    # each chunk solves its lanes independently; identical programs on
+    # identical lanes except reduction grouping -> agree to tolerance
+    np.testing.assert_allclose(
+        np.asarray(chunked.phi), np.asarray(whole.phi), rtol=0,
+        atol=1e-6 * float(np.abs(np.asarray(whole.phi)).max()))
