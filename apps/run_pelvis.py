@@ -74,16 +74,32 @@ def main():
         t_spec = time.perf_counter() - t0
         print(f"  lattice spec: {t_spec:.2f} s "
               f"(grid {spec.grid_shape})")
+        import jax.numpy as jnp
+
+        from pelvistim_fem_tpu.ops.lattice_assembly import \
+            spec_device_arrays
+        dev = spec_device_arrays(spec, jnp.float64)
         t0 = time.perf_counter()
-        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000)
+        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000,
+                                       device_arrays=dev)
+        jax.block_until_ready(res.phi)
+        float(np.asarray(res.residual))
+        t_cold = time.perf_counter() - t0
+        # per-case cost in a sweep = the WARM device call (first call
+        # pays the one-time axon remote compile; CLAUDE.md)
+        t0 = time.perf_counter()
+        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000,
+                                       device_arrays=dev)
     else:
         from pelvistim_fem_tpu.runner import solve_auto
         res = solve_auto(case, mesh, tol=1e-8)
     jax.block_until_ready(res.phi)
     t_solve = time.perf_counter() - t0
     it = int(np.asarray(res.iterations))
+    extra = (f" (cold incl. compile {t_cold:.1f} s)"
+             if args.megatet else "")
     print(f"  solve: {t_solve:.2f} s, {it} iters, converged "
-          f"{bool(np.asarray(res.converged))}")
+          f"{bool(np.asarray(res.converged))}{extra}")
 
     cur = injected_currents(case, res.phi)
     cv = compliance_voltage(case, res.phi)
@@ -107,6 +123,7 @@ def main():
         "n_nodes": case.n_nodes, "n_tets": case.n_tets,
         "iterations": it, "solve_s": round(t_solve, 3),
         "spec_s": round(t_spec, 3),
+        "solve_cold_s": round(t_cold, 3) if args.megatet else None,
         "I_active_A": cur["I_active"], "flux_err": cur["flux_err"],
         "flux_err_consistent": cur["flux_err_consistent"],
         "compliance_V": cv,

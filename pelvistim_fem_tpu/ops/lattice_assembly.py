@@ -46,7 +46,8 @@ from pelvistim_fem_tpu.ops.stencil import OFFSETS, StencilCase
 _OFFSET_INDEX = {off: o for o, off in enumerate(OFFSETS)}
 
 
-def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int):
+def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int,
+                  sigma_table=None):
     """Per-body stencil coefficient stacks (B, 27, X, Y, Z) from grid
     geometry, fully on device.
 
@@ -58,10 +59,18 @@ def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int):
     body6: (6, nx, ny, nz) int8 per-(cell, Kuhn class) body id (0 =
     carved).  Matches the host path assemble_stencil_coeffs +
     build_mesh_from_lattice classification exactly (parity-tested).
+
+    sigma_table (n_bodies + 1,) with slot 0 == 0: weight each cell's
+    contribution by its body's sigma DURING accumulation and return a
+    pre-combined (1, 27, X, Y, Z) stack — the single-sigma form that
+    never materializes the per-body stacks (at the 6.8M-tet pelvis the
+    7-body f64 stack alone is 3.7 GB tile-padded; the whole-body-
+    factored refined program requested 25.8 GB of HBM).
     """
     dt = coords_dev.dtype
     X, Y, Z = coords_dev.shape[1:]
     nx, ny, nz = X - 1, Y - 1, Z - 1
+    B_out = n_bodies if sigma_table is None else 1
 
     def corner_dev(c):
         return coords_dev[:, c[0]:c[0] + nx, c[1]:c[1] + ny,
@@ -104,12 +113,18 @@ def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int):
         inv6det = jnp.where(adet > 0, 1.0 / (6.0 * adet), 0.0)
         ns = [tuple(-(A1[i] + A2[i] + A3[i]) for i in range(3)),
               A1, A2, A3]
-        onehot = (body6[t][None] == bids[:, None, None, None]).astype(dt)
+        if sigma_table is None:
+            weight = (body6[t][None]
+                      == bids[:, None, None, None]).astype(dt)
+        else:
+            # carved cells (body 0) hit sigma_table[0] == 0
+            weight = sigma_table[body6[t].astype(jnp.int32)][None]
+            weight = weight.astype(dt)
         for a in range(4):
             for b in range(a, 4):
                 k_ab = (ns[a][0] * ns[b][0] + ns[a][1] * ns[b][1]
                         + ns[a][2] * ns[b][2]) * inv6det
-                contrib = k_ab[None] * onehot            # (B, nx, ny, nz)
+                contrib = k_ab[None] * weight          # (B_out, nx, ny, nz)
                 o_ab = _OFFSET_INDEX[tuple(c[b] - c[a])]
                 per_off[o_ab].append((tuple(c[a]), contrib))
                 if a != b:
@@ -118,7 +133,7 @@ def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int):
 
     outs = []
     for o in range(27):
-        acc = jnp.zeros((n_bodies, X, Y, Z), dt)
+        acc = jnp.zeros((B_out, X, Y, Z), dt)
         for da, contrib in per_off[o]:
             acc = acc + jnp.pad(
                 contrib, ((0, 0), (da[0], X - nx - da[0]),
@@ -318,21 +333,28 @@ def _assemble_solve_refined_jit(dev, sigma_table, *, axes, n_bodies, tol,
                                 max_levels=8, spmv=None):
     from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg_refined
     axes_np = tuple(np.asarray(a, float) for a in axes)
-    # f64 master operator; the MG hierarchy (inner preconditioner) is
-    # probed from the f32 cast — refinement only needs the V-cycle to be
-    # a good f32 preconditioner, while the residual is certified in f64
+    # f64 master operator, PRE-COMBINED with the (single) sigma during
+    # accumulation — C(sigma) = sum_b sigma_b C_b is linear, so probing
+    # the combined operator gives the identical hierarchy the per-body
+    # probe would after combining, at 1/B the memory (the body-factored
+    # form exists for material SWEEPS; this entry point solves one
+    # sigma).  The MG hierarchy (inner preconditioner) is probed from
+    # the f32 cast — refinement only needs the V-cycle to be a good f32
+    # preconditioner, while the residual is certified in f64.
     coeff64 = lattice_coeff(dev["h_axes"], dev["coords_dev"],
-                            dev["body6"], n_bodies)
+                            dev["body6"], n_bodies,
+                            sigma_table=sigma_table)
+    sig2 = jnp.asarray([0.0, 1.0], coeff64.dtype)
     scase64 = StencilCase(coeff=coeff64, free=dev["free"],
                           dirichlet=dev["dirichlet"],
                           b_neumann=dev["b_neumann"],
                           grid_index=dev["grid_index"],
-                          sigma_table=dev["sigma_table"])
+                          sigma_table=sig2)
     hier32 = _hierarchy_jnp(coeff64.astype(jnp.float32), dev["free"],
                             axes_np, min_nodes=min_nodes,
                             max_levels=max_levels)
     return solve_stencil_mg_refined(
-        scase64, hier32, sigma_table, tol=tol, inner_tol=inner_tol,
+        scase64, hier32, sig2, tol=tol, inner_tol=inner_tol,
         maxiter=maxiter, nu=nu, coarse_iters=coarse_iters,
         smoother=smoother, max_refinements=max_refinements, spmv=spmv)
 
