@@ -207,6 +207,31 @@ def test_solve_lattice_mg_refined_matches_element_solve():
     np.testing.assert_allclose(p1, p2, atol=1e-7 * scale)
 
 
+def test_lattice_coeff_precombined_matches_factored():
+    """sigma pre-combined DURING accumulation (the pelvis megatet path,
+    lattice_coeff(sigma_table=...)) must equal combining the factored
+    per-body stacks afterwards — C(sigma) is linear in the per-body
+    contributions, so the two orders are mathematically identical."""
+    from pelvistim_fem_tpu.ops.stencil import combine_coeffs
+    recipe = _rect_recipe()
+    spec = build_lattice_spec(recipe, SIG5, mode="current",
+                              injected_current_A=5e-3)
+    dev = la.spec_device_arrays(spec, jnp.float64)
+    factored = la.lattice_coeff(dev["h_axes"], dev["coords_dev"],
+                                dev["body6"], spec.n_bodies)
+    combined = combine_coeffs(factored, dev["sigma_table"])
+    pre = la.lattice_coeff(dev["h_axes"], dev["coords_dev"],
+                           dev["body6"], spec.n_bodies,
+                           sigma_table=dev["sigma_table"])
+    assert pre.shape[0] == 1
+    pa, ca = np.asarray(pre[0]), np.asarray(combined)
+    np.testing.assert_allclose(pa, ca, atol=1e-13 * np.abs(ca).max())
+    # and the B==1 fast-path table form solves through combine_coeffs
+    pre2 = combine_coeffs(pre, jnp.asarray([0.0, 1.0], jnp.float64))
+    np.testing.assert_allclose(np.asarray(pre2), ca,
+                               atol=1e-13 * np.abs(ca).max())
+
+
 import pytest
 
 
