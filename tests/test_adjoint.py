@@ -1,0 +1,108 @@
+"""Adjoint (implicit-diff) solve gradients vs finite differences.
+
+The differentiable solve (ops/adjoint.py) must reproduce, to solver
+tolerance, central finite differences of metric(phi(sigma)) — in both
+drive modes, because they exercise different sigma-dependence paths:
+current mode through K(sigma) only, voltage mode additionally through
+the Dirichlet lift b_eff = -K(sigma) phi_d."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh.generate import box_recipe
+from pelvistim_fem_tpu.mesh.spec import build_lattice_spec
+from pelvistim_fem_tpu.ops import lattice_assembly as la
+from pelvistim_fem_tpu.ops.adjoint import (sigma_sensitivity,
+                                           solve_stencil_mg_diff)
+from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg
+
+
+def _metric(phi, sig):
+    return jnp.mean(phi * phi)
+
+
+def _fd_check(scase, hier, sig, idxs, rel=2e-4):
+    J, g = sigma_sensitivity(_metric, scase, hier, sig, tol=1e-12)
+    g = np.asarray(g)
+    for b in idxs:
+        eps = 1e-4 * float(sig[b])
+        up = sig.at[b].add(eps)
+        dn = sig.at[b].add(-eps)
+        Ju = _metric(solve_stencil_mg_diff(scase, hier, up, tol=1e-12),
+                     up)
+        Jd = _metric(solve_stencil_mg_diff(scase, hier, dn, tol=1e-12),
+                     dn)
+        fd = (float(Ju) - float(Jd)) / (2 * eps)
+        assert fd != 0.0
+        assert abs(g[b] - fd) <= rel * abs(fd), (b, g[b], fd)
+    return J, g
+
+
+def test_adjoint_grad_current_mode_matches_fd():
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    spec, _ = build_pressure_spec(coarse=True)
+    scase, hier = la.assemble_lattice(spec, jnp.float64)
+    sig = jnp.asarray(spec.sigma_table, jnp.float64)
+    # muscle, skin, and the contact slots — the step04 sweep axis
+    J, g = _fd_check(scase, hier, sig, idxs=[1, 3, 4])
+    assert float(J) > 0
+    assert float(g[0]) == 0.0          # slot 0 (carved) never enters
+
+
+def test_adjoint_grad_voltage_mode_matches_fd():
+    """Voltage drive + multiple tissues: sigma enters through BOTH
+    K(sigma) and the Dirichlet lift -K(sigma) phi_d.  (A single-body
+    voltage problem would be sigma-invariant — phi(alpha*sigma) ==
+    phi(sigma) — so it can't discriminate gradients.)"""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.mesh.generate import layered_slab_recipe
+    recipe = layered_slab_recipe(
+        0.04, 0.03, 0.02,
+        layers=[(core.BODY_MUSCLE, 0.017, 0.009),
+                (core.BODY_FAT, 0.002, 0.002),
+                (core.BODY_SKIN, 0.001, 0.001)],
+        electrodes=[(0.008, 0.022, 0.005), (0.032, 0.022, 0.005)],
+        contact_t=0.0005, contact_h_z=0.0005,
+        h_fine=0.004, h_coarse=0.008)
+    sig5 = {1: 0.35, 2: 0.04, 3: 1e-3, 4: 5e-3, 5: 5e-3}
+    spec = build_lattice_spec(recipe, sig5, mode="voltage",
+                              active_V=1.0)
+    scase, hier = la.assemble_lattice(spec, jnp.float64)
+    sig = jnp.asarray(spec.sigma_table, jnp.float64)
+    _, g = _fd_check(scase, hier, sig, idxs=[1, 4])
+    # uniform sigma scaling leaves a voltage-driven phi unchanged, so
+    # the directional derivative along sigma itself must vanish
+    assert abs(float(np.asarray(g) @ np.asarray(sig))) <= \
+        1e-6 * float(np.abs(np.asarray(g) * np.asarray(sig)).max())
+
+
+def test_adjoint_solution_matches_nondiff_solver():
+    """Forward value of the differentiable solve == solve_stencil_mg."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    spec, _ = build_pressure_spec(coarse=True)
+    scase, hier = la.assemble_lattice(spec, jnp.float64)
+    phi = solve_stencil_mg_diff(scase, hier, tol=1e-11)
+    r = solve_stencil_mg(scase, hier, tol=1e-11)
+    p1, p2 = np.asarray(phi), np.asarray(r.phi)
+    np.testing.assert_allclose(p1, p2, atol=1e-9 * np.abs(p2).max())
+
+
+def test_adjoint_grad_dirichlet_voltage():
+    """d(metric)/d(active voltage) through the Dirichlet lift: scaling
+    the drive voltage scales phi linearly, so d mean(phi^2) / dV at
+    V=1 must equal 2*mean(phi^2)."""
+    recipe = box_recipe(0.04, 0.04, 0.02, 0.004)
+    spec = build_lattice_spec(recipe, {1: 0.2}, mode="voltage",
+                              active_V=1.0)
+    scase, hier = la.assemble_lattice(spec, jnp.float64)
+
+    def J(scale):
+        import dataclasses
+        sc = dataclasses.replace(scase, dirichlet=scase.dirichlet * scale)
+        phi = solve_stencil_mg_diff(sc, hier, tol=1e-12)
+        return jnp.mean(phi * phi)
+
+    val, grad = jax.value_and_grad(J)(jnp.float64(1.0))
+    assert abs(float(grad) - 2 * float(val)) <= 1e-6 * abs(float(grad))
