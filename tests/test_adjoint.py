@@ -106,3 +106,42 @@ def test_adjoint_grad_dirichlet_voltage():
 
     val, grad = jax.value_and_grad(J)(jnp.float64(1.0))
     assert abs(float(grad) - 2 * float(val)) <= 1e-6 * abs(float(grad))
+
+
+def test_calibrate_sigma_recovers_ground_truth():
+    """Inverse problem round-trip: synthesize measurements from a known
+    sigma table, start muscle/fat at 2.5x / 0.4x off, and recover both
+    within 2% via the jitted Adam-on-log-sigma loop (ops/calibrate.py).
+    Current mode: absolute conductivities are identifiable (the drive
+    fixes the current scale)."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.mesh.generate import layered_slab_recipe
+    from pelvistim_fem_tpu.ops.calibrate import calibrate_sigma
+    recipe = layered_slab_recipe(
+        0.03, 0.024, 0.014,
+        layers=[(core.BODY_MUSCLE, 0.0105, 0.006),
+                (core.BODY_FAT, 0.002, 0.002),
+                (core.BODY_SKIN, 0.0015, 0.0015)],
+        electrodes=[(0.0075, 0.018, 0.004), (0.0225, 0.018, 0.004)],
+        contact_t=0.001, contact_h_z=0.001,
+        h_fine=0.005, h_coarse=0.01)
+    sig5 = {1: 0.35, 2: 0.04, 3: 1e-3, 4: 5e-3, 5: 5e-3}
+    spec = build_lattice_spec(recipe, sig5, mode="current",
+                              injected_current_A=5e-3)
+    scase, hier = la.assemble_lattice(spec, jnp.float64)
+    truth = jnp.asarray(spec.sigma_table, jnp.float64)
+
+    phi = solve_stencil_mg_diff(scase, hier, truth, tol=1e-10)
+    obs_idx = jnp.arange(0, phi.shape[0], 5, dtype=jnp.int32)
+    obs = phi[obs_idx]
+
+    bodies = (1, 2)                      # muscle, fat
+    sigma0 = jnp.asarray([2.5 * sig5[1], 0.4 * sig5[2]], jnp.float64)
+    fit, losses = calibrate_sigma(scase, hier, obs_idx, obs, bodies,
+                                  sigma0, steps=160, lr=0.1, tol=1e-9)
+    fit = np.asarray(fit)
+    assert float(losses[-1]) < 1e-7
+    np.testing.assert_allclose(fit[1], sig5[1], rtol=0.02)
+    np.testing.assert_allclose(fit[2], sig5[2], rtol=0.02)
+    # untouched slots stay exactly at the table values
+    np.testing.assert_allclose(fit[3:], np.asarray(truth)[3:], rtol=0)
