@@ -145,3 +145,24 @@ def test_calibrate_sigma_recovers_ground_truth():
     np.testing.assert_allclose(fit[2], sig5[2], rtol=0.02)
     # untouched slots stay exactly at the table values
     np.testing.assert_allclose(fit[3:], np.asarray(truth)[3:], rtol=0)
+
+
+def test_adjoint_vmap_grad_matches_per_lane():
+    """Sweep sensitivities: vmap(grad(metric.solve)) over a batch of
+    sigma tables must equal the per-lane gradients — the adjoint path
+    composes with the framework's lane-batching idiom."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    spec, _ = build_pressure_spec(coarse=True)
+    scase, hier = la.assemble_lattice(spec, jnp.float64)
+    base = jnp.asarray(spec.sigma_table, jnp.float64)
+    tables = jnp.stack([base, base.at[4].mul(10.0).at[5].mul(10.0)])
+
+    def J(sig):
+        phi = solve_stencil_mg_diff(scase, hier, sig, tol=1e-10)
+        return jnp.mean(phi * phi)
+
+    g_batch = jax.vmap(jax.grad(J))(tables)
+    for i in range(2):
+        g_i = jax.grad(J)(tables[i])
+        np.testing.assert_allclose(np.asarray(g_batch[i]),
+                                   np.asarray(g_i), rtol=1e-6)
