@@ -69,3 +69,87 @@ def calibrate_sigma(scase, hier, obs_idx, obs_phi, bodies: tuple,
     (p, _), losses = jax.lax.scan(step, (p0, opt.init(p0)), None,
                                   length=steps)
     return base.at[bidx].set(jnp.exp(p)), losses
+
+
+def _spd_solve_small(A, b):
+    """Unrolled Cholesky solve for a tiny static-P SPD system.  The TPU
+    backend has no f64 LuDecomposition (jnp.linalg.solve fails to
+    compile), but P is the number of FITTED conductivities (<=
+    a handful), so an unrolled elementwise factorization is free and
+    fully portable."""
+    n = A.shape[0]
+    L = jnp.zeros_like(A)
+    for j in range(n):
+        d = jnp.sqrt(A[j, j] - jnp.sum(L[j, :j] ** 2))
+        L = L.at[j, j].set(d)
+        for i in range(j + 1, n):
+            L = L.at[i, j].set(
+                (A[i, j] - jnp.sum(L[i, :j] * L[j, :j])) / d)
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        y = y.at[i].set((b[i] - jnp.sum(L[i, :i] * y[:i])) / L[i, i])
+    x = jnp.zeros_like(b)
+    for i in reversed(range(n)):
+        x = x.at[i].set(
+            (y[i] - jnp.sum(L[i + 1:, i] * x[i + 1:])) / L[i, i])
+    return x
+
+
+@partial(jax.jit, static_argnames=("bodies", "iters", "tol", "maxiter"))
+def calibrate_sigma_lm(scase, hier, obs_idx, obs_phi, bodies: tuple,
+                       sigma0=None, *, iters=15, tol=1e-8,
+                       maxiter=2_000, lam0=1e-2):
+    """Levenberg-Marquardt variant of calibrate_sigma — the right tool
+    when fitting a HANDFUL of conductivities: the tissue parameters are
+    strongly correlated through the layered geometry (muscle sits
+    behind fat/skin screening), so first-order steps crawl along the
+    curved valley where Gauss-Newton jumps it (measured on the step04
+    coarse case: loss 2e-5 after 400 Adam steps vs <1e-20 after ~10 LM
+    iterations).
+
+    Per iteration: ONE primal solve (jax.linearize through the
+    implicit-diff solve), ONE vmapped tangent solve for all P Jacobian
+    columns at once, and ONE trial solve for the damped accept/reject
+    update — so cost stays ~3 solves/iter independent of P.  The whole
+    loop is a lax.scan on device.
+
+    Returns (sigma_table_fit, loss_history) like calibrate_sigma."""
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("calibrate_sigma_lm")
+    base = scase.sigma_table.astype(jnp.float64)
+    bidx = jnp.asarray(bodies, jnp.int32)
+    P = len(bodies)
+    start = base[bidx] if sigma0 is None else \
+        jnp.asarray(sigma0, jnp.float64)
+    scale = jnp.sqrt(jnp.sum(obs_phi * obs_phi))
+
+    def resid(logsig):
+        sig = base.at[bidx].set(jnp.exp(logsig))
+        phi = solve_stencil_mg_diff(scase, hier, sig, tol=tol,
+                                    maxiter=maxiter)
+        return (phi[obs_idx] - obs_phi) / scale
+
+    def step(carry, _):
+        p, lam, l = carry
+        r, jvp = jax.linearize(resid, p)
+        J = jax.vmap(jvp)(jnp.eye(P, dtype=p.dtype))      # (P, M)
+        hi = jax.lax.Precision.HIGHEST
+        A = jnp.einsum("pm,qm->pq", J, J, precision=hi)   # (P, P)
+        g = jnp.einsum("pm,m->p", J, r, precision=hi)
+        dp = -_spd_solve_small(
+            A + lam * jnp.diag(jnp.diag(A) + 1e-30), g)
+        p_try = p + dp
+        r_try = resid(p_try)
+        l_try = jnp.sum(r_try * r_try)
+        better = l_try < l
+        return (jnp.where(better, p_try, p),
+                jnp.where(better, lam / 3.0, lam * 4.0),
+                jnp.where(better, l_try, l)), \
+            jnp.where(better, l_try, l)
+
+    p0 = jnp.log(start)
+    r0 = resid(p0)
+    l0 = jnp.sum(r0 * r0)
+    (p, _, _), losses = jax.lax.scan(
+        step, (p0, jnp.float64(lam0), l0), None, length=iters)
+    return base.at[bidx].set(jnp.exp(p)), losses
