@@ -2,10 +2,14 @@
 """step04 — pressure-dependent contact-impedance sweep.
 
 The reference builds its mesh once and re-runs ElmerSolver 15 times with
-one material edited (run_pressure_sweep.py:664-740).  Here the whole sweep
-is ONE vmapped stencil PCG batch over the sigma_contact material tables.
-Output contract (summary.csv/json with the step04 column set, sanity
-prints) matches the reference.
+one material edited (run_pressure_sweep.py:664-740).  Here the host
+builds one compact lattice spec, a single jitted device call assembles
+the stencil coefficients + MG hierarchy, and the whole sweep is ONE
+vmapped multigrid batch at the reference's own tolerance (params.yaml
+solver tol 1e-8) with f64-CERTIFIED residuals — this sweep spans the
+7000x contact contrast where plain f32 recursive residuals are provably
+untrustworthy (PARITY.md).  Output contract (summary.csv/json with the
+step04 column set, sanity prints) matches the reference.
 
 Usage:  python apps/run_step04.py [--smoke] [--outdir results_step04]
 """
@@ -37,10 +41,11 @@ def main():
     import jax.numpy as jnp
 
     from pelvistim_fem_tpu.models.pressure import (build_pressure_case,
+                                                   build_pressure_spec,
                                                    sigma_tables_for_sweep)
+    from pelvistim_fem_tpu.ops.lattice_assembly import assemble_lattice
     from pelvistim_fem_tpu.ops.metrics import extract_results_batched
-    from pelvistim_fem_tpu.ops.stencil import (batched_stencil_solve,
-                                               build_stencil_case)
+    from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_refined
     from pelvistim_fem_tpu.utils.config import default_params, load_params
     from pelvistim_fem_tpu.utils.report import print_sanity_table
     from pelvistim_fem_tpu.utils.summary import save_results
@@ -52,31 +57,40 @@ def main():
     print(f"=== PRESSURE SWEEP: {len(sweep)} sigma_contact levels "
           f"({sweep[0]:g} .. {sweep[-1]:g} S/m) ===")
 
+    # Host builds only the compact spec; one jitted device call
+    # assembles coefficients + MG hierarchy (f64 master operator for
+    # the certified refinement).  The element-path Case is built only
+    # for the metric extractor (flux integrals / ROI are tet-based).
     t0 = time.perf_counter()
-    case, _, mesh = build_pressure_case(coarse=args.smoke,
-                                        dtype=jnp.float32, with_mesh=True)
-    scase = build_stencil_case(case, mesh, dtype=jnp.float32)
-    tables = sigma_tables_for_sweep(case, p).astype(jnp.float32)
+    spec, _ = build_pressure_spec(p, coarse=args.smoke)
+    scase, hier = assemble_lattice(spec, jnp.float64)
+    tables = sigma_tables_for_sweep(scase, p)
+    case, _ = build_pressure_case(p, coarse=args.smoke,
+                                  dtype=jnp.float32, to_device=False)
+    case = jax.device_put(case)
     t_build = time.perf_counter() - t0
-    print(f"  mesh+assemble (ONCE, reused for all {len(sweep)} cases): "
+    print(f"  spec+assemble (ONCE, reused for all {len(sweep)} cases): "
           f"{case.n_nodes} nodes, {case.n_tets} tets, {t_build:.1f} s")
 
     t0 = time.perf_counter()
-    out = batched_stencil_solve(scase, tables, tol=1e-6, maxiter=30_000)
-    jax.block_until_ready(out.phi)
+    out = batched_mg_solve_refined(scase, hier, tables, tol=1e-8)
+    float(np.asarray(out.phi[0, 0]))   # force completion (axon quirk)
     t_solve = time.perf_counter() - t0
     conv = np.asarray(out.converged)
-    print(f"  batched solve: {len(sweep)} cases in {t_solve:.2f} s = "
-          f"{len(sweep)*60/t_solve:.1f} solves/min "
-          f"(iters {np.asarray(out.iterations).tolist()})")
+    print(f"  batched MG solve: {len(sweep)} cases in {t_solve:.2f} s = "
+          f"{len(sweep)*60/t_solve:.1f} solves/min at CERTIFIED tol 1e-8 "
+          f"(max true residual {float(np.asarray(out.residual).max()):.2e}, "
+          f"iters {np.asarray(out.iterations).tolist()})")
     if not conv.all():
         print(f"  WARNING: lanes not converged: {np.where(~conv)[0]}")
 
     # ALL lanes' metrics in one vmapped device pass + one scalar gather
     # (extract_results_batched; same rows as the serial extractor).
+    # Extraction runs in f32: the refined phi is f64-certified to 1e-8,
+    # so its f32 cast is exact to ~1e-7, far below metric tolerances.
     t0 = time.perf_counter()
-    results = extract_results_batched(case, out.phi, p,
-                                      sigma_tables=tables,
+    results = extract_results_batched(case, out.phi.astype(jnp.float32), p,
+                                      sigma_tables=tables.astype(jnp.float32),
                                       pressure_labels=list(labels),
                                       sigma_contacts=list(sweep))
     t_extract = time.perf_counter() - t0
