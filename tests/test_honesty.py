@@ -33,6 +33,21 @@ def test_bench_path_is_refined_at_reference_tolerance():
     assert calls and all("refined" in c for c in calls), calls
 
 
+def test_app_sweep_paths_are_refined_at_reference_tolerance():
+    """The reference-parity apps that sweep across the 7000x contact
+    contrast (step04) or feed flux/compliance metrics at tissue
+    contrast (pelvis megatet) must stay on certified refined solvers at
+    tol 1e-8."""
+    import re
+    for app in ("apps/run_step04.py", "apps/run_pelvis.py"):
+        src = (REPO / app).read_text()
+        assert "jax_enable_x64" in src, app
+        assert re.search(r"_refined\w*\(", src), (
+            f"{app} no longer calls a refined solver")
+        assert "tol=1e-8" in src.replace(" ", ""), (
+            f"{app} no longer targets the reference 1e-8 tolerance")
+
+
 def test_refined_solvers_refuse_without_x64():
     """The x64 runtime guard (ADVICE round-2 medium): without
     jax_enable_x64 the 'f64 master operator' silently canonicalizes to

@@ -44,6 +44,32 @@ def test_sharded_sweep_8_devices():
     assert all(v[i] > v[i + 1] for i in range(14))
 
 
+def test_sharded_refined_sweep_certified_residuals():
+    """The dp-sharded refined sweep must deliver TRUE f64 residuals at
+    1e-8 on every lane and match the unsharded refined solves."""
+    from pelvistim_fem_tpu.parallel.sweep import \
+        sharded_material_solve_refined
+    case, params = build_pressure_case(coarse=True, dtype=jnp.float64)
+    tables = sigma_tables_for_sweep(case, params)[:6]
+    mesh = device_mesh(8)
+    out = sharded_material_solve_refined(case, tables, mesh, tol=1e-8)
+    assert out.phi.shape == (6, case.n_nodes)
+    assert bool(np.asarray(out.converged).all())
+    assert float(np.asarray(out.residual).max()) <= 1e-8
+    # true residual check against a from-scratch f64 operator
+    from pelvistim_fem_tpu.ops import assembly, bc as bc_ops
+    sigvol0 = tables[0][case.tet_body] * case.vol
+    raw = lambda x: assembly.spmv(x, case.tets, case.grads, sigvol0,
+                                  case.scatter_perm, case.scatter_segids,
+                                  case.n_nodes)
+    op = bc_ops.make_projected_operator(raw, case.free_mask)
+    b = bc_ops.effective_rhs(raw, case.free_mask, case.dirichlet_vals,
+                             case.b_neumann)
+    r = np.asarray(b - op(out.phi[0]))
+    rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+    assert rel <= 2e-8, rel
+
+
 def test_pressure_tables_only_touch_contact_bodies():
     case, params = build_pressure_case(coarse=True)
     tables = np.asarray(sigma_tables_for_sweep(case, params))
