@@ -6,6 +6,17 @@ round-3 fused machinery (combine-on-the-fly SpMV + the lane-batched
 flat Pallas kernel) won 1.53x at megatet L=100 — measure whether it
 also wins at the step04 grid, where the combined stack fits easily.
 
+MEASURED (v5e, 2026-08-17, grid (55,31,19) L=100, certified 1e-8):
+  per-lane combined  0.693 s  <- bench.py's path; WINS at this scale
+  fused              1.108 s  (0.63x)
+  fused + flat       1.022 s  (0.68x)
+At 32k nodes the per-lane combined stack (L*27*G ~ 350 MB f32) fits
+easily and XLA's batched stencil fuses better than the combine-on-the-
+fly forms, whose extra per-level lane work dominates on small grids.
+The fused/flat machinery is a MEGATET-scale tool (where per-lane
+combined coefficients are a 3.4 GB non-starter); bench.py's sweep-leg
+routing stays per-lane combined.
+
 Usage: python dev/step04_sweep_ab.py [L]
 """
 import os as _os
