@@ -95,21 +95,30 @@ def main():
         # operators (inert padding planes).
         import jax
 
-        from pelvistim_fem_tpu.ops.stencil import (
-            batched_case_solve, batched_case_solve_refined)
-        from pelvistim_fem_tpu.parallel.geometry_sweep import \
-            build_padded_group
+        from pelvistim_fem_tpu.ops.multigrid import (
+            batched_group_solve_mg, batched_group_solve_mg_refined)
+        from pelvistim_fem_tpu.parallel.geometry_sweep import (
+            build_padded_group, build_padded_group_hierarchy)
         f64_ok = jax.config.jax_enable_x64
         dtype = jnp.float64 if f64_ok else jnp.float32
         t0 = time.perf_counter()
         stacked, extract = build_padded_group(built, dtype=dtype)
+        # per-lane MG hierarchies on shared index-space transfers:
+        # multigrid for the heterogeneous batch (certified residuals
+        # come from the refinement, not the transfers); hierarchy probes
+        # from the host stacks — no device readback
+        bhier = build_padded_group_hierarchy(
+            stacked, host_coeff=extract.host_coeff,
+            host_free=extract.host_free)
         t_build = time.perf_counter() - t0
         t0 = time.perf_counter()
         if f64_ok:
-            out = batched_case_solve_refined(stacked, tol=1e-8,
-                                             maxiter=30_000)
+            out = batched_group_solve_mg_refined(stacked, bhier,
+                                                 tol=1e-8,
+                                                 maxiter=30_000)
         else:
-            out = batched_case_solve(stacked, tol=1e-6, maxiter=30_000)
+            out = batched_group_solve_mg(stacked, bhier, tol=1e-6,
+                                         maxiter=30_000)
         jax.block_until_ready(out.phi)
         t_solve = time.perf_counter() - t0
         print(f"\n  padded batch {tuple(stacked.free.shape)}: "

@@ -654,6 +654,48 @@ def batched_mg_solve_refined(scase: StencilCase, hier: MGHierarchy,
     )(sigma_tables)
 
 
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter", "nu",
+                                   "coarse_iters", "smoother",
+                                   "max_refinements"))
+def batched_group_solve_mg_refined(stacked: StencilCase,
+                                   bhier: MGHierarchy,
+                                   sigma_tables=None, *, tol=1e-8,
+                                   inner_tol=3e-4, maxiter=2_000, nu=2,
+                                   coarse_iters=24, smoother="jacobi",
+                                   max_refinements=8):
+    """Heterogeneous-geometry batch at TRUE f64-certified tolerance:
+    every leaf of `stacked` (parallel/geometry_sweep.build_padded_group)
+    AND of `bhier` (build_padded_group_hierarchy) carries a leading case
+    axis S — per-case operators, BCs, AND multigrid levels, vmapped
+    through the same mixed-precision refinement as the material sweeps.
+    Converged lanes freeze.  The MG form of batched_case_solve_refined
+    (step02's padded batch was previously Jacobi-only)."""
+    sig = stacked.sigma_table if sigma_tables is None else sigma_tables
+    return jax.vmap(
+        lambda sc, hr, s: solve_stencil_mg_refined(
+            sc, hr, s, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+            nu=nu, coarse_iters=coarse_iters, smoother=smoother,
+            max_refinements=max_refinements)
+    )(stacked, bhier, sig)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "nu",
+                                   "coarse_iters", "smoother"))
+def batched_group_solve_mg(stacked: StencilCase, bhier: MGHierarchy,
+                           sigma_tables=None, *, tol=1e-8,
+                           maxiter=2_000, nu=2, coarse_iters=24,
+                           smoother="jacobi"):
+    """batched_group_solve_mg_refined's plain (single-precision) twin —
+    for workflows without x64 (recursive residual only; don't feed
+    hard-contrast flux metrics from this)."""
+    sig = stacked.sigma_table if sigma_tables is None else sigma_tables
+    return jax.vmap(
+        lambda sc, hr, s: solve_stencil_mg(
+            sc, hr, s, tol=tol, maxiter=maxiter, nu=nu,
+            coarse_iters=coarse_iters, smoother=smoother)
+    )(stacked, bhier, sig)
+
+
 # ── Lane-stacked fused-SpMV multigrid (megatet-scale WIDE sweeps) ──────
 #
 # batched_mg_solve materializes per-lane combined coefficients

@@ -117,3 +117,44 @@ def test_padded_group_bit_identical_to_serial():
         np.testing.assert_allclose(
             phi, np.asarray(ref.phi), rtol=0,
             atol=1e-5 * float(np.abs(np.asarray(ref.phi)).max()))
+
+
+def test_padded_group_mg_matches_jacobi_and_certifies():
+    """MG for the heterogeneous padded batch: per-lane hierarchies on
+    shared index-space transfers (build_padded_group_hierarchy) must
+    reach the same certified solutions as the Jacobi-refined batch in
+    far fewer iterations."""
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.models.electrodes import build_electrode_case
+    from pelvistim_fem_tpu.ops.multigrid import \
+        batched_group_solve_mg_refined
+    from pelvistim_fem_tpu.ops.stencil import batched_case_solve_refined
+    from pelvistim_fem_tpu.parallel.geometry_sweep import (
+        build_padded_group, build_padded_group_hierarchy)
+    from pelvistim_fem_tpu.utils.config import default_params
+
+    p = default_params("step02_electrodes")
+    built = []
+    for s, r in [("circle", 0.010), ("square", 0.015)]:
+        case, _, mesh = build_electrode_case(p, shape=s, r=r,
+                                             dtype=jnp.float64,
+                                             with_mesh=True)
+        built.append((case, mesh))
+    stacked, extract = build_padded_group(built, dtype=jnp.float64)
+    bhier = build_padded_group_hierarchy(stacked)
+
+    out_mg = batched_group_solve_mg_refined(stacked, bhier, tol=1e-9)
+    assert bool(np.asarray(out_mg.converged).all())
+    assert float(np.asarray(out_mg.residual).max()) <= 1e-9
+
+    out_j = batched_case_solve_refined(stacked, tol=1e-9,
+                                       maxiter=30_000)
+    for pm, pj in zip(extract(out_mg.phi), extract(out_j.phi)):
+        np.testing.assert_allclose(
+            pm, pj, rtol=0, atol=1e-5 * float(np.abs(pj).max()))
+    # the point of MG: far fewer iterations than Jacobi on the same
+    # lanes (typical: ~30-60 vs several hundred)
+    it_mg = np.asarray(out_mg.iterations)
+    it_j = np.asarray(out_j.iterations)
+    assert it_mg.max() * 3 < it_j.max(), (it_mg, it_j)
