@@ -78,8 +78,14 @@ def _assemble_csr(tets, grads, vol, body, free, sigma_table):
     """
     import scipy.sparse as sp
 
-    sigvol = sigma_table[body] * vol
-    Ke = np.einsum("mid,mjd->mij", grads, grads) * sigvol[:, None, None]
+    sig_e = sigma_table[body]
+    if sig_e.ndim == 3:          # (T, 3, 3) tensor table (ops/aniso.py)
+        Ke = np.einsum("mid,mde,mje->mij", grads, sig_e,
+                       grads) * vol[:, None, None]
+    else:
+        sigvol = sig_e * vol
+        Ke = np.einsum("mid,mjd->mij", grads,
+                       grads) * sigvol[:, None, None]
     rows = np.repeat(tets, 4, axis=1).reshape(-1)         # (M*16,)
     cols = np.tile(tets, (1, 4)).reshape(-1)
     n = free.shape[0]
@@ -334,9 +340,13 @@ def make_amg_preconditioner(amg: AMGHierarchy, fine_op, *, nu=2,
 
 
 def _fine_pieces(case, sigma_table, amg):
-    """(full-vector projected op, free-dof fine op, b_eff, diag_full)."""
+    """(full-vector projected op, free-dof fine op, b_eff, diag_full).
+    sigma_table (T,) scalar or (T, 3, 3) tensor per body."""
     sigma_e = sigma_table[case.tet_body]
-    sigvol = sigma_e * case.vol
+    if sigma_e.ndim == 3:
+        sigvol = sigma_e * case.vol[:, None, None]
+    else:
+        sigvol = sigma_e * case.vol
     n = case.free_mask.shape[0]
 
     def raw_spmv(x):

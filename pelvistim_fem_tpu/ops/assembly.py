@@ -84,7 +84,16 @@ def scatter_to_nodes(values_per_elem_node, perm, segids, n_nodes):
 
 
 def spmv(phi, tets, grads, sigvol, perm, segids, n_nodes):
-    """Matrix-free y = K @ phi.   sigvol = sigma_e * V_e  (M,).
+    """Matrix-free y = K @ phi.
+
+    sigvol: sigma_e * V_e — (M,) for scalar (isotropic) conductivity, or
+    (M, 3, 3) for TENSOR conductivity (K_e = V_e G Sigma_e G^T; pass a
+    SYMMETRIC Sigma or K loses the SPD property CG depends on).  The
+    tensor form costs one extra (M, 3, 3)x(M, 3) einsum per apply —
+    anisotropic tissue (muscle fibers: ~0.4 S/m along, ~0.09 across) at
+    essentially isotropic speed.  The reference pipeline is
+    isotropic-only (Elmer StatCurrentSolve scalar sigma,
+    step01_box/case.sif:33-46).
 
     precision=HIGHEST: on TPU the default f32 contraction precision is
     bf16-based on the MXU; with contraction dims of only 3/4 these einsums
@@ -94,21 +103,33 @@ def spmv(phi, tets, grads, sigvol, perm, segids, n_nodes):
     hi = jax.lax.Precision.HIGHEST
     xe = phi[tets]                                    # (M, 4)
     q = jnp.einsum("mid,mi->md", grads, xe, precision=hi)   # (M, 3)
-    ye = jnp.einsum("mid,md->mi", grads,
-                    sigvol[:, None] * q, precision=hi)      # (M, 4)
+    if sigvol.ndim == 3:
+        s = jnp.einsum("mde,me->md", sigvol, q, precision=hi)
+    else:
+        s = sigvol[:, None] * q
+    ye = jnp.einsum("mid,md->mi", grads, s, precision=hi)   # (M, 4)
     return scatter_to_nodes(ye, perm, segids, n_nodes)
 
 
 def stiffness_diagonal(tets, grads, sigvol, perm, segids, n_nodes):
-    """diag(K) for Jacobi preconditioning: sum_e sigma V |grad lambda_i|^2."""
-    de = sigvol[:, None] * jnp.sum(grads * grads, axis=2)   # (M, 4)
+    """diag(K) for Jacobi preconditioning: V g_i^T Sigma g_i (tensor) /
+    sigma V |grad lambda_i|^2 (scalar)."""
+    hi = jax.lax.Precision.HIGHEST
+    if sigvol.ndim == 3:
+        de = jnp.einsum("mid,mde,mie->mi", grads, sigvol, grads,
+                        precision=hi)
+    else:
+        de = sigvol[:, None] * jnp.sum(grads * grads, axis=2)   # (M, 4)
     return scatter_to_nodes(de, perm, segids, n_nodes)
 
 
 def element_matrices(grads, sigvol):
-    """Dense per-element stiffness K_e = sigma V G G^T (M, 4, 4).
+    """Dense per-element stiffness K_e = V G Sigma G^T (M, 4, 4);
+    sigvol (M,) scalar or (M, 3, 3) tensor.
 
     Not used on the CG hot path (matrix-free is cheaper in HBM traffic) but
     handy for tests against scipy/dense references.
     """
+    if sigvol.ndim == 3:
+        return jnp.einsum("mid,mde,mje->mij", grads, sigvol, grads)
     return jnp.einsum("mid,mjd->mij", grads, grads) * sigvol[:, None, None]

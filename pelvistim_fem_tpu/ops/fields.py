@@ -34,11 +34,16 @@ def cell_E(case, phi):
 
 
 def cell_J(case, phi, sigma_table=None):
-    """J = -sigma grad phi per tet (M, 3)."""
+    """J = -sigma grad phi per tet (M, 3).  sigma_table (T,) scalar or
+    (T, 3, 3) tensor per body (anisotropic tissue, ops/aniso.py)."""
     if sigma_table is None:
         sigma_table = case.sigma_table
     sigma_e = sigma_table[case.tet_body]
-    return sigma_e[:, None] * cell_E(case, phi)
+    E = cell_E(case, phi)
+    if sigma_e.ndim == 3:
+        return jnp.einsum("mde,me->md", sigma_e, E,
+                          precision=jax.lax.Precision.HIGHEST)
+    return sigma_e[:, None] * E
 
 
 def cell_centers(case):
@@ -114,7 +119,11 @@ def consistent_electrode_currents(case, phi, sigma_table=None):
     from pelvistim_fem_tpu.ops import assembly as _asm
     if sigma_table is None:
         sigma_table = case.sigma_table
-    sigvol = sigma_table[case.tet_body] * case.vol
+    sig_e = sigma_table[case.tet_body]
+    if sig_e.ndim == 3:          # (T, 3, 3) tensor table (ops/aniso.py)
+        sigvol = sig_e * case.vol[:, None, None]
+    else:
+        sigvol = sig_e * case.vol
     n = case.nodes.shape[0]
     kphi = _asm.spmv(phi, case.tets, case.grads, sigvol,
                      case.scatter_perm, case.scatter_segids, n)

@@ -109,9 +109,17 @@ def preconditioned_cg(op, b, M, x0, *, tol=1e-8, maxiter=10_000):
 
 
 def _case_operator(case, sigma_table):
-    """(spmv closure incl. Dirichlet projection, diag, b_eff) for a Case."""
+    """(spmv closure incl. Dirichlet projection, diag, b_eff) for a Case.
+
+    sigma_table (T,) scalar per body, or (T, 3, 3) SYMMETRIC tensor per
+    body (anisotropic tissue — ops/aniso.py builds tables from fiber
+    directions).  Tensor tables flow through every solve_case* entry
+    point and the vmapped/sharded material sweeps unchanged."""
     sigma_e = sigma_table[case.tet_body]
-    sigvol = sigma_e * case.vol
+    if sigma_e.ndim == 3:
+        sigvol = sigma_e * case.vol[:, None, None]
+    else:
+        sigvol = sigma_e * case.vol
     n = case.free_mask.shape[0]
 
     def raw_spmv(x):

@@ -1,0 +1,119 @@
+"""Anisotropic (tensor) conductivity on the element path (ops/aniso.py).
+
+The reference pipeline is isotropic-only (scalar sigma per body,
+step01_box/case.sif:33-46), so these tests validate against exact
+invariants instead of reference outputs:
+  * a diagonal-isotropic tensor table must reproduce the scalar solve
+    bit-for-bit (same operator, same arithmetic);
+  * the step01 box under a z-drive has phi = z/Lz for ANY diagonal
+    tensor (the field is uniaxial, so transverse conductivity cannot
+    enter), with J_z = sigma_zz * dV/Lz exactly;
+  * a uniaxial fiber tensor must steer current along the fiber axis;
+  * KCL (weak-form reaction currents) holds to solver tolerance.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.models.box import build_box_case
+from pelvistim_fem_tpu.ops import fields
+from pelvistim_fem_tpu.ops.aniso import (check_spd, tensor_table,
+                                         uniaxial_tensor)
+from pelvistim_fem_tpu.ops.solve import solve_case, solve_case_refined
+
+
+def test_isotropic_tensor_matches_scalar_exactly():
+    case, _ = build_box_case(h=0.005)
+    tab = tensor_table(case.sigma_table)
+    r_s = solve_case(case, tol=1e-10)
+    r_t = solve_case(case, jnp.asarray(tab), tol=1e-10)
+    assert bool(np.asarray(r_t.converged))
+    np.testing.assert_allclose(np.asarray(r_t.phi), np.asarray(r_s.phi),
+                               rtol=0, atol=1e-12)
+
+
+def test_box_diagonal_tensor_analytic():
+    """z-drive on the box: phi = V z/Lz regardless of sigma_xx/yy;
+    J_z = sigma_zz V/Lz exactly (the anisotropic twin of the reference
+    step01 gates, test_step01_baseline.py:22-25)."""
+    case, _ = build_box_case(h=0.005)
+    T = case.sigma_table.shape[0]
+    tab = np.zeros((T, 3, 3))
+    sig_zz = 0.125
+    tab[1] = np.diag([7.0, 0.003, sig_zz])      # wildly anisotropic
+    res = solve_case_refined(case, jnp.asarray(tab), tol=1e-10)
+    assert bool(np.asarray(res.converged))
+    z = np.asarray(case.nodes[:, 2])
+    Lz = z.max()
+    phi = np.asarray(res.phi)
+    V = phi.max()
+    ref = V * z / Lz
+    rel = np.linalg.norm(phi - ref) / np.linalg.norm(ref)
+    # residual tol 1e-10; the 56:1 anisotropy ratio inflates kappa, so
+    # the solution gate gets one order of headroom (measured 1.3e-8)
+    assert rel <= 1e-7, rel
+    J = np.asarray(fields.cell_J(case, res.phi, jnp.asarray(tab)))
+    Jz_ref = sig_zz * V / Lz
+    np.testing.assert_allclose(np.abs(J[:, 2]), Jz_ref, rtol=1e-7)
+    # transverse leakage: the large sigma_xx=7 amplifies the ~1e-8
+    # potential error into J_x ~ sigma_xx * err / h; gate it relative
+    # to the physical J_z instead of absolutely
+    assert np.abs(J[:, :2]).max() <= 1e-4 * Jz_ref
+
+
+def test_fiber_tensor_steers_current():
+    """Uniaxial fibers along x on the z-driven box: the field is still
+    uniaxial in z (diagonal-in-z component rules), but tilting fibers
+    into the xz-plane must produce transverse current J_x with the sign
+    of the xz tensor component."""
+    case, _ = build_box_case(h=0.005)
+    T = case.sigma_table.shape[0]
+    tab = np.zeros((T, 3, 3))
+    tab[1] = uniaxial_tensor((1, 0, 1), 0.4, 0.09)   # 45-degree fibers
+    check_spd(tab)
+    res = solve_case_refined(case, jnp.asarray(tab), tol=1e-9)
+    assert bool(np.asarray(res.converged))
+    J = np.asarray(fields.cell_J(case, res.phi, jnp.asarray(tab)))
+    # mean transverse current follows the off-diagonal coupling
+    mean_Jx = float(np.mean(J[:, 0] * np.sign(np.mean(J[:, 2]))))
+    assert abs(mean_Jx) > 0.01 * abs(float(np.mean(J[:, 2])))
+    # KCL: exact weak-form currents still balance
+    from pelvistim_fem_tpu.ops.metrics import injected_currents
+    cur = injected_currents(case, res.phi,
+                            sigma_table=jnp.asarray(tab))
+    assert cur["flux_err_consistent"] < 1e-6
+
+
+def test_layered_muscle_fibers_end_to_end():
+    """Layered slab with muscle fibers along y (the physiological
+    configuration): certified refined solve converges, currents balance,
+    and the longitudinal conductivity visibly reshapes the ROI field
+    versus the isotropic solve."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    case, params = build_pressure_case(coarse=True, dtype=jnp.float64)
+    tab = tensor_table(case.sigma_table,
+                       {core.BODY_MUSCLE: ((0, 1, 0), 0.4, 0.09)})
+    check_spd(tab)
+    res = solve_case_refined(case, jnp.asarray(tab), tol=1e-8)
+    assert bool(np.asarray(res.converged))
+    assert float(np.asarray(res.residual)) <= 1e-8
+    from pelvistim_fem_tpu.ops.metrics import injected_currents
+    cur = injected_currents(case, res.phi, sigma_table=jnp.asarray(tab))
+    assert cur["flux_err_consistent"] < 1e-6
+    iso = solve_case_refined(case, tol=1e-8)
+    d = np.linalg.norm(np.asarray(res.phi) - np.asarray(iso.phi))
+    assert d > 1e-3 * np.linalg.norm(np.asarray(iso.phi))
+
+
+def test_check_spd_guards():
+    import pytest
+    bad = np.zeros((2, 3, 3))
+    bad[1] = [[1, 0.5, 0], [0.2, 1, 0], [0, 0, 1]]   # asymmetric
+    with pytest.raises(ValueError, match="symmetric"):
+        check_spd(bad)
+    neg = np.zeros((2, 3, 3))
+    neg[1] = np.diag([1.0, -0.2, 1.0])
+    with pytest.raises(ValueError, match="PSD"):
+        check_spd(neg)
