@@ -66,6 +66,14 @@ def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int,
     never materializes the per-body stacks (at the 6.8M-tet pelvis the
     7-body f64 stack alone is 3.7 GB tile-padded; the whole-body-
     factored refined program requested 25.8 GB of HBM).
+
+    sigma_table may also be a (n_bodies + 1, 3, 3) SYMMETRIC TENSOR
+    table (ops/aniso.py; slot 0 all-zero): the cell integrand becomes
+    n_a^T Sigma n_b / (6 |det|) instead of sigma n_a . n_b — megatet-
+    scale anisotropy on the stencil fast path, also pre-combined B=1
+    (tensor sweeps are not body-factored; re-assemble per table, which
+    this one jitted device call makes cheap).  Parity-tested against
+    the element path (tests/test_aniso.py).
     """
     dt = coords_dev.dtype
     X, Y, Z = coords_dev.shape[1:]
@@ -113,18 +121,31 @@ def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int,
         inv6det = jnp.where(adet > 0, 1.0 / (6.0 * adet), 0.0)
         ns = [tuple(-(A1[i] + A2[i] + A3[i]) for i in range(3)),
               A1, A2, A3]
+        tensor = sigma_table is not None and sigma_table.ndim == 3
         if sigma_table is None:
             weight = (body6[t][None]
                       == bids[:, None, None, None]).astype(dt)
+        elif tensor:
+            # per-cell 3x3 (small-table gather); carved cells (body 0)
+            # hit the all-zero slot.  Kept as 6 symmetric components.
+            bt = body6[t].astype(jnp.int32)
+            S = [[sigma_table[bt, c, d].astype(dt) for d in range(3)]
+                 for c in range(3)]
         else:
             # carved cells (body 0) hit sigma_table[0] == 0
             weight = sigma_table[body6[t].astype(jnp.int32)][None]
             weight = weight.astype(dt)
         for a in range(4):
             for b in range(a, 4):
-                k_ab = (ns[a][0] * ns[b][0] + ns[a][1] * ns[b][1]
-                        + ns[a][2] * ns[b][2]) * inv6det
-                contrib = k_ab[None] * weight          # (B_out, nx, ny, nz)
+                if tensor:
+                    k_ab = sum(ns[a][c] * S[c][d] * ns[b][d]
+                               for c in range(3)
+                               for d in range(3)) * inv6det
+                    contrib = k_ab[None]               # (1, nx, ny, nz)
+                else:
+                    k_ab = (ns[a][0] * ns[b][0] + ns[a][1] * ns[b][1]
+                            + ns[a][2] * ns[b][2]) * inv6det
+                    contrib = k_ab[None] * weight      # (B_out, nx, ny, nz)
                 o_ab = _OFFSET_INDEX[tuple(c[b] - c[a])]
                 per_off[o_ab].append((tuple(c[a]), contrib))
                 if a != b:

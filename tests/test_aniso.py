@@ -107,6 +107,32 @@ def test_layered_muscle_fibers_end_to_end():
     assert d > 1e-3 * np.linalg.norm(np.asarray(iso.phi))
 
 
+def test_lattice_tensor_assembly_matches_element_path():
+    """Stencil fast path with a tensor table (lattice_coeff's tensor
+    branch, pre-combined B=1) must reproduce the element-path tensor
+    solve on the same geometry — megatet-scale anisotropy rides the
+    same device assembly + certified MG refinement as scalar solves."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.models.pressure import (build_pressure_case,
+                                                   build_pressure_spec)
+    from pelvistim_fem_tpu.ops.lattice_assembly import \
+        solve_lattice_mg_refined
+    spec, _ = build_pressure_spec(coarse=True)
+    tab = tensor_table(spec.sigma_table,
+                       {core.BODY_MUSCLE: ((0, 1, 0), 0.4, 0.09),
+                        core.BODY_FAT: ((1, 0, 0), 0.06, 0.03)})
+    check_spd(tab)
+    r = solve_lattice_mg_refined(spec, jnp.asarray(tab), tol=1e-10)
+    assert bool(np.asarray(r.converged))
+    assert float(np.asarray(r.residual)) <= 1e-10
+
+    case, _ = build_pressure_case(coarse=True, dtype=jnp.float64)
+    r2 = solve_case_refined(case, jnp.asarray(tab), tol=1e-10)
+    p1, p2 = np.asarray(r.phi), np.asarray(r2.phi)
+    scale = np.abs(p2).max()
+    np.testing.assert_allclose(p1, p2, atol=1e-7 * scale)
+
+
 def test_check_spd_guards():
     import pytest
     bad = np.zeros((2, 3, 3))
