@@ -121,6 +121,54 @@ def solve_stencil_mg_diff(scase: StencilCase, hier: MGHierarchy,
     return x.reshape(-1)[scase.grid_index]
 
 
+@partial(jax.jit, static_argnames=("n_bodies", "tol", "maxiter", "nu",
+                                   "coarse_iters"))
+def solve_lattice_mg_diff(dev: dict, hier: MGHierarchy, sigma_table, *,
+                          n_bodies: int, precond_sigma=None, tol=1e-10,
+                          maxiter=2_000, nu=2, coarse_iters=24):
+    """phi(sigma) through DEVICE ASSEMBLY, differentiable w.r.t. a
+    scalar (T,) or TENSOR (T, 3, 3) table (ops/aniso.py).
+
+    Unlike solve_stencil_mg_diff (which differentiates through the
+    body-factored combine of a prebuilt stack), gradients here flow
+    through the accumulation integrand itself — n_a^T Sigma n_b in
+    lattice_coeff — so ANISOTROPIC parameters (fiber longitudinal/
+    transverse conductivities, or full tensor components) are
+    first-class optimization variables: e.g. fitting muscle fiber
+    anisotropy from surface potentials, which no isotropic model can
+    represent.  dev = spec_device_arrays(spec, jnp.float64); hier from
+    assemble_lattice — its body-factored levels are combined with
+    precond_sigma (a SCALAR (T,) table; default dev['sigma_table'],
+    i.e. the spec's isotropic values).  The preconditioner only shapes
+    convergence, so an isotropic-equivalent combine is fine for tensor
+    solves; everything preconditioner-side is stop_gradient'ed.
+    """
+    from pelvistim_fem_tpu.ops.lattice_assembly import lattice_coeff
+    C = lattice_coeff(dev["h_axes"], dev["coords_dev"], dev["body6"],
+                      n_bodies, sigma_table=sigma_table)[0]   # combined
+    free = dev["free"]
+
+    def matvec(x):
+        raw = stencil_spmv(jnp.where(free, x, 0.0), C)
+        return jnp.where(free, raw, x)
+
+    phi_d = jnp.where(free, 0.0, dev["dirichlet"])
+    b_eff = jnp.where(free, dev["b_neumann"] - stencil_spmv(phi_d, C),
+                      dev["dirichlet"])
+
+    hier_sg = jax.tree_util.tree_map(lax.stop_gradient, hier)
+    psig = dev["sigma_table"] if precond_sigma is None else precond_sigma
+    M = make_v_cycle(hier_sg, lax.stop_gradient(psig), nu=nu,
+                     coarse_iters=coarse_iters)
+
+    def solve_fn(mv, b):
+        return _mg_pcg(mv, M, b, jnp.where(free, 0.0, b), free,
+                       tol=tol, maxiter=maxiter)
+
+    x = lax.custom_linear_solve(matvec, b_eff, solve_fn, symmetric=True)
+    return x.reshape(-1)[dev["grid_index"]]
+
+
 def sigma_sensitivity(metric_fn, scase: StencilCase, hier: MGHierarchy,
                       sigma_table, **solve_kw):
     """(J, dJ/dsigma_table) for a scalar metric of the solution.

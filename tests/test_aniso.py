@@ -14,6 +14,7 @@ invariants instead of reference outputs:
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from pelvistim_fem_tpu.models.box import build_box_case
@@ -131,6 +132,101 @@ def test_lattice_tensor_assembly_matches_element_path():
     p1, p2 = np.asarray(r.phi), np.asarray(r2.phi)
     scale = np.abs(p2).max()
     np.testing.assert_allclose(p1, p2, atol=1e-7 * scale)
+
+
+def _pressure_diff_setup():
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    from pelvistim_fem_tpu.ops.lattice_assembly import (
+        assemble_lattice, spec_device_arrays)
+    spec, _ = build_pressure_spec(coarse=True)
+    dev = spec_device_arrays(spec, jnp.float64)
+    _, hier = assemble_lattice(spec, jnp.float64, device_arrays=dev)
+    return spec, dev, hier
+
+
+def test_tensor_adjoint_grad_matches_fd():
+    """Gradients THROUGH the device assembly: d metric / d Sigma_muscle
+    components via solve_lattice_mg_diff must match central finite
+    differences — anisotropy parameters are first-class AD variables."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.ops.adjoint import solve_lattice_mg_diff
+    spec, dev, hier = _pressure_diff_setup()
+    nb = spec.n_bodies
+    base = jnp.asarray(tensor_table(
+        spec.sigma_table, {core.BODY_MUSCLE: ((0, 1, 0), 0.4, 0.09)}))
+
+    def J(tab):
+        phi = solve_lattice_mg_diff(dev, hier, tab, n_bodies=nb,
+                                    tol=1e-12)
+        return jnp.mean(phi * phi)
+
+    g = np.asarray(jax.grad(J)(base))
+    b = core.BODY_MUSCLE
+    for (c, d) in [(1, 1), (2, 2), (1, 2)]:
+        eps = 1e-5 * float(base[b, c, d] if base[b, c, d] != 0 else 0.1)
+        up = base.at[b, c, d].add(eps).at[b, d, c].add(
+            eps if c != d else 0.0)
+        dn = base.at[b, c, d].add(-eps).at[b, d, c].add(
+            -eps if c != d else 0.0)
+        fd = (float(J(up)) - float(J(dn))) / (2 * eps)
+        # off-diagonal FD perturbs BOTH symmetric slots -> gradient sum
+        ga = g[b, c, d] + (g[b, d, c] if c != d else 0.0)
+        assert fd != 0.0
+        assert abs(ga - fd) <= 3e-4 * abs(fd), ((c, d), ga, fd)
+
+
+def test_fiber_anisotropy_recovery():
+    """Inverse anisotropy: recover muscle (sigma_long, sigma_trans)
+    from synthetic surface potentials by Gauss-Newton on the
+    device-assembly adjoint — a fit no isotropic model can express."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.ops.adjoint import solve_lattice_mg_diff
+    from pelvistim_fem_tpu.ops.aniso import uniaxial_tensor
+    spec, dev, hier = _pressure_diff_setup()
+    nb = spec.n_bodies
+    base = tensor_table(spec.sigma_table)
+    b = core.BODY_MUSCLE
+    axis = (0, 1, 0)
+
+    def table_for(p):
+        s_long, s_trans = jnp.exp(p[0]), jnp.exp(p[1])
+        d = jnp.asarray(axis, jnp.float64)
+        d = d / jnp.linalg.norm(d)
+        Sig = (s_trans * jnp.eye(3)
+               + (s_long - s_trans) * jnp.outer(d, d))
+        return jnp.asarray(base).at[b].set(Sig)
+
+    truth = np.log([0.4, 0.09])
+    phi_t = solve_lattice_mg_diff(dev, hier, table_for(jnp.asarray(truth)),
+                                  n_bodies=nb, tol=1e-11)
+    obs_idx = jnp.arange(0, phi_t.shape[0], 4, dtype=jnp.int32)
+    obs = phi_t[obs_idx]
+    scale = jnp.sqrt(jnp.sum(obs * obs))
+
+    def resid(p):
+        phi = solve_lattice_mg_diff(dev, hier, table_for(p),
+                                    n_bodies=nb, tol=1e-11)
+        return (phi[obs_idx] - obs) / scale
+
+    p = jnp.asarray(np.log([0.25, 0.15]))        # ~40-60% off
+    lam = 1e-3
+    l_prev = float(jnp.sum(resid(p) ** 2))
+    for _ in range(8):
+        r, jvp = jax.linearize(resid, p)
+        Jm = jax.vmap(jvp)(jnp.eye(2, dtype=p.dtype))     # (2, M)
+        A = np.asarray(jnp.einsum("pm,qm->pq", Jm, Jm))
+        g = np.asarray(jnp.einsum("pm,m->p", Jm, r))
+        dp = np.linalg.solve(A + lam * np.diag(np.diag(A)), -g)
+        p_try = p + jnp.asarray(dp)
+        l_try = float(jnp.sum(resid(p_try) ** 2))
+        if l_try < l_prev:
+            p, l_prev, lam = p_try, l_try, lam / 3
+        else:
+            lam *= 4
+        if l_prev < 1e-18:
+            break
+    fit = np.exp(np.asarray(p))
+    np.testing.assert_allclose(fit, [0.4, 0.09], rtol=1e-3)
 
 
 def test_check_spd_guards():
