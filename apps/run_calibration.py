@@ -42,6 +42,11 @@ def main():
                     help="relative measurement noise (e.g. 0.01)")
     ap.add_argument("--adam", action="store_true",
                     help="first-order adjoint loop instead of LM")
+    ap.add_argument("--fibers", action="store_true",
+                    help="fit muscle FIBER ANISOTROPY (sigma_long, "
+                         "sigma_trans) instead of scalar tissues — "
+                         "gradients through the tensor device assembly "
+                         "(ops/adjoint.solve_lattice_mg_diff)")
     ap.add_argument("--steps", type=int, default=0,
                     help="iterations (default: 15 LM / 200 Adam)")
     ap.add_argument("--plot", action="store_true")
@@ -61,6 +66,10 @@ def main():
     truth = jnp.asarray(spec.sigma_table, jnp.float64)
     names = {1: "muscle", 2: "fat", 3: "skin"}
     bodies = tuple(names)
+
+    if args.fibers:
+        _fit_fibers(args, spec, hier)
+        return
 
     # ground-truth forward solve -> sample the top (skin) surface,
     # where real surface electrodes would measure
@@ -136,6 +145,123 @@ def main():
         p = os.path.join(args.outdir, "calibration_loss.png")
         fig.savefig(p, dpi=130)
         print(f"  figure -> {p}")
+
+    sys.exit(0 if ok else 1)
+
+
+def _fit_fibers(args, spec, hier):
+    """Recover muscle FIBER ANISOTROPY (sigma_long, sigma_trans) from
+    synthetic surface potentials by damped Gauss-Newton, with gradients
+    flowing THROUGH the tensor device assembly (the n_a^T Sigma n_b
+    integrand in ops/lattice_assembly.lattice_coeff) via
+    ops/adjoint.solve_lattice_mg_diff.  The reference's isotropic
+    ElmerSolver pipeline cannot express this fit at all — anisotropy
+    never enters its sigma block (step04 run_pressure_sweep.py
+    params.yaml sigma entries are scalars)."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.ops.adjoint import solve_lattice_mg_diff
+    from pelvistim_fem_tpu.ops.aniso import tensor_table
+    from pelvistim_fem_tpu.ops.lattice_assembly import spec_device_arrays
+
+    iters = args.steps or 12
+    dev = spec_device_arrays(spec, jnp.float64)
+    nb = spec.n_bodies
+    base = jnp.asarray(tensor_table(spec.sigma_table))
+    b = core.BODY_MUSCLE
+    axis = jnp.asarray((0.0, 1.0, 0.0), jnp.float64)   # fibers along y
+
+    def table_for(p):
+        s_long, s_trans = jnp.exp(p[0]), jnp.exp(p[1])
+        d = axis / jnp.linalg.norm(axis)
+        Sig = (s_trans * jnp.eye(3, dtype=jnp.float64)
+               + (s_long - s_trans) * jnp.outer(d, d))
+        return base.at[b].set(Sig)
+
+    # literature muscle anisotropy (longitudinal/transverse, S/m)
+    truth = np.array([0.4, 0.09])
+    phi_t = solve_lattice_mg_diff(
+        dev, hier, table_for(jnp.log(jnp.asarray(truth))),
+        n_bodies=nb, tol=1e-11)
+    obs_idx = np.arange(0, int(phi_t.shape[0]), 3)
+    obs = np.asarray(phi_t)[obs_idx]
+    if args.noise:
+        rng = np.random.default_rng(0)
+        obs = obs * (1 + args.noise * rng.standard_normal(obs.shape))
+    obs_idx = jnp.asarray(obs_idx, jnp.int32)
+    obs = jnp.asarray(obs, jnp.float64)
+    scale = jnp.sqrt(jnp.sum(obs * obs))
+
+    def resid(p):
+        phi = solve_lattice_mg_diff(dev, hier, table_for(p),
+                                    n_bodies=nb, tol=1e-11)
+        return (phi[obs_idx] - obs) / scale
+
+    start = np.array([0.25, 0.15])         # near-isotropic guess
+    p = jnp.log(jnp.asarray(start))
+    lam = 1e-3
+    losses = [float(jnp.sum(resid(p) ** 2))]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r, jvp = jax.linearize(resid, p)
+        Jm = jax.vmap(jvp)(jnp.eye(2, dtype=p.dtype))        # (2, M)
+        A = np.asarray(jnp.einsum("pm,qm->pq", Jm, Jm))
+        g = np.asarray(jnp.einsum("pm,m->p", Jm, r))
+        dp = np.linalg.solve(A + lam * np.diag(np.diag(A)), -g)
+        p_try = p + jnp.asarray(dp)
+        l_try = float(jnp.sum(resid(p_try) ** 2))
+        if l_try < losses[-1]:
+            p, lam = p_try, lam / 3
+            losses.append(l_try)
+        else:
+            lam *= 4
+            losses.append(losses[-1])
+        if losses[-1] < 1e-18:
+            break
+    wall = time.perf_counter() - t0
+
+    fit = np.exp(np.asarray(p))
+    tol_rec = 1e-2 if not args.noise else 10 * args.noise
+    names = ("sigma_long", "sigma_trans")
+    print(f"\n  {len(losses)-1} Gauss-Newton steps in {wall:.1f} s "
+          f"(primal + 2 tangent + trial MG-CG solves/step)")
+    print(f"  final loss {losses[-1]:.3e}\n")
+    print(f"  {'param':<12} {'true':>10} {'start':>10} "
+          f"{'recovered':>10} {'err':>8}")
+    ok = True
+    rows = {}
+    for k, nm in enumerate(names):
+        err = abs(fit[k] / truth[k] - 1)
+        ok &= err < tol_rec
+        rows[nm] = {"true_Spm": float(truth[k]),
+                    "start_Spm": float(start[k]),
+                    "recovered_Spm": float(fit[k]),
+                    "rel_err": float(err)}
+        print(f"  {nm:<12} {truth[k]:>10.4g} {start[k]:>10.4g} "
+              f"{fit[k]:>10.4g} {100*err:>7.2f}%")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    out = {"method": "GN-fibers", "steps": len(losses) - 1,
+           "wall_s": round(wall, 2), "noise_rel": args.noise,
+           "n_obs": int(obs.shape[0]), "final_loss": losses[-1],
+           "fiber_axis": [0, 1, 0], "recovered": rows, "ok": bool(ok)}
+    with open(os.path.join(args.outdir, "summary_fibers.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n  summary -> {args.outdir}/summary_fibers.json")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.semilogy(np.asarray(losses))
+        ax.set_xlabel("Gauss-Newton step")
+        ax.set_ylabel("normalized measurement MSE")
+        ax.set_title("fiber anisotropy calibration convergence")
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        pth = os.path.join(args.outdir, "calibration_fibers_loss.png")
+        fig.savefig(pth, dpi=130)
+        print(f"  figure -> {pth}")
 
     sys.exit(0 if ok else 1)
 
