@@ -865,3 +865,75 @@ def plot_3d_representative(case, mesh, phi, out_dir):
     ax.set_title("Skin-surface |J|", color="white")
     return _save(fig, out_dir, "representative_3d.png",
                  facecolor="black", edgecolor="none")
+
+
+# ── electrode-array pattern design (run_array_opt) ────────────────────────────
+
+
+def plot_array_opt(params, meta, pattern_mA, history, summary, outdir):
+    """3-panel design summary: array layout with the optimized injected
+    currents, the Frank-Wolfe convergence history, and the per-channel
+    pattern against its constraints."""
+    pos = np.asarray(meta["positions"]) * 1e3          # mm
+    i_mA = np.asarray(pattern_mA)
+    K = len(i_mA)
+    fig, (ax0, ax1, ax2) = plt.subplots(
+        1, 3, figsize=(13.5, 4.4),
+        gridspec_kw={"width_ratios": [1.15, 1, 1]})
+
+    # layout: discs sized by |i|, red = source, blue = sink
+    Lx, Ly = params["L_mm"]
+    r_e = params["elec_r_mm"]
+    amax = max(np.abs(i_mA).max(), 1e-12)
+    for k, (px, py) in enumerate(pos):
+        c = "#d62728" if i_mA[k] > 0 else "#1f77b4"
+        a = 0.15 + 0.85 * abs(i_mA[k]) / amax
+        ax0.add_patch(plt.Circle((px, py), r_e, color=c, alpha=a))
+        ax0.add_patch(plt.Circle((px, py), r_e, fill=False,
+                                 color="k", lw=0.6))
+        ax0.text(px, py, f"{k}\n{i_mA[k]:+.2f}", ha="center",
+                 va="center", fontsize=7)
+    roi = np.asarray(meta["roi_center"]) * 1e3
+    ax0.add_patch(plt.Circle((roi[0], roi[1]), meta["roi_r"] * 1e3,
+                             fill=False, color="green", lw=1.5,
+                             ls="--"))
+    ax0.text(roi[0], roi[1] - meta["roi_r"] * 1e3 - 3,
+             f"ROI @ {summary['roi_vol_mm3']:.0f} mm$^3$"
+             f" (depth {1e3*(meta['Lz']) - roi[2]:.0f} mm)",
+             ha="center", fontsize=7, color="green")
+    ax0.set_xlim(0, Lx)
+    ax0.set_ylim(0, Ly)
+    ax0.set_aspect("equal")
+    ax0.set_xlabel("x (mm)")
+    ax0.set_ylabel("y (mm)")
+    ax0.set_title(f"optimized pattern (mA), gain "
+                  f"{summary['gain']:.2f}x vs best pair", fontsize=9)
+
+    hist = np.asarray(history)
+    ax1.plot(hist, lw=1.2)
+    ax1.axhline(summary["roi_E_best_single_Vpm"], color="gray", ls="--",
+                lw=1, label="best single channel")
+    ax1.set_xlabel("Frank-Wolfe step")
+    ax1.set_ylabel("ROI mean E·target (V/m)")
+    ax1.legend(fontsize=7)
+    ax1.grid(alpha=0.3)
+    ax1.set_title("design objective", fontsize=9)
+
+    cols = ["#d62728" if v > 0 else "#1f77b4" for v in i_mA]
+    ax2.bar(np.arange(K), i_mA, color=cols)
+    for lim, lbl in ((summary["imax_mA"], "per-channel cap"),
+                     (-summary["imax_mA"], None)):
+        ax2.axhline(lim, color="k", ls=":", lw=1)
+        if lbl:
+            ax2.text(K - 0.5, lim, lbl, fontsize=7, va="bottom",
+                     ha="right")
+    ax2.set_xlabel("channel")
+    ax2.set_ylabel("i (mA)")
+    ax2.set_title(
+        f"$\\Sigma|i|$={sum(abs(i_mA)):.2f}/{summary['budget_mA']} mA, "
+        f"peak skin |J| {summary['peak_J_skin_Apm2']:.2f}/"
+        f"{summary['jlimit_Apm2']:.2f} A/m$^2$", fontsize=9)
+    ax2.grid(alpha=0.3, axis="y")
+
+    fig.tight_layout()
+    return _save(fig, outdir, "array_opt_summary.png")
