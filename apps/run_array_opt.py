@@ -95,11 +95,17 @@ def main():
         core.BODY_FAT: params["sigma_Spm"]["fat"],
         core.BODY_SKIN: params["sigma_Spm"]["skin"],
     }
+    # lead extraction runs in f32 (bench.py discipline: the certified
+    # f64 phi casts exactly to ~1e-7, far below metric tolerances;
+    # f64 einsums on TPU are emulated and memory-hungry at 676k tets)
     case = build_case(array_recipe(params, 0).mesh(), sigma_by_body,
-                      mode="current",
-                      injected_current_A=params["I_unit_A"])
+                      mode="current", dtype=jnp.float32,
+                      injected_current_A=params["I_unit_A"],
+                      to_device=False)
+    case = jax.device_put(case)
     w, J_skin, vol_roi = lead_vectors(
-        case, out.phi, roi_center=meta["roi_center"],
+        case, out.phi.astype(jnp.float32),
+        roi_center=meta["roi_center"],
         roi_r=meta["roi_r"], target_dir=meta["target_dir"])
     w_np = np.asarray(w)
 
@@ -115,7 +121,8 @@ def main():
     if args.jlimit > 0:
         j_limit = args.jlimit
     else:
-        j_limit = 0.6 * min(single_peak(k, amp1) for k in range(K))
+        j_limit = float(0.6 * min(single_peak(k, amp1)
+                                  for k in range(K)))
 
     # best feasible single channel (the conventional one-pair montage)
     best_single, best_k = 0.0, 0
@@ -124,7 +131,7 @@ def main():
             e = s * amp1
             pk = single_peak(k, abs(e))
             scale = min(1.0, j_limit / pk)
-            val = w_np[k] * e * scale
+            val = float(w_np[k] * e * scale)
             if val > best_single:
                 best_single, best_k = val, k
 
