@@ -112,3 +112,31 @@ def sharded_material_solve_refined(case, sigma_tables,
         case, sigma_tables, tol=tol, inner_tol=inner_tol,
         maxiter=maxiter, max_refinements=max_refinements)
     return jax.tree_util.tree_map(lambda a: a[:S], out)
+
+
+def sharded_basis_solve_refined(scase, hier, loads,
+                                mesh: Mesh | None = None, *,
+                                tol=1e-8, axis: str = "case", **kw):
+    """Lead-field basis solves with the K (electrode/RHS) axis sharded
+    over the device mesh — the data-parallel twin of
+    ops/leadfield.solve_basis_refined, completing the certified-sharded
+    matrix for the RHS batch axis (material tables, geometry groups and
+    domain slabs already have theirs).  Pads K to a mesh multiple
+    (padded lanes re-solve the last load; sliced off), replicates the
+    operator + hierarchy, and lets GSPMD run one electrode block per
+    device with zero cross-device traffic.
+    """
+    from pelvistim_fem_tpu.ops.leadfield import solve_basis_refined
+    if mesh is None:
+        mesh = device_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    K = loads.shape[0]
+    K_pad = -(-K // n_dev) * n_dev
+    if K_pad != K:
+        loads = jnp.concatenate(
+            [loads, jnp.repeat(loads[-1:], K_pad - K, axis=0)], axis=0)
+    loads = jax.device_put(loads, NamedSharding(mesh, P(axis)))
+    scase = jax.device_put(scase, NamedSharding(mesh, P()))
+    hier = jax.device_put(hier, NamedSharding(mesh, P()))
+    out = solve_basis_refined(scase, hier, loads, tol=tol, **kw)
+    return jax.tree_util.tree_map(lambda a: a[:K], out)

@@ -159,6 +159,22 @@ def test_optimize_pattern_feasible_and_beats_single(setup):
     assert float(info["objective"]) >= best_single * (1 - 1e-6)
 
 
+def test_sharded_basis_matches_unsharded(setup):
+    """RHS-axis dp sharding over the 8-device mesh: parity with the
+    unsharded vmapped batch (K=4 also exercises the pad-to-mesh path)."""
+    from pelvistim_fem_tpu.parallel.sweep import (device_mesh,
+                                                  sharded_basis_solve_refined)
+    params, specs, meta, scase, hier, loads = setup
+    ref = solve_basis_refined(scase, hier, loads, tol=1e-10)
+    out = sharded_basis_solve_refined(scase, hier, loads,
+                                      device_mesh(8), tol=1e-10)
+    assert out.phi.shape == ref.phi.shape
+    assert bool(np.asarray(out.converged).all())
+    scale = float(jnp.max(jnp.abs(ref.phi)))
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
+                               atol=1e-8 * scale)
+
+
 def test_unconstrained_skin_limit_hits_lp_optimum(setup):
     """With the skin limit slack and i_max >= budget, the program is an
     LP over the l1 ball whose optimum is budget * max_k |w_k| — the
