@@ -159,6 +159,27 @@ def test_optimize_pattern_feasible_and_beats_single(setup):
     assert float(info["objective"]) >= best_single * (1 - 1e-6)
 
 
+def test_discrete_reciprocity(setup):
+    """Mutual resistance symmetry R_jk = b_j^T phi_k / I^2 = R_kj: with
+    a symmetric operator, phi_k = A^{-1} b_k makes b_j^T phi_k an
+    energy inner product — electrode j's load-weighted potential under
+    drive k equals k's under j (the reciprocity theorem, discretely
+    EXACT up to solver tolerance).  Catches sign/scaling/BC bugs the
+    per-basis checks cannot."""
+    params, specs, meta, scase, hier, loads = setup
+    out = solve_basis_refined(scase, hier, loads, tol=1e-11)
+    K = loads.shape[0]
+    I = params["I_unit_A"]
+    # phi is in mesh-node order; loads are grid-form -> gather
+    gi = specs[0].grid_index
+    b_nodes = np.stack([np.asarray(l).ravel()[gi] for l in loads])
+    R = (b_nodes @ np.asarray(out.phi).T) / I ** 2        # (K, K)
+    asym = np.abs(R - R.T).max() / np.abs(R).max()
+    assert asym < 1e-9, (asym, R)
+    # diagonal dominance: self-resistance exceeds mutuals
+    assert np.all(np.diag(R) >= R.max(axis=1) - 1e-12)
+
+
 def test_sharded_basis_matches_unsharded(setup):
     """RHS-axis dp sharding over the 8-device mesh: parity with the
     unsharded vmapped batch (K=4 also exercises the pad-to-mesh path)."""
