@@ -69,6 +69,55 @@ def solve_basis(scase: StencilCase, hier: MGHierarchy, loads, *,
     )(loads)
 
 
+def element_patch_loads(case, patch_id, I_unit=1.0):
+    """(K, N) basis Neumann loads for K electrode patches on an ELEMENT
+    mesh (imported .msh/Elmer-DB/VTU meshes included — the off-lattice
+    twin of models/array.py's per-spec loads).
+
+    patch_id: (B,) int per boundary face — 0 = not an electrode,
+    1..K = patch membership.  Each patch gets the P1-consistent load of
+    a uniform injected current density jn = I_unit / patch_area (same
+    construction as ops/bc.neumann_current_load, so the discrete
+    delivered current is exact per patch).
+    """
+    faces = np.asarray(case.faces)
+    area = np.asarray(case.face_area, np.float64)
+    patch_id = np.asarray(patch_id)
+    K = int(patch_id.max())
+    n = int(case.free_mask.shape[0])
+    loads = np.zeros((K, n))
+    for k in range(1, K + 1):
+        sel = patch_id == k
+        A = float(area[sel].sum())
+        if A <= 0:
+            raise ValueError(f"patch {k} has zero area")
+        contrib = (I_unit / A) * area[sel] / 3.0
+        np.add.at(loads[k - 1], faces[sel].reshape(-1),
+                  np.repeat(contrib, 3))
+    return loads
+
+
+def solve_basis_case_refined(case, loads, *, amg=None, tol=1e-8, **kw):
+    """K certified element-path solves of one Case with K Neumann
+    loads — lead fields for IMPORTED meshes.  Pass `amg`
+    (ops/amg.build_amg) for the AMG-preconditioned form (the
+    performance-class path at tissue contrast); without it the
+    Jacobi-PCG refined solver is used."""
+    from pelvistim_fem_tpu.ops.solve import solve_case_refined
+    if amg is None:
+        def one(b):
+            return solve_case_refined(
+                dataclasses.replace(case, b_neumann=b), tol=tol, **kw)
+    else:
+        from pelvistim_fem_tpu.ops.amg import solve_case_amg_refined
+
+        def one(b):
+            return solve_case_amg_refined(
+                dataclasses.replace(case, b_neumann=b), amg, tol=tol,
+                **kw)
+    return jax.vmap(one)(jnp.asarray(loads, case.b_neumann.dtype))
+
+
 def lead_vectors(case, phi_basis, *, roi_center, roi_r, target_dir,
                  sigma_table=None):
     """Reduce K basis potentials to optimization ingredients.

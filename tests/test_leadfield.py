@@ -196,6 +196,57 @@ def test_sharded_basis_matches_unsharded(setup):
                                atol=1e-8 * scale)
 
 
+def test_element_path_basis_matches_stencil(setup):
+    """Lead fields for IMPORTED meshes: element-path basis solves
+    (patch loads + certified AMG) must reproduce the stencil-path basis
+    on the same lattice mesh — cross-path parity plus element-path
+    reciprocity."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.models.case import build_case
+    from pelvistim_fem_tpu.ops.amg import build_amg
+    from pelvistim_fem_tpu.ops.leadfield import (element_patch_loads,
+                                                 solve_basis_case_refined)
+    params, specs, meta, scase, hier, loads = setup
+    K = len(specs)
+    sigma_by_body = {
+        core.BODY_MUSCLE: params["sigma_Spm"]["muscle"],
+        core.BODY_FAT: params["sigma_Spm"]["fat"],
+        core.BODY_SKIN: params["sigma_Spm"]["skin"],
+    }
+    # per-k Cases carry each disc's exact face classification; faces are
+    # ordered identically (same mesh), so patch_id is exact by
+    # construction — no re-derivation from centroids
+    cases = [build_case(array_recipe(params, k).mesh(), sigma_by_body,
+                        mode="current",
+                        injected_current_A=params["I_unit_A"])
+             for k in range(K)]
+    case = cases[0]
+    patch_id = np.zeros(case.faces.shape[0], np.int32)
+    for k, ck in enumerate(cases):
+        sel = np.asarray(ck.face_bcid) == core.BC_ACTIVE
+        assert not (patch_id[sel] != 0).any()
+        patch_id[sel] = k + 1
+    loads_e = element_patch_loads(case, patch_id,
+                                  I_unit=params["I_unit_A"])
+    np.testing.assert_allclose(loads_e.sum(axis=1),
+                               params["I_unit_A"], rtol=1e-12)
+
+    amg = build_amg(case)
+    out = solve_basis_case_refined(case, loads_e, amg=amg, tol=1e-10)
+    assert bool(np.asarray(out.converged).all())
+
+    ref = solve_basis_refined(scase, hier, loads, tol=1e-10)
+    scale = float(jnp.max(jnp.abs(ref.phi)))
+    for k in (0, K - 1):
+        np.testing.assert_allclose(np.asarray(out.phi[k]),
+                                   np.asarray(ref.phi[k]),
+                                   atol=2e-6 * scale)
+
+    # element-path reciprocity (same invariant as the stencil test)
+    R = (loads_e @ np.asarray(out.phi).T) / params["I_unit_A"] ** 2
+    assert np.abs(R - R.T).max() / np.abs(R).max() < 1e-8
+
+
 def test_unconstrained_skin_limit_hits_lp_optimum(setup):
     """With the skin limit slack and i_max >= budget, the program is an
     LP over the l1 ball whose optimum is budget * max_k |w_k| — the
