@@ -33,10 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# geometric standard deviation of the log-normal prior per tissue
-# (literature spread; contact bodies stay at their nominal value —
-# they are a DESIGN variable, swept deterministically by step04)
-GSD = {"muscle": 1.35, "fat": 1.6, "skin": 2.0}
+from pelvistim_fem_tpu.ops.uq import DEFAULT_GSD as GSD  # noqa: E402
 
 
 def main():
@@ -68,14 +65,13 @@ def main():
     scase, hier = assemble_lattice(spec, jnp.float64)
     nominal = np.asarray(spec.sigma_table)
 
-    rng = np.random.default_rng(args.seed)
+    from pelvistim_fem_tpu.ops.uq import sample_sigma_tables
     S = args.n
-    tables = np.tile(nominal, (S, 1))
-    for b, nm in ((core.BODY_MUSCLE, "muscle"), (core.BODY_FAT, "fat"),
-                  (core.BODY_SKIN, "skin")):
-        tables[:, b] = nominal[b] * np.exp(
-            np.log(GSD[nm]) * rng.standard_normal(S))
-    tables = jnp.asarray(tables, jnp.float64)
+    tables = jnp.asarray(sample_sigma_tables(
+        nominal, {core.BODY_MUSCLE: GSD["muscle"],
+                  core.BODY_FAT: GSD["fat"],
+                  core.BODY_SKIN: GSD["skin"]}, S, seed=args.seed),
+        jnp.float64)
 
     out = batched_mg_solve_refined(scase, hier, tables, tol=1e-8)
     float(np.asarray(out.phi[0, 0]))            # compile

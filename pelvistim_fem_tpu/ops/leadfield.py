@@ -69,6 +69,113 @@ def solve_basis(scase: StencilCase, hier: MGHierarchy, loads, *,
     )(loads)
 
 
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter", "nu",
+                                   "coarse_iters", "max_refinements"))
+def solve_basis_ensemble_refined(scase: StencilCase, hier: MGHierarchy,
+                                 loads, sigma_tables, *, tol=1e-8,
+                                 inner_tol=3e-4, maxiter=2_000, nu=2,
+                                 coarse_iters=24, max_refinements=8):
+    """(S, K)-batched certified solves: lead-field basis k under
+    conductivity sample s — ONE vmapped-of-vmapped device call over the
+    (sigma table x RHS load) product, zero re-assembly (sigma enters at
+    combine time, the load at RHS build time).  The ingredient for
+    ROBUST stimulation design: the reference would need S*K subprocess
+    runs.  Returns a SolveResult with phi (S, K, N)."""
+    def one(sig, b):
+        return solve_stencil_mg_refined(
+            dataclasses.replace(scase, b_neumann=b), hier, sig, tol=tol,
+            inner_tol=inner_tol, maxiter=maxiter, nu=nu,
+            coarse_iters=coarse_iters, max_refinements=max_refinements)
+    return jax.vmap(lambda sig: jax.vmap(lambda b: one(sig, b))(loads))(
+        sigma_tables)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def optimize_pattern_robust(w_sk, J_skin_sk, *, budget, i_max, j_limit,
+                            steps: int = 400, candidates=None):
+    """Worst-case Frank-Wolfe over conductivity samples.
+
+        maximize   min_s  w_s . i          (worst-sample ROI dose)
+        subject to the same box / l1 / skin-|J| constraints as
+        optimize_pattern, with the skin peak taken over ALL samples.
+
+    min_s of linear functions is concave, so Frank-Wolfe applies
+    unchanged (gradient = the active sample's w); the skin penalty and
+    the exact post-scaling see the sample-wise WORST peak, so the
+    returned pattern is feasible for every sample.  w_sk: (S, K);
+    J_skin_sk: (S, K, M, 3).  `candidates` (C, K), optional: box/l1-
+    feasible warm starts (e.g. the nominal-sample design) also entered
+    into the best-iterate tracking — FW's subgradient steps on the
+    nonsmooth min converge slowly near the optimum, and seeding with
+    the nominal design guarantees the robust pattern never scores
+    below it.  Returns (i, info) — info carries the worst and mean
+    objectives.
+    """
+    S, K = w_sk.shape
+    w_sk = jnp.asarray(w_sk)
+    budget = jnp.asarray(budget, w_sk.dtype)
+    i_max = jnp.asarray(i_max, w_sk.dtype)
+    j_limit = jnp.asarray(j_limit, w_sk.dtype)
+
+    def lmo(g):
+        a = jnp.abs(g)
+        order = jnp.argsort(-a)
+        fill = jnp.clip(budget - i_max * jnp.arange(K, dtype=w_sk.dtype),
+                        0.0, i_max)
+        alloc = jnp.zeros(K, w_sk.dtype).at[order].set(fill)
+        return jnp.sign(g) * alloc
+
+    def peak(i):
+        J = jnp.einsum("k,skmc->smc", i, J_skin_sk)
+        return jnp.sqrt(jnp.max(jnp.sum(J * J, axis=2)))
+
+    def worst(i):
+        return jnp.min(w_sk @ i)
+
+    wbar = jnp.linalg.norm(w_sk.mean(axis=0))
+    mu = jnp.maximum(wbar * budget, 1e-30) / \
+        jnp.maximum(j_limit * j_limit, 1e-30)
+
+    def obj(i):
+        v = jnp.maximum(peak(i) - j_limit, 0.0)
+        return worst(i) - mu * v * v
+
+    def scaled_obj(i):
+        s = jnp.minimum(1.0, j_limit / jnp.maximum(peak(i), 1e-30))
+        return worst(s * i)
+
+    g = jax.grad(obj)
+
+    def step(carry, t):
+        i, best_i, best_f = carry
+        s = lmo(g(i))
+        gam = 2.0 / (t + 2.0)
+        i = (1.0 - gam) * i + gam * s
+        f = scaled_obj(i)
+        better = f > best_f
+        best_i = jnp.where(better, i, best_i)
+        best_f = jnp.where(better, f, best_f)
+        return (i, best_i, best_f), f
+
+    i0 = lmo(w_sk.mean(axis=0))
+    best_i, best_f = i0, scaled_obj(i0)
+    if candidates is not None:
+        for c in jnp.asarray(candidates, w_sk.dtype):
+            fc = scaled_obj(c)
+            take = fc > best_f
+            best_i = jnp.where(take, c, best_i)
+            best_f = jnp.where(take, fc, best_f)
+    (_, i, _), hist = jax.lax.scan(
+        step, (i0, best_i, best_f),
+        jnp.arange(steps, dtype=w_sk.dtype))
+    i = i * jnp.minimum(1.0, j_limit / jnp.maximum(peak(i), 1e-30))
+    info = {"objective_worst": worst(i),
+            "objective_mean": jnp.mean(w_sk @ i),
+            "peak_J_skin": peak(i), "l1": jnp.sum(jnp.abs(i)),
+            "linf": jnp.max(jnp.abs(i)), "history": hist}
+    return i, info
+
+
 def element_patch_loads(case, patch_id, I_unit=1.0):
     """(K, N) basis Neumann loads for K electrode patches on an ELEMENT
     mesh (imported .msh/Elmer-DB/VTU meshes included — the off-lattice

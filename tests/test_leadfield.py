@@ -247,6 +247,81 @@ def test_element_path_basis_matches_stencil(setup):
     assert np.abs(R - R.T).max() / np.abs(R).max() < 1e-8
 
 
+def test_robust_design_over_sigma_samples(setup):
+    """Worst-case design over conductivity samples: the (S, K)
+    ensemble batch matches direct (sigma, load) solves, and the robust
+    pattern's worst-sample dose beats the nominal-design pattern's
+    while staying feasible for EVERY sample."""
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.models.case import build_case
+    from pelvistim_fem_tpu.ops.leadfield import (
+        optimize_pattern_robust, solve_basis_ensemble_refined)
+    from pelvistim_fem_tpu.ops.uq import sample_sigma_tables
+    params, specs, meta, scase, hier, loads = setup
+    S = 3
+    samples = sample_sigma_tables(
+        np.asarray(specs[0].sigma_table),
+        {core.BODY_MUSCLE: 1.35, core.BODY_FAT: 1.6,
+         core.BODY_SKIN: 2.0}, S, seed=0)
+    tabs = jnp.asarray(samples, jnp.float64)
+    ens = solve_basis_ensemble_refined(scase, hier, loads, tabs,
+                                       tol=1e-10)
+    assert ens.phi.shape[:2] == (S, loads.shape[0])
+    assert bool(np.asarray(ens.converged).all())
+
+    # spot-parity: lane (1, 2) == direct solve with that (sigma, load)
+    import dataclasses as dc
+    direct = solve_stencil_mg_refined(
+        dc.replace(scase, b_neumann=loads[2]), hier, tabs[1], tol=1e-10)
+    scale = float(jnp.max(jnp.abs(direct.phi)))
+    np.testing.assert_allclose(np.asarray(ens.phi[1, 2]),
+                               np.asarray(direct.phi),
+                               atol=1e-8 * scale)
+
+    sigma_by_body = {
+        core.BODY_MUSCLE: params["sigma_Spm"]["muscle"],
+        core.BODY_FAT: params["sigma_Spm"]["fat"],
+        core.BODY_SKIN: params["sigma_Spm"]["skin"],
+    }
+    case = build_case(array_recipe(params, 0).mesh(), sigma_by_body,
+                      mode="current",
+                      injected_current_A=params["I_unit_A"])
+    w_sk, Jsk = [], []
+    for s in range(S):
+        ws, Js, _ = lead_vectors(case, ens.phi[s],
+                                 roi_center=meta["roi_center"],
+                                 roi_r=meta["roi_r"],
+                                 target_dir=meta["target_dir"],
+                                 sigma_table=tabs[s])
+        w_sk.append(ws)
+        Jsk.append(Js)
+    w_sk = jnp.stack(w_sk)
+    Jsk = jnp.stack(Jsk)
+
+    budget, i_max = 4.0, 1.5
+    pk1 = float(jnp.sqrt(jnp.max(jnp.sum(jnp.einsum(
+        "k,kmc->mc", jnp.ones(w_sk.shape[1], w_sk.dtype),
+        Jsk[0]) ** 2, axis=1))))
+    j_limit = 0.5 * pk1
+    i_rob, rinfo = optimize_pattern_robust(
+        w_sk, Jsk, budget=budget, i_max=i_max, j_limit=j_limit,
+        steps=200)
+    assert float(rinfo["l1"]) <= budget * (1 + 1e-9)
+    assert float(rinfo["linf"]) <= i_max * (1 + 1e-9)
+    assert float(rinfo["peak_J_skin"]) <= j_limit * (1 + 1e-9)
+
+    # nominal-sample design, made feasible sample-wise, must not beat
+    # the robust pattern on the worst sample
+    i_nom, _ = optimize_pattern(w_sk[0], Jsk[0], budget=budget,
+                                i_max=i_max, j_limit=j_limit, steps=200)
+    J_all = jnp.einsum("k,skmc->smc", i_nom, Jsk)
+    pk_nom = float(jnp.sqrt(jnp.max(jnp.sum(J_all ** 2, axis=2))))
+    i_nom = i_nom * min(1.0, j_limit / max(pk_nom, 1e-30))
+    nom_worst = float(jnp.min(w_sk @ i_nom))
+    rob_worst = float(rinfo["objective_worst"])
+    assert rob_worst >= nom_worst * (1 - 1e-6), (rob_worst, nom_worst)
+
+
 def test_unconstrained_skin_limit_hits_lp_optimum(setup):
     """With the skin limit slack and i_max >= budget, the program is an
     LP over the l1 ball whose optimum is budget * max_k |w_k| — the
