@@ -126,7 +126,8 @@ def optimize_pattern_robust(w_sk, J_skin_sk, *, budget, i_max, j_limit,
         return jnp.sign(g) * alloc
 
     def peak(i):
-        J = jnp.einsum("k,skmc->smc", i, J_skin_sk)
+        J = jnp.einsum("k,skmc->smc", i, J_skin_sk,
+                       precision=jax.lax.Precision.HIGHEST)
         return jnp.sqrt(jnp.max(jnp.sum(J * J, axis=2)))
 
     def worst(i):
@@ -247,13 +248,17 @@ def lead_vectors(case, phi_basis, *, roi_center, roi_r, target_dir,
     tdir = jnp.asarray(target_dir, phi_basis.dtype)
     tdir = tdir / jnp.linalg.norm(tdir)
 
-    skin = case.tet_body == core.BODY_SKIN
-    (skin_idx,) = np.nonzero(np.asarray(skin))
+    # compare on HOST from the int readback — never read a bool array
+    # back from an axon device (documented minutes-long readback)
+    body_host = np.asarray(case.tet_body)
+    (skin_idx,) = np.nonzero(body_host == core.BODY_SKIN)
     skin_idx = jnp.asarray(skin_idx)
 
     def one(phi):
         E = cell_E(case, phi)                      # (M, 3)
-        w_k = jnp.sum(wvol * (E @ tdir)) / vol_roi
+        w_k = jnp.sum(wvol * jnp.einsum(
+            "md,d->m", E, tdir,
+            precision=jax.lax.Precision.HIGHEST)) / vol_roi
         J = cell_J(case, phi, sigma_table)
         return w_k, J[skin_idx]
 
@@ -300,7 +305,8 @@ def optimize_pattern(w, J_skin, *, budget, i_max, j_limit,
         return jnp.sign(g) * alloc
 
     def peak(i):
-        J = jnp.einsum("k,kmc->mc", i, J_skin)
+        J = jnp.einsum("k,kmc->mc", i, J_skin,
+                       precision=jax.lax.Precision.HIGHEST)
         return jnp.sqrt(jnp.max(jnp.sum(J * J, axis=1)))
 
     # penalty scale: a unit-violation costs ~the whole objective range
