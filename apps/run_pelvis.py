@@ -109,13 +109,38 @@ def main():
         af, params["nerve"]["af_threshold_V_per_m2"])
     I_mA = params["stim"]["injected_current_mA"]
 
+    # Fiber-population recruitment: per-diameter thresholds (discrete
+    # cable L^2 scaling + Weiss strength-duration at the programmed
+    # pulse width) -> recruited fraction vs amplitude.
+    from pelvistim_fem_tpu.ops.nerve import (fiber_thresholds,
+                                             recruitment_curve)
+    nv = params["nerve"]
+    diam = np.asarray(nv.get("fiber_diameters_um",
+                             np.linspace(5.0, 16.0, 12)))
+    pw_s = params["stim"].get("pulse_width_us", 210.0) * 1e-6
+    fib_thr = fiber_thresholds(
+        af, nv["af_threshold_V_per_m2"], diam,
+        d_ref_um=nv.get("d_ref_um", 10.0), pw_s=pw_s,
+        chronaxie_s=nv.get("chronaxie_us", 150.0) * 1e-6)
+    # amplitude axis (multiples of I_target): always include the
+    # programmed amplitude AND the full population sigmoid
+    fin = fib_thr[np.isfinite(fib_thr)]
+    amp_hi = max(3.0, 1.2 * float(fin.max())) if fin.size else 3.0
+    amps = np.linspace(0.0, amp_hi, 241)
+    frac = recruitment_curve(fib_thr, amps)
+    frac_injected = float(np.interp(1.0, amps, frac))
+
     print(f"  I_active = {cur['I_active']*1e3:.3f} mA "
           f"(target {I_mA}), flux_err {cur['flux_err']:.3f}")
     print(f"  compliance_V = {cv:.1f} V")
     print(f"  activating function: max {af['max_AF']:.1f} V/m^2 at "
           f"s = {af['argmax_AF_s']*1000:.1f} mm along the S3 path")
     print(f"  recruitment: threshold reached at ~{thr*I_mA:.1f} mA "
-          f"({thr:.2f}x the injected {I_mA} mA)")
+          f"({thr:.2f}x the injected {I_mA} mA) at d_ref, "
+          f"PW {pw_s*1e6:.0f} us")
+    print(f"  fiber population ({diam.min():.0f}-{diam.max():.0f} um): "
+          f"{100*frac_injected:.0f}% recruited at the injected "
+          f"{I_mA} mA")
 
     out = Path(args.outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -131,6 +156,10 @@ def main():
         "argmax_AF_s_mm": af["argmax_AF_s"] * 1000,
         "peak_E_tangential_V_per_m": af["peak_E_tangential"],
         "threshold_current_mA": thr * I_mA,
+        "pulse_width_us": pw_s * 1e6,
+        "fiber_diameters_um": diam.tolist(),
+        "fiber_threshold_mA": (fib_thr * I_mA).tolist(),
+        "recruited_fraction_at_target": frac_injected,
     }, indent=2, cls=_NanToNullEncoder))
     print(f"  summary -> {out / 'summary.json'}")
 
@@ -138,7 +167,9 @@ def main():
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        fig, axes = plt.subplots(3, 1, figsize=(8, 9), sharex=True)
+        fig = plt.figure(figsize=(8, 12))
+        gs = fig.add_gridspec(4, 1)
+        axes = [fig.add_subplot(gs[i]) for i in range(3)]
         s_mm = af["s"] * 1000
         axes[0].plot(s_mm, af["phi"]); axes[0].set_ylabel("phi (V)")
         axes[1].plot(s_mm, af["e_tangential"])
@@ -147,10 +178,22 @@ def main():
         axes[2].axhline(0, color="gray", lw=0.8)
         axes[2].set_ylabel("AF (V/m$^2$)")
         axes[2].set_xlabel("arclength along S3 path (mm)")
-        for ax in axes:
+        for ax in axes:           # common path axis (AF has NaN ends)
+            ax.set_xlim(0, float(s_mm[-1]))
+        ax4 = fig.add_subplot(gs[3])
+        ax4.plot(amps * I_mA, 100 * frac, color="C2")
+        ax4.axvline(I_mA, color="gray", ls="--", lw=0.9,
+                    label=f"programmed {I_mA:g} mA")
+        ax4.set_xlabel("injected current (mA)")
+        ax4.set_ylabel("recruited fibers (%)")
+        ax4.set_title(f"population {diam.min():.0f}-{diam.max():.0f} um"
+                      f", PW {pw_s*1e6:.0f} us", fontsize=9)
+        ax4.legend(fontsize=8)
+        for ax in axes + [ax4]:
             ax.grid(alpha=0.3)
         fig.suptitle("S3 nerve path: potential, field, activating "
-                     "function")
+                     "function, recruitment")
+        fig.tight_layout()
         fig.savefig(out / "nerve_recruitment.png", dpi=150,
                     bbox_inches="tight")
         print(f"  figure -> {out / 'nerve_recruitment.png'}")

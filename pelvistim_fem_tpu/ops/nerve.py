@@ -129,3 +129,104 @@ def recruitment_threshold_scale(af_result, af_threshold_V_per_m2):
     if not np.isfinite(m) or m <= 0:
         return np.inf
     return float(af_threshold_V_per_m2) / m
+
+
+def discrete_activating_function(mesh, phi, path_points, internode_m):
+    """McNeal's DISCRETE cable driving term: the second difference of
+    the extracellular potential at the TRUE internodal spacing,
+
+        f_n = phi(s - L) - 2 phi(s) + phi(s + L)        [V],
+
+    which is what actually enters a myelinated fiber's node equations
+    (the smooth AF above is its L -> 0 limit divided by L^2).  Because
+    internodal spacing grows with fiber diameter (L ~ 100 d), evaluating
+    f_n at each diameter's own L captures the large-fiber-first
+    recruitment order without any ad-hoc scaling.
+
+    path_points must be equally spaced; L is rounded to the nearest
+    whole number of path steps (>= 1).  Returns dict with the profile
+    (NaN within L of the ends) and its extrema.
+
+    Resolution requirement: the sampled potential is the mesh's
+    piecewise-(tri)linear interpolant, which has NO curvature inside a
+    cell — f_n is meaningful only for L at least ~2x the local lattice
+    spacing (error ~ h^2/(2 L^2) relative on smooth fields); below that
+    it degenerates to interpolation noise.  Fibers whose internodal
+    spacing is under the mesh resolution should use the window-fitted
+    `activating_function` (curvature averaged over the resolvable
+    scale) with the L^2 scaling applied analytically, as
+    `fiber_thresholds` does.
+    """
+    pts = np.asarray(path_points, np.float64)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    ds = float(seg.mean())
+    if seg.size and (seg.max() - seg.min()) > 1e-9 * max(ds, 1e-12):
+        raise ValueError("path points must be equally spaced")
+    k = max(1, int(round(internode_m / ds)))
+    v = sample_phi_on_lattice(mesh, phi, pts)
+    f = np.full_like(v, np.nan)
+    if len(v) > 2 * k:
+        f[k:-k] = v[:-2 * k] - 2.0 * v[k:-k] + v[2 * k:]
+    fin = f[np.isfinite(f)]
+    return {
+        "s": np.arange(len(pts)) * ds,
+        "f": f,
+        "L_m": k * ds,
+        "max_f_V": float(fin.max()) if fin.size else np.nan,
+        "min_f_V": float(fin.min()) if fin.size else np.nan,
+    }
+
+
+def strength_duration_factor(pw_s, chronaxie_s=150e-6):
+    """Weiss/Lapicque strength-duration law: the threshold-current
+    multiplier at pulse width PW relative to rheobase (PW -> inf),
+
+        I_th(PW) = I_rheobase * (1 + t_chronaxie / PW).
+
+    Chronaxie ~100-300 us for large myelinated fibers; the reference
+    carries pulse width only into its charge-density metric
+    (step04 run_pressure_sweep.py:617-625), never into recruitment."""
+    pw_s = float(pw_s)
+    if pw_s <= 0:
+        raise ValueError("pulse width must be positive")
+    return 1.0 + float(chronaxie_s) / pw_s
+
+
+def fiber_thresholds(af_result, af_threshold_V_per_m2, diameters_um, *,
+                     d_ref_um=10.0, diameter_exponent=2.0, pw_s=None,
+                     chronaxie_s=150e-6):
+    """Per-diameter threshold multipliers on the injected current.
+
+    First-order surrogate (NOT a cable simulation): the discrete driving
+    term f_n ~ L^2 AF with internodal spacing L ~ 100 d makes the
+    threshold scale ~ (d_ref / d)^2 at fixed nodal dynamics
+    (diameter_exponent tunable; Warman-style fits use 1.5-2), times the
+    Weiss strength-duration factor when a pulse width is given.
+    `af_result` and `af_threshold_V_per_m2` anchor the absolute scale at
+    d_ref (same convention as recruitment_threshold_scale).  Returns
+    (D,) threshold multipliers, inf where the path never depolarizes.
+    """
+    base = recruitment_threshold_scale(af_result, af_threshold_V_per_m2)
+    d = np.asarray(diameters_um, np.float64)
+    if np.any(d <= 0):
+        raise ValueError("fiber diameters must be positive")
+    sd = strength_duration_factor(pw_s, chronaxie_s) if pw_s else 1.0
+    return base * sd * (float(d_ref_um) / d) ** float(diameter_exponent)
+
+
+def recruitment_curve(thresholds, amplitudes, weights=None):
+    """Fraction of a fiber population recruited vs amplitude multiplier.
+
+    thresholds: (D,) per-fiber threshold multipliers (fiber_thresholds);
+    amplitudes: (A,) multipliers on the baseline injected current;
+    weights: (D,) population weights (default uniform).  Returns (A,)
+    recruited fraction — nondecreasing in amplitude by construction.
+    """
+    thr = np.asarray(thresholds, np.float64)
+    amp = np.asarray(amplitudes, np.float64)
+    if weights is None:
+        w = np.full(thr.shape, 1.0 / max(len(thr), 1))
+    else:
+        w = np.asarray(weights, np.float64)
+        w = w / w.sum()
+    return (w[None, :] * (thr[None, :] <= amp[:, None])).sum(axis=1)
