@@ -25,14 +25,157 @@ jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def run_sweep(args, n_cases):
+    """100-case sharded contact-conductivity sweep on the pelvic model
+    with per-case nerve-recruitment metrics — the driver's stretch
+    configuration verbatim (BASELINE.json configs[4]: 'full pelvic
+    multi-tissue anatomy ... with activating-function nerve recruitment
+    metrics, 100-case sharded sweep').
+
+    One lattice spec + ONE device assembly serve every case (only the
+    material table varies — step04's reuse discipline,
+    run_pressure_sweep.py:664-723); the solve is a case-axis-sharded
+    certified-1e-8 MG batch; electrode metrics are one vmapped device
+    pass; the AF path profile is gathered on device (8 x P weights per
+    point, no full-field readback) and fit on host per lane.
+    """
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.mesh.core import BC_ACTIVE, BC_RETURN
+    from pelvistim_fem_tpu.models.pelvis import (BODY_CONTACT_ACTIVE,
+                                                 BODY_CONTACT_RETURN,
+                                                 build_pelvis_case,
+                                                 build_pelvis_spec,
+                                                 nerve_path)
+    from pelvistim_fem_tpu.ops import fields
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    from pelvistim_fem_tpu.ops.lattice_assembly import assemble_lattice
+    from pelvistim_fem_tpu.ops.nerve import (_path_ds, af_from_profile,
+                                             path_interp_plan)
+    from pelvistim_fem_tpu.parallel.sweep import (
+        sharded_stencil_material_solve_refined)
+    from pelvistim_fem_tpu.utils.summary import save_results
+
+    scale = 0.42 if args.megatet else 1.0
+    t0 = time.perf_counter()
+    spec, params = build_pelvis_spec(coarse=args.smoke,
+                                     resolution_scale=scale)
+    scase, hier = assemble_lattice(spec, jnp.float64)
+    t_build = time.perf_counter() - t0
+    n_dev = len(jax.devices())
+    print(f"  pelvis spec+assemble (ONCE for all {n_cases} cases): "
+          f"grid {spec.grid_shape}, {t_build:.1f} s; {n_dev} device(s)")
+
+    # Sweep axis: contact-layer conductivity over +-10x around the
+    # nominal gel (drying / pressure span — the step04 axis applied to
+    # the stretch model).  Zero re-assembly: sigma enters at combine.
+    base = np.asarray(spec.sigma_table)
+    sig0 = float(base[BODY_CONTACT_ACTIVE])
+    sigmas = np.logspace(np.log10(sig0 / 10), np.log10(sig0 * 10),
+                         n_cases)
+    tables = np.tile(base, (n_cases, 1))
+    tables[:, BODY_CONTACT_ACTIVE] = sigmas
+    tables[:, BODY_CONTACT_RETURN] = sigmas
+    tables = jnp.asarray(tables, jnp.float64)
+
+    t0 = time.perf_counter()
+    out = sharded_stencil_material_solve_refined(scase, hier, tables,
+                                                 tol=1e-8, maxiter=2000)
+    float(np.asarray(out.phi[0, 0]))   # force completion (axon quirk)
+    t_solve = time.perf_counter() - t0
+    conv = np.asarray(out.converged)
+    res_max = float(np.asarray(out.residual).max())
+    iters = np.asarray(out.iterations)
+    print(f"  sharded certified MG sweep: {n_cases} cases in "
+          f"{t_solve:.2f} s = {n_cases*60/t_solve:.1f} solves/min at "
+          f"tol 1e-8 (max true residual {res_max:.2e}, iters "
+          f"{int(iters.min())}-{int(iters.max())})")
+    if not conv.all():
+        print(f"  WARNING: lanes not converged: {np.where(~conv)[0]}")
+
+    # Electrode metrics: one vmapped device pass over all lanes.
+    case, _ = build_pelvis_case(coarse=args.smoke,
+                                resolution_scale=scale,
+                                dtype=jnp.float32)
+    act, ret = electrode_node_masks(np.asarray(case.faces),
+                                    np.asarray(case.face_bcid),
+                                    case.n_nodes)
+    w_act = jnp.asarray(act / max(act.sum(), 1), jnp.float32)
+    w_ret = jnp.asarray(ret / max(ret.sum(), 1), jnp.float32)
+    bcid = case.face_bcid
+
+    def one(phi, sig):
+        flux = fields.boundary_face_flux(case, phi, sig)
+        ia = jnp.sum(jnp.where(bcid == BC_ACTIVE, flux, 0.0))
+        ir = jnp.sum(jnp.where(bcid == BC_RETURN, flux, 0.0))
+        iac, irc = fields.consistent_electrode_currents(case, phi, sig)
+        cv = jnp.dot(phi, w_act) - jnp.dot(phi, w_ret)
+        return ia, ir, iac, irc, cv
+
+    t0 = time.perf_counter()
+    phis32 = out.phi.astype(jnp.float32)
+    ia, ir, iac, irc, cv = (np.asarray(a) for a in jax.vmap(one)(
+        phis32, tables.astype(jnp.float32)))
+    flux_err = np.abs(ia + ir) / np.maximum(
+        np.maximum(np.abs(ia), np.abs(ir)), 1e-300)
+    flux_err_c = np.abs(iac - irc) / np.maximum(
+        np.maximum(np.abs(iac), np.abs(irc)), 1e-300)
+
+    # AF per lane: device gather of the path profile, host fit.
+    path = nerve_path(params)
+    ids, wts = path_interp_plan(spec.axes, spec.grid_index,
+                                spec.grid_shape, path)
+    vprof = np.asarray(jnp.einsum(
+        "spk,pk->sp", out.phi[:, jnp.asarray(ids)],
+        jnp.asarray(wts), precision=jax.lax.Precision.HIGHEST))
+    ds = _path_ds(path)
+    h_max = max(float(np.diff(np.asarray(a)).max()) for a in spec.axes)
+    I_mA = params["stim"]["injected_current_mA"]
+    thr_V2 = params["nerve"]["af_threshold_V_per_m2"]
+    rows = []
+    for i in range(n_cases):
+        af = af_from_profile(vprof[i], ds, 3.0 * h_max)
+        m = af["max_AF"]
+        thr_mA = (thr_V2 / m) * I_mA if m > 0 else np.inf
+        rows.append({
+            "label": f"c{i:03d}", "sigma_contact_Spm": float(sigmas[i]),
+            "iterations": int(iters[i]),
+            "true_residual": float(np.asarray(out.residual)[i]),
+            "I_active_A": float(np.abs(ia[i])),
+            "flux_err": float(flux_err[i]),
+            "flux_err_consistent": float(flux_err_c[i]),
+            "compliance_V": float(cv[i]),
+            "max_AF_V_per_m2": float(m),
+            "threshold_current_mA": float(thr_mA),
+        })
+    t_extract = time.perf_counter() - t0
+    print(f"  batched metrics + per-lane AF: {t_extract:.2f} s "
+          f"(end-to-end {n_cases*60/(t_solve+t_extract):.1f} "
+          f"cases/min)")
+    print(f"  compliance_V : {rows[0]['compliance_V']:.1f} -> "
+          f"{rows[-1]['compliance_V']:.1f} V over sigma_contact "
+          f"{sigmas[0]:.2e} -> {sigmas[-1]:.2e} S/m")
+    print(f"  AF threshold : {rows[0]['threshold_current_mA']:.0f} -> "
+          f"{rows[-1]['threshold_current_mA']:.0f} mA")
+    save_results(rows, Path(args.outdir), stem="sweep_summary")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="coarse mesh")
     ap.add_argument("--megatet", action="store_true",
                     help="~1M-tet resolution (stretch target)")
+    ap.add_argument("--sweep", type=int, nargs="?", const=100,
+                    default=None, metavar="N",
+                    help="N-case sharded contact-sigma sweep with "
+                         "per-case recruitment metrics (default 100)")
     ap.add_argument("--outdir", default="results_pelvis")
     ap.add_argument("--plot", action="store_true")
     args = ap.parse_args()
+
+    if args.sweep:
+        run_sweep(args, args.sweep)
+        return
 
     from pelvistim_fem_tpu.models.pelvis import (build_pelvis_case,
                                                  nerve_path)

@@ -67,6 +67,52 @@ def straight_path(p0, p1, n_points=201):
     return np.asarray(p0)[None] * (1 - t) + np.asarray(p1)[None] * t
 
 
+def path_interp_plan(axes, grid_index, grid_shape, points):
+    """Host-side trilinear sampling plan: (ids (P, 8) int32 mesh-node
+    indices, wts (P, 8) f64) such that phi_path = (phi[ids] * wts).sum(-1)
+    for ANY phi in mesh node ordering — including a device array, making
+    path sampling across a SWEEP one tiny device gather per lane instead
+    of a full-field readback (a megatet lane is ~9 MB through the axon
+    tunnel; 8 x 201 gathered scalars are nothing).
+
+    Grid slots not present in the mesh (carved cells) get weight 0 —
+    identical to sample_phi_on_lattice's zero-fill convention.
+    """
+    xs, ys, zs = (np.asarray(a) for a in axes)
+    X, Y, Z = grid_shape
+    inv = np.full(X * Y * Z, -1, np.int64)
+    inv[np.asarray(grid_index)] = np.arange(len(np.asarray(grid_index)))
+
+    pts = np.asarray(points, np.float64)
+
+    def locate(axis, v):
+        i = np.searchsorted(axis, v, side="right") - 1
+        i = np.clip(i, 0, len(axis) - 2)
+        t = (v - axis[i]) / (axis[i + 1] - axis[i])
+        return i, np.clip(t, 0.0, 1.0)
+
+    ix, tx = locate(xs, pts[:, 0])
+    iy, ty = locate(ys, pts[:, 1])
+    iz, tz = locate(zs, pts[:, 2])
+
+    ids = np.zeros((len(pts), 8), np.int64)
+    wts = np.zeros((len(pts), 8))
+    c = 0
+    for dx in (0, 1):
+        wx = tx if dx else 1 - tx
+        for dy in (0, 1):
+            wy = ty if dy else 1 - ty
+            for dz in (0, 1):
+                wz = tz if dz else 1 - tz
+                lin = ((ix + dx) * Y + (iy + dy)) * Z + (iz + dz)
+                m = inv[lin]
+                present = m >= 0
+                ids[:, c] = np.where(present, m, 0)
+                wts[:, c] = np.where(present, wx * wy * wz, 0.0)
+                c += 1
+    return ids.astype(np.int32), wts
+
+
 def activating_function(mesh, phi, path_points, *, window_m=None):
     """AF(s) = d^2 phi/ds^2 along a polyline of EQUALLY spaced points.
 
@@ -79,18 +125,29 @@ def activating_function(mesh, phi, path_points, *, window_m=None):
     Returns dict with the sampled profile and recruitment summaries.
     """
     pts = np.asarray(path_points, np.float64)
-    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
-    ds = float(seg.mean())
-    if seg.size and (seg.max() - seg.min()) > 1e-9 * max(ds, 1e-12):
-        raise ValueError("path points must be equally spaced")
-
     if window_m is None:
         h_max = max(float(np.diff(np.asarray(a)).max())
                     for a in mesh.lattice.axes)
         window_m = 3.0 * h_max
-
     v = sample_phi_on_lattice(mesh, phi, pts)
-    s = np.arange(len(pts)) * ds
+    return af_from_profile(v, _path_ds(pts), window_m)
+
+
+def _path_ds(pts):
+    seg = np.linalg.norm(np.diff(np.asarray(pts, np.float64), axis=0),
+                         axis=1)
+    ds = float(seg.mean())
+    if seg.size and (seg.max() - seg.min()) > 1e-9 * max(ds, 1e-12):
+        raise ValueError("path points must be equally spaced")
+    return ds
+
+
+def af_from_profile(v, ds, window_m):
+    """activating_function's fit core on a PRE-SAMPLED equally spaced
+    potential profile v (e.g. gathered on device across a sweep via
+    path_interp_plan)."""
+    v = np.asarray(v, np.float64)
+    s = np.arange(len(v)) * ds
     half = max(2, int(round(window_m / 2 / ds)))
 
     af = np.full_like(v, np.nan)

@@ -140,3 +140,39 @@ def sharded_basis_solve_refined(scase, hier, loads,
     hier = jax.device_put(hier, NamedSharding(mesh, P()))
     out = solve_basis_refined(scase, hier, loads, tol=tol, **kw)
     return jax.tree_util.tree_map(lambda a: a[:K], out)
+
+
+def sharded_stencil_material_solve_refined(scase, hier, sigma_tables,
+                                           mesh: Mesh | None = None, *,
+                                           tol=1e-8, axis: str = "case",
+                                           **kw):
+    """Material-table sweep on the STENCIL fast path with the case axis
+    sharded over the device mesh — the stencil twin of
+    sharded_material_solve_refined (element path) and the sharded form
+    of ops/multigrid.batched_mg_solve_refined, at the same f64-CERTIFIED
+    true-residual contract.  Pads the table batch to a mesh multiple
+    (padded lanes re-solve the last table; sliced off), replicates the
+    operator + hierarchy, and lets GSPMD run one case block per device
+    with zero cross-device traffic during the solve.
+
+    TPU analogue of running the reference's per-case ElmerSolver
+    subprocesses on multiple machines (step04 run_pressure_sweep.py:
+    709-738 — the reference has no such layer).
+    """
+    from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_refined
+    if mesh is None:
+        mesh = device_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    S = sigma_tables.shape[0]
+    S_pad = -(-S // n_dev) * n_dev
+    if S_pad != S:
+        sigma_tables = jnp.concatenate(
+            [sigma_tables,
+             jnp.repeat(sigma_tables[-1:], S_pad - S, axis=0)], axis=0)
+    sigma_tables = jax.device_put(sigma_tables,
+                                  NamedSharding(mesh, P(axis)))
+    scase = jax.device_put(scase, NamedSharding(mesh, P()))
+    hier = jax.device_put(hier, NamedSharding(mesh, P()))
+    out = batched_mg_solve_refined(scase, hier, sigma_tables, tol=tol,
+                                   **kw)
+    return jax.tree_util.tree_map(lambda a: a[:S], out)

@@ -169,6 +169,49 @@ def test_pelvis_spec_parity_with_element_path(pelvis):
     np.testing.assert_allclose(p1, p2, atol=3e-8 * np.abs(p2).max())
 
 
+def test_path_interp_plan_matches_sample(pelvis):
+    """The device-gather sampling plan (ids, wts) must reproduce
+    sample_phi_on_lattice exactly on the carved pelvis lattice (missing
+    grid slots -> weight 0 == the zero-fill convention)."""
+    from pelvistim_fem_tpu.models.pelvis import build_pelvis_spec
+    from pelvistim_fem_tpu.ops.nerve import (path_interp_plan,
+                                             sample_phi_on_lattice)
+    case, params, mesh, res = pelvis
+    spec, _ = build_pelvis_spec(coarse=True)
+    path = nerve_path(params)
+    ids, wts = path_interp_plan(spec.axes, spec.grid_index,
+                                spec.grid_shape, path)
+    phi = np.asarray(res.phi)
+    got = (phi[ids] * wts).sum(axis=1)
+    want = sample_phi_on_lattice(mesh, phi, path)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_pelvis_sweep_app_smoke(tmp_path):
+    """run_pelvis --sweep end to end on the virtual device mesh: sharded
+    certified solves + vmapped electrode metrics + per-lane AF rows."""
+    import csv
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "apps" / "run_pelvis.py"), "--smoke",
+         "--sweep", "4", "--outdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1200,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": "",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rows = list(csv.DictReader(open(tmp_path / "sweep_summary.csv")))
+    assert len(rows) == 4
+    cv = [float(x["compliance_V"]) for x in rows]
+    assert all(a > b for a, b in zip(cv, cv[1:]))   # monotone in sigma
+    assert all(float(x["true_residual"]) <= 1e-8 for x in rows)
+    assert all(float(x["flux_err_consistent"]) < 1e-4 for x in rows)
+    assert all(float(x["max_AF_V_per_m2"]) > 0 for x in rows)
+
+
 def test_pelvis_spec_current_integrates_exactly():
     """Spec-path Neumann load must integrate to the injected current
     from the TRUE (deformed) mesh electrode area."""

@@ -83,3 +83,33 @@ def test_pressure_tables_only_touch_contact_bodies():
         keep = np.ones(len(row), bool)
         keep[[core.BODY_CONTACT_ACTIVE, core.BODY_CONTACT_RETURN]] = False
         np.testing.assert_array_equal(row[keep], base[keep])
+
+
+def test_sharded_stencil_material_sweep_matches_batched():
+    """The stencil-path dp-sharded material sweep (padding exercised:
+    5 lanes on 8 devices) must equal the unsharded certified batch lane
+    for lane, residuals certified at 1e-8."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    from pelvistim_fem_tpu.ops.lattice_assembly import assemble_lattice
+    from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_refined
+    from pelvistim_fem_tpu.parallel.sweep import \
+        sharded_stencil_material_solve_refined
+
+    spec, params = build_pressure_spec(coarse=True)
+    scase, hier = assemble_lattice(spec, jnp.float64)
+    sweep = params["pressure_sweep"]["sigma_contact_Spm"]
+    base = np.asarray(spec.sigma_table)
+    tables = np.tile(base, (5, 1))
+    tables[:, core.BODY_CONTACT_ACTIVE] = sweep[:5]
+    tables[:, core.BODY_CONTACT_RETURN] = sweep[:5]
+    tables = jnp.asarray(tables, jnp.float64)
+
+    ref = batched_mg_solve_refined(scase, hier, tables, tol=1e-8)
+    out = sharded_stencil_material_solve_refined(
+        scase, hier, tables, device_mesh(8), tol=1e-8)
+    assert out.phi.shape == ref.phi.shape
+    assert out.phi.shape[0] == 5
+    assert bool(np.asarray(out.converged).all())
+    assert float(np.asarray(out.residual).max()) <= 1e-8
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
+                               atol=1e-10 * np.abs(ref.phi).max())
