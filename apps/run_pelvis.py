@@ -159,6 +159,29 @@ def run_sweep(args, n_cases):
           f"{rows[-1]['threshold_current_mA']:.0f} mA")
     save_results(rows, Path(args.outdir), stem="sweep_summary")
 
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+        axes[0].semilogx(sigmas, [r["compliance_V"] for r in rows])
+        axes[0].set_ylabel("compliance (V)")
+        axes[1].semilogx(sigmas, [r["max_AF_V_per_m2"] for r in rows],
+                         color="C3")
+        axes[1].set_ylabel("max AF (V/m$^2$)")
+        axes[2].loglog(sigmas, [r["threshold_current_mA"] for r in rows],
+                       color="C2")
+        axes[2].set_ylabel("AF threshold current (mA)")
+        for ax in axes:
+            ax.set_xlabel(r"$\sigma_{contact}$ (S/m)")
+            ax.grid(alpha=0.3, which="both")
+        fig.suptitle(f"pelvis contact sweep ({n_cases} cases, "
+                     "certified 1e-8)")
+        fig.tight_layout()
+        fp = Path(args.outdir) / "sweep_metrics.png"
+        fig.savefig(fp, dpi=150, bbox_inches="tight")
+        print(f"  figure -> {fp}")
+
 
 def main():
     ap = argparse.ArgumentParser()
