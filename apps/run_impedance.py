@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Electrode impedance spectroscopy of the pressure-contact model.
+
+What electrode-impedance measurement hardware actually reports is a
+SPECTRUM Z(f) — the reference approximates the capacitive electrode-skin
+interface by sweeping a purely real sigma_contact at DC (step04
+run_pressure_sweep.py:55-215).  This app solves the frequency-domain
+electro-quasistatic problem (ops/eqs.py: complex admittivity
+sigma + i omega eps0 epsr, certified COCG solves) on the SAME step04
+model and reports Bode magnitude/phase per contact condition: each
+(contact state x frequency) point reuses ONE assembled operator — the
+whole grid of solves is two nested material-table batches with zero
+re-assembly.
+
+Usage: python apps/run_impedance.py [--smoke] [--plot]
+                                    [--outdir results_impedance]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Relative permittivities, literature-order placeholders (declared in
+# the same spirit as the reference's PLACEHOLDER conductivities, step03
+# params.yaml:4-6).  Tissue epsilon_r at 10-100 kHz is enormous
+# (muscle ~1e5-1e6: Gabriel 1996 dispersion data); the gel/skin contact
+# carries the electrode double layer, by far the dominant capacitance.
+EPSR = {
+    "muscle": 2.0e5,
+    "fat": 2.0e4,
+    "skin": 3.0e4,
+    "contact": 5.0e6,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Impedance spectroscopy")
+    ap.add_argument("--smoke", action="store_true",
+                    help="(kept for CLI parity; the coarse mesh is the "
+                         "default here — spectra are mesh-insensitive)")
+    ap.add_argument("--full", action="store_true",
+                    help="full step04 resolution")
+    ap.add_argument("--outdir", default="results_impedance")
+    ap.add_argument("--plot", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    from pelvistim_fem_tpu.ops.eqs import impedance_spectrum
+    from pelvistim_fem_tpu.ops.lattice_assembly import assemble_lattice
+    from pelvistim_fem_tpu.utils.summary import save_results
+
+    t0 = time.perf_counter()
+    spec, params = build_pressure_spec(coarse=not args.full)
+    scase, hier = assemble_lattice(spec, jnp.float64)
+    t_build = time.perf_counter() - t0
+    print(f"  spec+assemble (ONCE for every point): grid "
+          f"{spec.grid_shape}, {t_build:.1f} s")
+
+    # element mesh only for the electrode node patches (weights)
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    case, _ = build_pressure_case(coarse=not args.full,
+                                  to_device=False)
+    act, ret = electrode_node_masks(np.asarray(case.faces),
+                                    np.asarray(case.face_bcid),
+                                    case.n_nodes)
+    w_act = act / act.sum()
+    w_ret = ret / ret.sum()
+
+    n_b = spec.n_bodies
+    epsr = np.zeros(n_b + 1)
+    epsr[core.BODY_MUSCLE] = EPSR["muscle"]
+    epsr[core.BODY_FAT] = EPSR["fat"]
+    epsr[core.BODY_SKIN] = EPSR["skin"]
+    epsr[core.BODY_CONTACT_ACTIVE] = EPSR["contact"]
+    epsr[core.BODY_CONTACT_RETURN] = EPSR["contact"]
+
+    freqs = np.logspace(0, 5, 11)          # 1 Hz .. 100 kHz
+    base = np.asarray(spec.sigma_table)
+    sweep = params["pressure_sweep"]["sigma_contact_Spm"]
+    # three contact states: dry (p01), nominal mid, wet/pressed (p15)
+    states = [("dry", sweep[0]), ("mid", sweep[len(sweep) // 2]),
+              ("wet", sweep[-1])]
+
+    rows, spectra = [], {}
+    t0 = time.perf_counter()
+    for name, s_c in states:
+        tab = base.copy()
+        tab[core.BODY_CONTACT_ACTIVE] = s_c
+        tab[core.BODY_CONTACT_RETURN] = s_c
+        sp = impedance_spectrum(scase, hier, jnp.asarray(epsr), freqs,
+                                w_act=w_act, w_ret=w_ret,
+                                sigma_table=tab, tol=1e-8)
+        assert sp["converged"].all(), name
+        spectra[name] = sp
+        for f, z, zmag, ph in zip(freqs, sp["Z"], sp["Z_abs"],
+                                  sp["Z_phase_deg"]):
+            rows.append({"state": name, "sigma_contact_Spm": s_c,
+                         "freq_hz": f, "Z_re_ohm": z[0],
+                         "Z_im_ohm": z[1], "Z_abs_ohm": zmag,
+                         "Z_phase_deg": ph})
+        knee = zmag = sp["Z_abs"]
+        print(f"  [{name}] sigma_c={s_c:g} S/m: |Z| "
+              f"{knee[0]:.0f} -> {knee[-1]:.0f} ohm "
+              f"(1 Hz -> 100 kHz), min phase "
+              f"{sp['Z_phase_deg'].min():.1f} deg, max true residual "
+              f"{sp['residual'].max():.1e}")
+    t_solve = time.perf_counter() - t0
+    n_pts = len(states) * len(freqs)
+    print(f"  {n_pts} certified complex solves in {t_solve:.2f} s "
+          f"({n_pts*60/t_solve:.0f} solves/min)")
+
+    save_results(rows, Path(args.outdir), stem="impedance")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        for name, _ in states:
+            sp = spectra[name]
+            axes[0].loglog(freqs, sp["Z_abs"], marker="o", ms=3,
+                           label=name)
+            axes[1].semilogx(freqs, sp["Z_phase_deg"], marker="o",
+                             ms=3, label=name)
+        axes[0].set_ylabel("|Z| (ohm)")
+        axes[1].set_ylabel("phase(Z) (deg)")
+        for ax in axes:
+            ax.set_xlabel("frequency (Hz)")
+            ax.grid(alpha=0.3, which="both")
+            ax.legend(title="contact state", fontsize=8)
+        fig.suptitle("electrode impedance spectra (EQS, certified 1e-8)")
+        fig.tight_layout()
+        fp = Path(args.outdir) / "impedance_bode.png"
+        fig.savefig(fp, dpi=150, bbox_inches="tight")
+        print(f"  figure -> {fp}")
+
+
+if __name__ == "__main__":
+    main()

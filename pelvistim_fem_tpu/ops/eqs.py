@@ -1,0 +1,300 @@
+"""Frequency-domain electro-quasistatic (EQS) solves: impedance spectra.
+
+The reference models electrode-skin contact as a purely RESISTIVE layer
+and probes it by sweeping a real sigma_contact (step04
+run_pressure_sweep.py:55-215) — a static surrogate for what is
+physically a capacitive interface.  The frequency-domain problem
+
+    div((sigma + i omega eps0 epsr) grad phi) = 0
+
+keeps the SAME body-factored stencils: K(omega) = sum_b kappa_b(omega)
+C_b with kappa_b = sigma_b + i omega eps0 epsr_b and REAL C_b, so a
+frequency sweep is — exactly like a conductivity sweep — a batch over
+material tables with ZERO re-assembly.  Output: complex potentials,
+electrode impedance spectra Z(omega) (magnitude + phase), the quantity
+electrode impedance spectroscopy actually measures.
+
+Numerics: K is complex SYMMETRIC (not Hermitian; K^T = K since each
+C_b is symmetric), so CG does not apply.  We use COCG (van der Vorst &
+Melissen 1990): the CG recurrence with the UNCONJUGATED bilinear form
+<x, y> = sum x_k y_k, which exploits K^T = K the way CG exploits
+K^H = K.  Fields are stacked real/imag (2, X, Y, Z) f32/f64 arrays —
+TPUs have no native complex arithmetic worth routing through — and the
+preconditioner is the existing REAL multigrid V-cycle on the
+sigma-combined operator applied to each component (Ki is a
+perturbation of order omega*eps/sigma, modest at tissue frequencies).
+Residual honesty matches the rest of the framework: f32 inner COCG
+sweeps + f64 residual correction against the f64 master operator; the
+reported residual is the TRUE complex one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pelvistim_fem_tpu.ops.multigrid import MGHierarchy, make_v_cycle
+from pelvistim_fem_tpu.ops.solve import require_x64
+from pelvistim_fem_tpu.ops.stencil import (StencilCase, combine_coeffs,
+                                           stencil_spmv)
+
+EPS0 = 8.8541878128e-12     # vacuum permittivity [F/m]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EQSResult:
+    phi: jax.Array          # (2, N) real/imag potential, node ordering
+    iterations: jax.Array   # scalar i32 — total inner COCG iterations
+    residual: jax.Array     # scalar — final TRUE ||b - K x|| / ||b||
+    converged: jax.Array    # scalar bool
+
+
+def admittivity_imag_table(epsr_table, omega):
+    """(T,) imaginary admittivity table ki = omega * eps0 * epsr."""
+    return omega * EPS0 * jnp.asarray(epsr_table)
+
+
+# ── complex helpers on stacked (2, ...) arrays ───────────────────────────────
+
+def _cmul(a, b):
+    return jnp.stack([a[0] * b[0] - a[1] * b[1],
+                      a[0] * b[1] + a[1] * b[0]])
+
+
+def _cdiv(a, b):
+    """Smith's scaled complex division.  The naive form divides by
+    br^2 + bi^2, which UNDERFLOWS f32 once |b| < ~1e-19 (squaring halves
+    the exponent range) — exactly the magnitude CG scalars reach in late
+    refinement passes, turning a healthy iteration into 0/0 = NaN
+    (measured: pass 3 of the zero-frequency solve).  Scaling by the
+    larger component keeps every intermediate within f32 range whenever
+    a/b itself is representable."""
+    ar, ai, br, bi = a[0], a[1], b[0], b[1]
+    big = jnp.abs(br) >= jnp.abs(bi)
+    u = jnp.where(big, br, bi)
+    t = jnp.where(big, bi, br) / u
+    den = u * (1.0 + t * t)
+    re = jnp.where(big, ar + ai * t, ar * t + ai) / den
+    im = jnp.where(big, ai - ar * t, ai * t - ar) / den
+    return jnp.stack([re, im])
+
+
+def _csax(a, z):
+    """Complex scalar (2,) times complex field (2, ...)."""
+    return jnp.stack([a[0] * z[0] - a[1] * z[1],
+                      a[0] * z[1] + a[1] * z[0]])
+
+
+def _bdot(z1, z2):
+    """UNCONJUGATED bilinear form sum(z1 * z2) -> complex scalar (2,)."""
+    return jnp.stack([jnp.sum(z1[0] * z2[0] - z1[1] * z2[1]),
+                      jnp.sum(z1[0] * z2[1] + z1[1] * z2[0])])
+
+
+def _hnorm(z):
+    """Hermitian (physical) norm sqrt(sum |z_k|^2)."""
+    return jnp.sqrt(jnp.sum(z * z))
+
+
+def _eqs_operator(scase: StencilCase, kr_table, ki_table):
+    """(op on (2,X,Y,Z), b_eff (2,X,Y,Z)) for the masked complex system.
+
+    Fixed (Dirichlet) rows are identity on BOTH components; the drive
+    (dirichlet values, Neumann load) is real, so b = (b_r, -Ki phi_d)
+    after the standard lift."""
+    Cr = combine_coeffs(scase.coeff, kr_table)
+    Ci = combine_coeffs(scase.coeff, ki_table)
+    free = scase.free
+
+    def raw(x2):
+        xr, xi = x2[0], x2[1]
+        return jnp.stack([stencil_spmv(xr, Cr) - stencil_spmv(xi, Ci),
+                          stencil_spmv(xr, Ci) + stencil_spmv(xi, Cr)])
+
+    def op(x2):
+        z = jnp.where(free[None], x2, 0.0)
+        return jnp.where(free[None], raw(z), x2)
+
+    phi_d = jnp.where(free, 0.0, scase.dirichlet)
+    lift = raw(jnp.stack([phi_d, jnp.zeros_like(phi_d)]))
+    b_eff = jnp.stack([
+        jnp.where(free, scase.b_neumann - lift[0], scase.dirichlet),
+        jnp.where(free, -lift[1], 0.0)])
+    return op, b_eff
+
+
+def _cocg(op, b, M, x0, *, tol, maxiter):
+    """Preconditioned COCG on stacked (2, ...) fields.
+
+    M: real symmetric preconditioner applied per component.  Converges
+    on the Hermitian residual norm relative to ||b||; `tol` semantics
+    match preconditioned_cg.  Returns (x, iterations, rel_residual).
+    """
+    nrm_b = _hnorm(b)
+    tol_abs = tol * nrm_b
+
+    r0 = b - op(x0)
+    z0 = M(r0)
+    rz0 = _bdot(r0, z0)
+    state0 = (x0, r0, z0, rz0, z0, jnp.int32(0),
+              _hnorm(r0) <= tol_abs)
+
+    def cond(state):
+        *_, k, done = state
+        return jnp.logical_not(done) & (k < maxiter)
+
+    def body(state):
+        x, r, z, rz, p, k, done = state
+        ap = op(p)
+        alpha = _cdiv(rz, _bdot(p, ap))
+        x_n = x + _csax(alpha, p)
+        r_n = r - _csax(alpha, ap)
+        z_n = M(r_n)
+        rz_n = _bdot(r_n, z_n)
+        beta = _cdiv(rz_n, rz)
+        p_n = z_n + _csax(beta, p)
+        sel = lambda new, old: jnp.where(done, old, new)
+        x, r, z = sel(x_n, x), sel(r_n, r), sel(z_n, z)
+        rz, p, k = sel(rz_n, rz), sel(p_n, p), sel(k + 1, k)
+        done = done | (_hnorm(r) <= tol_abs)
+        return (x, r, z, rz, p, k, done)
+
+    x, r, *_, k, _ = lax.while_loop(cond, body, state0)
+    rel = _hnorm(r) / jnp.where(nrm_b > 0, nrm_b, 1.0)
+    return x, k, rel
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter", "nu",
+                                   "coarse_iters", "max_refinements"))
+def solve_stencil_eqs_refined(scase: StencilCase, hier: MGHierarchy,
+                              ki_table, kr_table=None, *, tol=1e-8,
+                              inner_tol=3e-4, maxiter=2_000, nu=2,
+                              coarse_iters=24,
+                              max_refinements=8) -> EQSResult:
+    """Certified complex solve: f32 COCG inner sweeps preconditioned by
+    the REAL sigma V-cycle, f64 residual correction against the f64
+    master K = Kr + i Ki.  Same honesty contract as
+    solve_stencil_mg_refined: the returned residual IS the true one.
+
+    ki_table: (T,) imaginary admittivities (omega * eps0 * epsr, see
+    admittivity_imag_table); kr_table defaults to scase.sigma_table.
+    """
+    require_x64("solve_stencil_eqs_refined")
+    kr = scase.sigma_table if kr_table is None else kr_table
+    to = lambda a, dt: jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, a)
+    sc64, sc32 = to(scase, jnp.float64), to(scase, jnp.float32)
+    hier32 = to(hier, jnp.float32)
+    kr64, ki64 = kr.astype(jnp.float64), ki_table.astype(jnp.float64)
+    kr32, ki32 = kr.astype(jnp.float32), ki_table.astype(jnp.float32)
+
+    op64, b64 = _eqs_operator(sc64, kr64, ki64)
+    op32, _ = _eqs_operator(sc32, kr32, ki32)
+    M32 = make_v_cycle(hier32, kr32, nu=nu, coarse_iters=coarse_iters)
+    free = scase.free
+
+    def Mp(r2):
+        zr = jnp.where(free, M32(jnp.where(free, r2[0], 0.0)), r2[0])
+        zi = jnp.where(free, M32(jnp.where(free, r2[1], 0.0)), r2[1])
+        return jnp.stack([zr, zi])
+
+    bnorm = _hnorm(b64)
+    x = jnp.stack([jnp.where(free, 0.0, sc64.dirichlet),
+                   jnp.zeros_like(sc64.dirichlet)])
+
+    def refine(carry):
+        x, rel_old, total_it, k = carry
+        done = rel_old <= tol
+        r64 = b64 - op64(x)
+        need = 0.25 * tol / jnp.minimum(rel_old, 1.0)
+        tol_k = jnp.clip(need, inner_tol, 0.05)
+        dx, it, _ = _cocg(op32, r64.astype(jnp.float32), Mp,
+                          jnp.zeros_like(r64, jnp.float32),
+                          tol=tol_k, maxiter=maxiter)
+        x_n = x + dx.astype(jnp.float64)
+        rel_n = _hnorm(b64 - op64(x_n)) / jnp.where(bnorm > 0, bnorm,
+                                                    1.0)
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(x_n, x), sel(rel_n, rel_old),
+                sel(total_it + it, total_it), k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = lax.while_loop(
+        cond, refine, (x, jnp.float64(jnp.inf), jnp.int32(0),
+                       jnp.int32(0)))
+    phi = x.reshape(2, -1)[:, scase.grid_index]
+    return EQSResult(phi=phi, iterations=total_it, residual=rel,
+                     converged=rel <= tol)
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter", "nu",
+                                   "coarse_iters", "max_refinements"))
+def batched_eqs_solve_refined(scase: StencilCase, hier: MGHierarchy,
+                              ki_tables, kr_tables=None, *, tol=1e-8,
+                              inner_tol=3e-4, maxiter=2_000, nu=2,
+                              coarse_iters=24, max_refinements=8):
+    """Frequency sweep as ONE vmapped certified batch over (W, T)
+    imaginary-admittivity tables (and optionally per-lane real tables) —
+    the EQS twin of batched_mg_solve_refined, zero re-assembly."""
+    if kr_tables is None:
+        one = lambda ki: solve_stencil_eqs_refined(
+            scase, hier, ki, tol=tol, inner_tol=inner_tol,
+            maxiter=maxiter, nu=nu, coarse_iters=coarse_iters,
+            max_refinements=max_refinements)
+        return jax.vmap(one)(ki_tables)
+    one = lambda ki, kr: solve_stencil_eqs_refined(
+        scase, hier, ki, kr, tol=tol, inner_tol=inner_tol,
+        maxiter=maxiter, nu=nu, coarse_iters=coarse_iters,
+        max_refinements=max_refinements)
+    return jax.vmap(one)(ki_tables, kr_tables)
+
+
+def impedance_spectrum(scase: StencilCase, hier: MGHierarchy,
+                       epsr_table, freqs_hz, *, w_act, w_ret,
+                       sigma_table=None, I_inject_A=None, tol=1e-8,
+                       **kw):
+    """Electrode impedance spectrum Z(f) = V_hat / I of a
+    current-driven case: one vmapped certified batch over frequencies.
+
+    epsr_table: (T,) per-body relative permittivities (index 0 unused);
+    w_act / w_ret: (N,) real averaging weights over the electrode node
+    patches (each summing to 1); I_inject_A: injected current (defaults
+    to sum(b_neumann), exact for current-mode cases).  Returns dict with
+    Z (W, 2) real/imag, |Z|, phase, and the solve diagnostics.
+    """
+    omegas = 2.0 * np.pi * np.asarray(freqs_hz, np.float64)
+    ki = jnp.asarray(omegas)[:, None] * (EPS0 * jnp.asarray(
+        epsr_table, jnp.float64))[None, :]
+    kr_tables = None
+    if sigma_table is not None:
+        kr_tables = jnp.tile(jnp.asarray(sigma_table, jnp.float64),
+                             (len(omegas), 1))
+    out = batched_eqs_solve_refined(scase, hier, ki, kr_tables, tol=tol,
+                                    **kw)
+    if I_inject_A is None:
+        I_inject_A = float(jnp.sum(scase.b_neumann))
+    w_a = jnp.asarray(w_act, out.phi.dtype)
+    w_r = jnp.asarray(w_ret, out.phi.dtype)
+    V = jnp.einsum("wcn,n->wc", out.phi, w_a) - jnp.einsum(
+        "wcn,n->wc", out.phi, w_r)           # (W, 2) complex volts
+    Z = np.asarray(V) / I_inject_A
+    return {
+        "freq_hz": np.asarray(freqs_hz, np.float64),
+        "Z": Z,
+        "Z_abs": np.hypot(Z[:, 0], Z[:, 1]),
+        "Z_phase_deg": np.degrees(np.arctan2(Z[:, 1], Z[:, 0])),
+        "iterations": np.asarray(out.iterations),
+        "residual": np.asarray(out.residual),
+        "converged": np.asarray(out.converged),
+    }

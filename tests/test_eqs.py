@@ -1,0 +1,155 @@
+"""Frequency-domain electro-quasistatic solves (ops/eqs.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh import core
+from pelvistim_fem_tpu.mesh.generate import build_mesh_from_lattice
+from pelvistim_fem_tpu.models.case import build_case
+from pelvistim_fem_tpu.models.pressure import build_pressure_case
+from pelvistim_fem_tpu.ops.eqs import (EPS0, batched_eqs_solve_refined,
+                                       impedance_spectrum,
+                                       solve_stencil_eqs_refined)
+from pelvistim_fem_tpu.ops.multigrid import (build_hierarchy,
+                                             solve_stencil_mg_refined)
+from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                           stencil_host_data)
+
+
+@pytest.fixture(scope="module")
+def pressure_problem():
+    case, params, mesh = build_pressure_case(coarse=True, with_mesh=True)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float64, host_data=hd)
+    hier = build_hierarchy(hd, dtype=jnp.float64)
+    return case, params, sc, hier
+
+
+def test_eqs_zero_frequency_matches_real_solve(pressure_problem):
+    """At omega = 0 the COCG complex solve must reduce to the real
+    certified MG solve: zero imaginary part, real part matching."""
+    case, params, sc, hier = pressure_problem
+    ki = jnp.zeros_like(sc.sigma_table)
+    out = solve_stencil_eqs_refined(sc, hier, ki, tol=1e-10)
+    assert bool(np.asarray(out.converged))
+    assert float(np.asarray(out.residual)) <= 1e-10
+    ref = solve_stencil_mg_refined(sc, hier, tol=1e-10)
+    phi = np.asarray(out.phi)
+    np.testing.assert_allclose(phi[0], np.asarray(ref.phi),
+                               atol=1e-8 * np.abs(ref.phi).max())
+    assert np.abs(phi[1]).max() <= 1e-12 * np.abs(phi[0]).max() + 1e-15
+
+
+def _two_layer_box(sig_a, sig_b, da=0.01, db=0.01, h=0.0025):
+    """Two-body slab: body 1 (A) in z < da, body 2 (B) above, voltage
+    drive top (V=1) / bottom (0) — exact solution piecewise linear in z
+    (P1-exact), complex voltage divider at the interface."""
+    L = 0.02
+    xs = np.linspace(0, L, int(L / h) + 1)
+    ys = np.linspace(0, L, int(L / h) + 1)
+    zs = np.linspace(0, da + db, int((da + db) / h) + 1)
+    assert np.any(np.isclose(zs, da)), "interface must be a knot plane"
+
+    def body_fn(cx, cy, cz):
+        return np.where(cz < da, 1, 2).astype(np.int32)
+
+    def bcid_fn(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, core.BC_INSULATED, np.int32)
+        out[(nz > 0.5) & (np.abs(fz - (da + db)) < 1e-9)] = core.BC_ACTIVE
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = core.BC_RETURN
+        return out
+
+    mesh = build_mesh_from_lattice(xs, ys, zs, body_fn, bcid_fn)
+    case = build_case(mesh, {1: sig_a, 2: sig_b}, mode="voltage",
+                      dtype=jnp.float64)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float64, host_data=hd)
+    hier = build_hierarchy(hd, dtype=jnp.float64)
+    return mesh, case, sc, hier, da, db
+
+
+def test_eqs_two_layer_complex_divider_exact():
+    """Complex series divider: with kappa = sigma + i omega eps0 epsr
+    per layer, the interface potential is
+    V_i = (kappa_b/d_b) / (kappa_a/d_a + kappa_b/d_b) — piecewise-linear
+    exact solution, so the discrete solve must hit it to solver
+    tolerance INCLUDING the phase."""
+    sig_a, sig_b = 0.02, 0.35        # contact-ish vs muscle-ish
+    epsr_a, epsr_b = 8.0e5, 1.0e4
+    f = 5.0e4                        # 50 kHz: omega*eps comparable to sigma
+    omega = 2 * np.pi * f
+
+    mesh, case, sc, hier, da, db = _two_layer_box(sig_a, sig_b)
+    ki = jnp.asarray([0.0, omega * EPS0 * epsr_a, omega * EPS0 * epsr_b],
+                     jnp.float64)
+    out = solve_stencil_eqs_refined(sc, hier, ki, tol=1e-10)
+    assert bool(np.asarray(out.converged))
+
+    ka = sig_a + 1j * omega * EPS0 * epsr_a
+    kb = sig_b + 1j * omega * EPS0 * epsr_b
+    vi_exact = (kb / db) / (ka / da + kb / db)
+    assert abs(vi_exact.imag) > 1e-3      # the phase is actually probed
+
+    z = mesh.nodes[:, 2]
+    phi = np.asarray(out.phi)
+    phi_c = phi[0] + 1j * phi[1]
+    # exact complex field: linear 0 -> Vi in layer A, Vi -> 1 in layer B
+    expected = np.where(z <= da + 1e-12, vi_exact * z / da,
+                        vi_exact + (1 - vi_exact) * (z - da) / db)
+    err = np.abs(phi_c - expected).max()
+    assert err <= 1e-8, err
+
+
+def test_impedance_spectrum_rc_contact(pressure_problem):
+    """A capacitive contact layer must produce the textbook spectrum:
+    |Z| monotone nonincreasing with frequency, phase in (-90, 0], and
+    the low-frequency limit equal to the static contact impedance."""
+    case, params, sc, hier = pressure_problem
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    act, ret = electrode_node_masks(np.asarray(case.faces),
+                                    np.asarray(case.face_bcid),
+                                    case.n_nodes)
+    w_act = act / act.sum()
+    w_ret = ret / ret.sum()
+
+    n_b = sc.sigma_table.shape[0] - 1
+    epsr = np.zeros(n_b + 1)
+    epsr[core.BODY_CONTACT_ACTIVE] = 5e6    # double-layer-like contact
+    epsr[core.BODY_CONTACT_RETURN] = 5e6
+    # down to 10 mHz so the lowest point IS the static limit: at the
+    # contact's eps_r = 5e6, omega*eps0*epsr ~ sigma_contact already by
+    # ~10 Hz (that knee is the point of the capability)
+    freqs = np.logspace(-2, 5, 8)
+    spec = impedance_spectrum(sc, hier, jnp.asarray(epsr), freqs,
+                              w_act=w_act, w_ret=w_ret, tol=1e-8)
+    assert spec["converged"].all()
+    assert spec["residual"].max() <= 1e-8
+    zabs = spec["Z_abs"]
+    assert np.all(np.diff(zabs) <= 1e-9 * zabs[0])      # nonincreasing
+    assert zabs[0] > 1.05 * zabs[-1]                    # actually drops
+    assert np.all(spec["Z_phase_deg"] <= 1e-9)
+    assert np.all(spec["Z_phase_deg"] > -90.0)
+
+    # static limit: solve the real problem, compare V/I
+    ref = solve_stencil_mg_refined(sc, hier, tol=1e-8)
+    v = float(np.asarray(ref.phi) @ w_act - np.asarray(ref.phi) @ w_ret)
+    z_static = v / float(np.asarray(jnp.sum(sc.b_neumann)))
+    np.testing.assert_allclose(zabs[0], z_static, rtol=1e-3)
+
+
+def test_batched_eqs_matches_single(pressure_problem):
+    case, params, sc, hier = pressure_problem
+    n_b = sc.sigma_table.shape[0] - 1
+    epsr = np.zeros(n_b + 1)
+    epsr[core.BODY_CONTACT_ACTIVE] = 5e6
+    epsr[core.BODY_CONTACT_RETURN] = 5e6
+    omegas = 2 * np.pi * np.array([1e2, 1e4])
+    kis = jnp.asarray(omegas[:, None] * EPS0 * epsr[None, :])
+    out = batched_eqs_solve_refined(sc, hier, kis, tol=1e-9)
+    for i in range(2):
+        one = solve_stencil_eqs_refined(sc, hier, kis[i], tol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(out.phi[i]), np.asarray(one.phi),
+            atol=1e-8 * np.abs(np.asarray(one.phi)).max())
