@@ -109,7 +109,9 @@ def run_sweep(args, n_cases):
         ia = jnp.sum(jnp.where(bcid == BC_ACTIVE, flux, 0.0))
         ir = jnp.sum(jnp.where(bcid == BC_RETURN, flux, 0.0))
         iac, irc = fields.consistent_electrode_currents(case, phi, sig)
-        cv = jnp.dot(phi, w_act) - jnp.dot(phi, w_ret)
+        hp = jax.lax.Precision.HIGHEST   # TPU default dot is bf16-based
+        cv = (jnp.dot(phi, w_act, precision=hp)
+              - jnp.dot(phi, w_ret, precision=hp))
         return ia, ir, iac, irc, cv
 
     t0 = time.perf_counter()

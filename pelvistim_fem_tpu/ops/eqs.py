@@ -286,8 +286,9 @@ def impedance_spectrum(scase: StencilCase, hier: MGHierarchy,
         I_inject_A = float(jnp.sum(scase.b_neumann))
     w_a = jnp.asarray(w_act, out.phi.dtype)
     w_r = jnp.asarray(w_ret, out.phi.dtype)
-    V = jnp.einsum("wcn,n->wc", out.phi, w_a) - jnp.einsum(
-        "wcn,n->wc", out.phi, w_r)           # (W, 2) complex volts
+    hp = jax.lax.Precision.HIGHEST     # TPU default contraction is bf16
+    V = jnp.einsum("wcn,n->wc", out.phi, w_a, precision=hp) - jnp.einsum(
+        "wcn,n->wc", out.phi, w_r, precision=hp)   # (W, 2) complex volts
     Z = np.asarray(V) / I_inject_A
     return {
         "freq_hz": np.asarray(freqs_hz, np.float64),
