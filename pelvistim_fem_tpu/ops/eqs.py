@@ -260,6 +260,113 @@ def batched_eqs_solve_refined(scase: StencilCase, hier: MGHierarchy,
     return jax.vmap(one)(ki_tables, kr_tables)
 
 
+def _case_eqs_operator(case, kr_table, ki_table):
+    """Element-path twin of _eqs_operator: masked complex operator and
+    effective RHS on an arbitrary (imported) tet mesh."""
+    from pelvistim_fem_tpu.ops import assembly
+    n = case.free_mask.shape[0]
+    sig_r = kr_table[case.tet_body] * case.vol
+    sig_i = ki_table[case.tet_body] * case.vol
+
+    def raw(x2):
+        def mv(x, sv):
+            return assembly.spmv(x, case.tets, case.grads, sv,
+                                 case.scatter_perm, case.scatter_segids,
+                                 n)
+        xr, xi = x2[0], x2[1]
+        return jnp.stack([mv(xr, sig_r) - mv(xi, sig_i),
+                          mv(xr, sig_i) + mv(xi, sig_r)])
+
+    free = case.free_mask
+
+    def op(x2):
+        z = jnp.where(free[None], x2, 0.0)
+        return jnp.where(free[None], raw(z), x2)
+
+    phi_d = jnp.where(free, 0.0, case.dirichlet_vals)
+    lift = raw(jnp.stack([phi_d, jnp.zeros_like(phi_d)]))
+    b_eff = jnp.stack([
+        jnp.where(free, case.b_neumann - lift[0], case.dirichlet_vals),
+        jnp.where(free, -lift[1], 0.0)])
+    return op, b_eff
+
+
+@partial(jax.jit, static_argnames=("tol", "inner_tol", "maxiter", "nu",
+                                   "omega", "coarse_iters",
+                                   "max_refinements"))
+def solve_case_eqs_refined(case, ki_table, kr_table=None, amg=None, *,
+                           tol=1e-8, inner_tol=3e-4, maxiter=5_000,
+                           nu=2, omega=0.85, coarse_iters=24,
+                           max_refinements=8) -> EQSResult:
+    """Certified complex solve on the ELEMENT path — EQS for imported
+    .msh/Elmer-DB/VTU meshes.  Pass `amg` (ops/amg.build_amg, built in
+    f32 from the REAL sigma operator) for the performance-class
+    preconditioner; without it a real-Jacobi COCG runs (fine for soft
+    contrast / modest meshes)."""
+    require_x64("solve_case_eqs_refined")
+    kr = case.sigma_table if kr_table is None else kr_table
+    to = lambda a, dt: jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, a)
+    case64, case32 = to(case, jnp.float64), to(case, jnp.float32)
+    kr64, ki64 = kr.astype(jnp.float64), ki_table.astype(jnp.float64)
+    kr32, ki32 = kr.astype(jnp.float32), ki_table.astype(jnp.float32)
+
+    op64, b64 = _case_eqs_operator(case64, kr64, ki64)
+    op32, _ = _case_eqs_operator(case32, kr32, ki32)
+    free = case.free_mask
+
+    if amg is None:
+        from pelvistim_fem_tpu.ops.solve import _case_operator
+        _, diag32, _ = _case_operator(case32, kr32)
+        minv = jnp.where(diag32 > 0, 1.0 / diag32,
+                         jnp.asarray(1.0, jnp.float32))
+        M32 = lambda r: minv * r
+    else:
+        from pelvistim_fem_tpu.ops.amg import (_fine_pieces, _lift_M,
+                                               make_amg_preconditioner)
+        amg32 = to(amg, jnp.float32)
+        _, fine32, _ = _fine_pieces(case32, kr32, amg32)
+        Mf = make_amg_preconditioner(amg32, fine32, nu=nu, omega=omega,
+                                     coarse_iters=coarse_iters)
+        M32 = _lift_M(Mf, amg32, free, case.free_mask.shape[0])
+
+    def Mp(r2):
+        zr = jnp.where(free, M32(jnp.where(free, r2[0], 0.0)), r2[0])
+        zi = jnp.where(free, M32(jnp.where(free, r2[1], 0.0)), r2[1])
+        return jnp.stack([zr, zi])
+
+    bnorm = _hnorm(b64)
+    x = jnp.stack([jnp.where(free, 0.0, case64.dirichlet_vals),
+                   jnp.zeros_like(case64.dirichlet_vals)])
+
+    def refine(carry):
+        x, rel_old, total_it, k = carry
+        done = rel_old <= tol
+        r64 = b64 - op64(x)
+        tol_k = jnp.clip(0.25 * tol / jnp.minimum(rel_old, 1.0),
+                         inner_tol, 0.05)
+        dx, it, _ = _cocg(op32, r64.astype(jnp.float32), Mp,
+                          jnp.zeros_like(r64, jnp.float32),
+                          tol=tol_k, maxiter=maxiter)
+        x_n = x + dx.astype(jnp.float64)
+        rel_n = _hnorm(b64 - op64(x_n)) / jnp.where(bnorm > 0, bnorm,
+                                                    1.0)
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(x_n, x), sel(rel_n, rel_old),
+                sel(total_it + it, total_it), k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = lax.while_loop(
+        cond, refine, (x, jnp.float64(jnp.inf), jnp.int32(0),
+                       jnp.int32(0)))
+    return EQSResult(phi=x, iterations=total_it, residual=rel,
+                     converged=rel <= tol)
+
+
 def impedance_spectrum(scase: StencilCase, hier: MGHierarchy,
                        epsr_table, freqs_hz, *, w_act, w_ret,
                        sigma_table=None, I_inject_A=None, tol=1e-8,

@@ -153,3 +153,42 @@ def test_batched_eqs_matches_single(pressure_problem):
         np.testing.assert_allclose(
             np.asarray(out.phi[i]), np.asarray(one.phi),
             atol=1e-8 * np.abs(np.asarray(one.phi)).max())
+
+
+def test_eqs_element_path_matches_exact_and_stencil():
+    """The element-path COCG (imported-mesh form) must hit the same
+    exact complex divider, with Jacobi AND with AMG preconditioning,
+    and agree with the stencil-path solution."""
+    from pelvistim_fem_tpu.ops.amg import build_amg
+    from pelvistim_fem_tpu.ops.eqs import solve_case_eqs_refined
+
+    sig_a, sig_b = 0.02, 0.35
+    epsr_a, epsr_b = 8.0e5, 1.0e4
+    omega = 2 * np.pi * 5.0e4
+    mesh, case, sc, hier, da, db = _two_layer_box(sig_a, sig_b)
+    ki = jnp.asarray([0.0, omega * EPS0 * epsr_a, omega * EPS0 * epsr_b],
+                     jnp.float64)
+
+    ka = sig_a + 1j * omega * EPS0 * epsr_a
+    kb = sig_b + 1j * omega * EPS0 * epsr_b
+    vi = (kb / db) / (ka / da + kb / db)
+    z = mesh.nodes[:, 2]
+    expected = np.where(z <= da + 1e-12, vi * z / da,
+                        vi + (1 - vi) * (z - da) / db)
+
+    out_j = solve_case_eqs_refined(case, ki, tol=1e-10)
+    assert bool(np.asarray(out_j.converged))
+    pj = np.asarray(out_j.phi)
+    # residual 1e-10 -> error ~ kappa * 1e-10; gate leaves conditioning room
+    assert np.abs(pj[0] + 1j * pj[1] - expected).max() <= 1e-7
+
+    amg = build_amg(case, mesh=mesh)
+    out_a = solve_case_eqs_refined(case, ki, amg=amg, tol=1e-10)
+    assert bool(np.asarray(out_a.converged))
+    assert int(out_a.iterations) <= int(out_j.iterations)
+    pa = np.asarray(out_a.phi)
+    assert np.abs(pa[0] + 1j * pa[1] - expected).max() <= 1e-7
+
+    out_s = solve_stencil_eqs_refined(sc, hier, ki, tol=1e-10)
+    ps = np.asarray(out_s.phi)
+    np.testing.assert_allclose(pa, ps, atol=1e-7)
