@@ -176,3 +176,33 @@ def sharded_stencil_material_solve_refined(scase, hier, sigma_tables,
     out = batched_mg_solve_refined(scase, hier, sigma_tables, tol=tol,
                                    **kw)
     return jax.tree_util.tree_map(lambda a: a[:S], out)
+
+
+def sharded_eqs_solve_refined(scase, hier, ki_tables, kr_tables=None,
+                              mesh: Mesh | None = None, *, tol=1e-8,
+                              axis: str = "case", **kw):
+    """Frequency-axis-sharded certified EQS solves (ops/eqs.py): one
+    spectrum block per device — an impedance spectrum is, like every
+    other sweep here, a material-table batch, so it shards the same
+    way (padding to a device multiple, operator replicated)."""
+    from pelvistim_fem_tpu.ops.eqs import batched_eqs_solve_refined
+    if mesh is None:
+        mesh = device_mesh(axis=axis)
+    n_dev = mesh.devices.size
+    W = ki_tables.shape[0]
+    W_pad = -(-W // n_dev) * n_dev
+    if W_pad != W:
+        pad = lambda t: jnp.concatenate(
+            [t, jnp.repeat(t[-1:], W_pad - W, axis=0)], axis=0)
+        ki_tables = pad(ki_tables)
+        if kr_tables is not None:
+            kr_tables = pad(kr_tables)
+    ki_tables = jax.device_put(ki_tables, NamedSharding(mesh, P(axis)))
+    if kr_tables is not None:
+        kr_tables = jax.device_put(kr_tables,
+                                   NamedSharding(mesh, P(axis)))
+    scase = jax.device_put(scase, NamedSharding(mesh, P()))
+    hier = jax.device_put(hier, NamedSharding(mesh, P()))
+    out = batched_eqs_solve_refined(scase, hier, ki_tables, kr_tables,
+                                    tol=tol, **kw)
+    return jax.tree_util.tree_map(lambda a: a[:W], out)

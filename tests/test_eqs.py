@@ -192,3 +192,27 @@ def test_eqs_element_path_matches_exact_and_stencil():
     out_s = solve_stencil_eqs_refined(sc, hier, ki, tol=1e-10)
     ps = np.asarray(out_s.phi)
     np.testing.assert_allclose(pa, ps, atol=1e-7)
+
+
+def test_sharded_eqs_matches_batched(pressure_problem):
+    """Frequency-sharded certified EQS (5 lanes on 8 devices, padding
+    exercised) equals the unsharded batch lane for lane."""
+    from pelvistim_fem_tpu.parallel.sweep import (device_mesh,
+                                                  sharded_eqs_solve_refined)
+    case, params, sc, hier = pressure_problem
+    n_b = sc.sigma_table.shape[0] - 1
+    epsr = np.zeros(n_b + 1)
+    epsr[core.BODY_CONTACT_ACTIVE] = 5e6
+    epsr[core.BODY_CONTACT_RETURN] = 5e6
+    omegas = 2 * np.pi * np.logspace(1, 4, 5)
+    kis = jnp.asarray(omegas[:, None] * EPS0 * epsr[None, :])
+    ref = batched_eqs_solve_refined(sc, hier, kis, tol=1e-8)
+    out = sharded_eqs_solve_refined(sc, hier, kis,
+                                    mesh=device_mesh(8), tol=1e-8)
+    assert out.phi.shape == ref.phi.shape
+    assert bool(np.asarray(out.converged).all())
+    # both sides carry certified true residual <= 1e-8; GSPMD reduction
+    # order shifts the f32 inner trajectory by O(residual) at worst
+    np.testing.assert_allclose(
+        np.asarray(out.phi), np.asarray(ref.phi),
+        atol=1e-8 * float(np.abs(np.asarray(ref.phi)).max()))
