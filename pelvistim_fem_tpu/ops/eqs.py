@@ -61,6 +61,53 @@ def admittivity_imag_table(epsr_table, omega):
     return omega * EPS0 * jnp.asarray(epsr_table)
 
 
+def cole_cole_kappa(freqs_hz, sigma_s, eps_inf, poles):
+    """Complex admittivity kappa(f) of a Cole-Cole dispersive tissue.
+
+    The standard bioimpedance model (Cole & Cole 1941; the form Gabriel
+    et al. 1996 fit to every human tissue):
+
+        eps*(w) = eps_inf + sum_k d_eps_k / (1 + (i w tau_k)^(1-a_k))
+        kappa(w) = sigma_s + i w eps0 eps*(w)
+
+    sigma_s: static (ionic) conductivity [S/m]; eps_inf: infinite-
+    frequency relative permittivity; poles: iterable of
+    (d_eps, tau_s, alpha) dispersion terms.  Returns (W,) complex128
+    (host-side numpy — tables are tiny; the solver consumes
+    re/im splits).  alpha = 0 reduces each pole to a Debye relaxation.
+    """
+    w = 2 * np.pi * np.asarray(freqs_hz, np.float64)
+    eps = np.full(w.shape, eps_inf, np.complex128)
+    for d_eps, tau, alpha in poles:
+        if not 0.0 <= alpha < 1.0:
+            raise ValueError(f"Cole-Cole alpha must be in [0, 1): {alpha}")
+        eps = eps + d_eps / (1.0 + (1j * w * tau) ** (1.0 - alpha))
+    return sigma_s + 1j * w * EPS0 * eps
+
+
+def dispersive_tables(freqs_hz, base_sigma_table, dispersion_by_body):
+    """(kr (W, T), ki (W, T)) per-frequency admittivity tables.
+
+    dispersion_by_body: {body_id: (sigma_s, eps_inf, poles)} — bodies
+    not listed stay purely resistive at base_sigma_table[b].  Feed the
+    result to batched_eqs_solve_refined / sharded_eqs_solve_refined as
+    (ki_tables, kr_tables): a DISPERSIVE spectrum is still just a
+    per-frequency material-table batch on one assembled operator.
+    """
+    base = np.asarray(base_sigma_table, np.float64)
+    W = len(np.asarray(freqs_hz))
+    kr = np.tile(base, (W, 1))
+    ki = np.zeros_like(kr)
+    for b, (sigma_s, eps_inf, poles) in dispersion_by_body.items():
+        kap = cole_cole_kappa(freqs_hz, sigma_s, eps_inf, poles)
+        kr[:, b] = kap.real
+        ki[:, b] = kap.imag
+    if np.any(kr[:, 1:] <= 0):      # index 0 is the unused slot
+        raise ValueError("dispersive Re(kappa) must stay positive "
+                         "(COCG needs an SPD real part)")
+    return jnp.asarray(kr), jnp.asarray(ki)
+
+
 # ── complex helpers on stacked (2, ...) arrays ───────────────────────────────
 
 def _cmul(a, b):

@@ -216,3 +216,62 @@ def test_sharded_eqs_matches_batched(pressure_problem):
     np.testing.assert_allclose(
         np.asarray(out.phi), np.asarray(ref.phi),
         atol=1e-8 * float(np.abs(np.asarray(ref.phi)).max()))
+
+
+def test_cole_cole_machinery():
+    """Debye limit (alpha = 0) against the closed form; physical
+    monotonicity: effective conductivity Re(kappa) rises with f,
+    effective permittivity Im(kappa)/(w eps0) falls (dispersion)."""
+    from pelvistim_fem_tpu.ops.eqs import cole_cole_kappa
+    f = np.logspace(0, 7, 29)
+    w = 2 * np.pi * f
+    sigma_s, eps_inf = 0.2, 4.0e3
+    d_eps, tau = 1.0e6, 1.0e-4
+    kap = cole_cole_kappa(f, sigma_s, eps_inf, [(d_eps, tau, 0.0)])
+    exact = sigma_s + 1j * w * EPS0 * (eps_inf
+                                       + d_eps / (1 + 1j * w * tau))
+    np.testing.assert_allclose(kap, exact, rtol=1e-12)
+    # DC limit
+    np.testing.assert_allclose(
+        cole_cole_kappa([0.0], sigma_s, eps_inf,
+                        [(d_eps, tau, 0.3)])[0], sigma_s, rtol=1e-12)
+    # dispersion shape for a Cole-Cole pole (alpha = 0.15)
+    kap = cole_cole_kappa(f, sigma_s, eps_inf, [(d_eps, tau, 0.15)])
+    sig_eff = kap.real
+    eps_eff = kap.imag / (w * EPS0)
+    assert np.all(np.diff(sig_eff) >= -1e-12)      # sigma rises with f
+    assert np.all(np.diff(eps_eff) <= 1e-12)       # eps falls with f
+    assert sig_eff[-1] > sig_eff[0] and eps_eff[0] > 10 * eps_eff[-1]
+
+
+def test_dispersive_spectrum_solves(pressure_problem):
+    """A dispersive muscle + capacitive contact spectrum solves at the
+    certified tolerance and |Z| still falls with frequency."""
+    from pelvistim_fem_tpu.ops.eqs import dispersive_tables
+    case, params, sc, hier = pressure_problem
+    freqs = np.logspace(1, 5, 5)
+    disp = {
+        core.BODY_MUSCLE: (0.35, 1.0e3, [(8.0e5, 3.0e-4, 0.1)]),
+        core.BODY_CONTACT_ACTIVE: (
+            float(np.asarray(sc.sigma_table)[core.BODY_CONTACT_ACTIVE]),
+            1.0e3, [(5.0e6, 1.0e-3, 0.2)]),
+        core.BODY_CONTACT_RETURN: (
+            float(np.asarray(sc.sigma_table)[core.BODY_CONTACT_RETURN]),
+            1.0e3, [(5.0e6, 1.0e-3, 0.2)]),
+    }
+    kr, ki = dispersive_tables(freqs, sc.sigma_table, disp)
+    out = batched_eqs_solve_refined(sc, hier, ki, kr, tol=1e-8)
+    assert bool(np.asarray(out.converged).all())
+    assert float(np.asarray(out.residual).max()) <= 1e-8
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    act, ret = electrode_node_masks(np.asarray(case.faces),
+                                    np.asarray(case.face_bcid),
+                                    case.n_nodes)
+    w_a = act / act.sum()
+    w_r = ret / ret.sum()
+    phi = np.asarray(out.phi)
+    V = phi @ w_a - phi @ w_r                      # (W, 2)
+    I = float(np.asarray(jnp.sum(sc.b_neumann)))
+    zabs = np.hypot(V[:, 0], V[:, 1]) / I
+    assert np.all(np.diff(zabs) < 0)
+    assert zabs[0] > 1.1 * zabs[-1]
