@@ -46,6 +46,21 @@ def cell_J(case, phi, sigma_table=None):
     return sigma_e[:, None] * E
 
 
+def cell_power_density(case, phi, sigma_table=None):
+    """Dissipated power density p = J . E = E^T sigma E per tet
+    [W/m^3] — the tissue-heating field (the safety quantity behind
+    step04's charge-density limit, run_pressure_sweep.py:617-625, seen
+    as actual Joule heating).  Tensor-aware like cell_J.
+
+    Exact discrete invariant (tested): sum_m p_m vol_m = phi^T K phi =
+    the injected current times the LOAD-weighted active-electrode
+    potential (current mode, return grounded) — energy balance holds to
+    solver tolerance, not just discretization order."""
+    E = cell_E(case, phi)
+    J = cell_J(case, phi, sigma_table)
+    return jnp.sum(J * E, axis=1)
+
+
 def cell_centers(case):
     """(M, 3) tet centroids."""
     return case.nodes[case.tets].mean(axis=1)

@@ -151,3 +151,27 @@ def test_batched_extract_degenerate_roi_matches_serial_nan():
     for k in ("roi_mean_J", "roi_mean_E", "roi_mean_E_p1"):
         assert isinstance(row_s[k], float) and not np.isfinite(row_s[k])
         assert not np.isfinite(row_b[k]), k
+
+
+def test_power_density_energy_balance():
+    """Exact discrete energy balance: integral of J.E over the volume
+    equals phi^T K phi equals the Neumann load dotted with phi (return
+    electrode grounded) — to solver tolerance, not discretization
+    order.  Validates cell_power_density's gradients, sigma lookup and
+    volume weighting in one identity."""
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.fields import cell_power_density
+    from pelvistim_fem_tpu.ops.solve import solve_case
+
+    case, params = build_pressure_case(coarse=True, dtype=jnp.float64)
+    res = solve_case(case, tol=1e-12, maxiter=30_000)
+    assert bool(res.converged)
+    p = cell_power_density(case, res.phi)
+    assert bool(jnp.all(p >= -1e-18))            # pointwise nonnegative
+    total = float(jnp.sum(p * case.vol))
+    drive = float(jnp.dot(case.b_neumann, res.phi))
+    np.testing.assert_allclose(total, drive, rtol=1e-9)
+    # sanity scale: watts at 5 mA through ~10 kohm is tens of mW
+    assert 1e-4 < total < 10.0
