@@ -307,6 +307,70 @@ def batched_eqs_solve_refined(scase: StencilCase, hier: MGHierarchy,
     return jax.vmap(one)(ki_tables, kr_tables)
 
 
+@partial(jax.jit, static_argnames=("tol", "maxiter", "nu",
+                                   "coarse_iters"))
+def solve_stencil_eqs_diff(scase: StencilCase, hier: MGHierarchy,
+                           ki_table, kr_table=None, *, tol=1e-10,
+                           maxiter=2_000, nu=2, coarse_iters=24):
+    """(2, N) complex potential, DIFFERENTIABLE w.r.t. kr_table /
+    ki_table (and the drives) — the EQS twin of
+    adjoint.solve_stencil_mg_diff, unlocking spectrum-fitting inverse
+    problems (bioimpedance spectroscopy: fit dispersion parameters to a
+    measured Z(f)).
+
+    K is complex symmetric, so the stacked real operator
+    A = [[Kr, -Ki], [Ki, Kr]] is NOT symmetric (symmetric=True would be
+    WRONG here): its transpose represents the CONJUGATE operator
+    conj(K) = Kr - i Ki — itself complex symmetric, so the
+    transpose_solve passed to `lax.custom_linear_solve` runs the same
+    real-preconditioned COCG on the jax-transposed matvec.  The inner
+    iterations are never differentiated; the preconditioner (real
+    sigma V-cycle) sits behind stop_gradient."""
+    kr = scase.sigma_table if kr_table is None else kr_table
+    free = scase.free
+    Cr = combine_coeffs(scase.coeff, kr)
+    Ci = combine_coeffs(scase.coeff, ki_table)
+
+    def raw(x2, Ci_):
+        xr, xi = x2[0], x2[1]
+        return jnp.stack(
+            [stencil_spmv(xr, Cr) - stencil_spmv(xi, Ci_),
+             stencil_spmv(xr, Ci_) + stencil_spmv(xi, Cr)])
+
+    def matvec(x2):
+        z = jnp.where(free[None], x2, 0.0)
+        return jnp.where(free[None], raw(z, Ci), x2)
+
+    phi_d = jnp.where(free, 0.0, scase.dirichlet)
+    lift = raw(jnp.stack([phi_d, jnp.zeros_like(phi_d)]), Ci)
+    b_eff = jnp.stack([
+        jnp.where(free, scase.b_neumann - lift[0], scase.dirichlet),
+        jnp.where(free, -lift[1], 0.0)])
+
+    M = make_v_cycle(jax.tree_util.tree_map(lax.stop_gradient, hier),
+                     lax.stop_gradient(kr), nu=nu,
+                     coarse_iters=coarse_iters)
+
+    def Mp(r2):
+        zr = jnp.where(free, M(jnp.where(free, r2[0], 0.0)), r2[0])
+        zi = jnp.where(free, M(jnp.where(free, r2[1], 0.0)), r2[1])
+        return jnp.stack([zr, zi])
+
+    def solve_fn(mv, b):
+        x, _, _ = _cocg(mv, b, Mp, jnp.where(free[None], 0.0, b),
+                        tol=tol, maxiter=maxiter)
+        return x
+
+    def transpose_solve_fn(mv_t, b):
+        x, _, _ = _cocg(mv_t, b, Mp, jnp.where(free[None], 0.0, b),
+                        tol=tol, maxiter=maxiter)
+        return x
+
+    x = lax.custom_linear_solve(matvec, b_eff, solve_fn,
+                                transpose_solve_fn)
+    return x.reshape(2, -1)[:, scase.grid_index]
+
+
 def _case_eqs_operator(case, kr_table, ki_table):
     """Element-path twin of _eqs_operator: masked complex operator and
     effective RHS on an arbitrary (imported) tet mesh."""

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pelvistim_fem_tpu.mesh import core
@@ -275,3 +276,43 @@ def test_dispersive_spectrum_solves(pressure_problem):
     zabs = np.hypot(V[:, 0], V[:, 1]) / I
     assert np.all(np.diff(zabs) < 0)
     assert zabs[0] > 1.1 * zabs[-1]
+
+
+def test_eqs_diff_gradients_match_fd(pressure_problem):
+    """Gradients of a complex-spectrum metric through the COCG
+    custom_linear_solve (non-symmetric stacked operator, explicit
+    transpose solve) must match central finite differences in BOTH
+    kr and ki."""
+    from pelvistim_fem_tpu.ops.eqs import solve_stencil_eqs_diff
+    case, params, sc, hier = pressure_problem
+    b = core.BODY_CONTACT_ACTIVE
+    n_b = sc.sigma_table.shape[0] - 1
+    ki0 = np.zeros(n_b + 1)
+    ki0[core.BODY_CONTACT_ACTIVE] = 2e-3
+    ki0[core.BODY_CONTACT_RETURN] = 2e-3
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal(sc.grid_index.shape[0]))
+
+    def metric(kr, ki):
+        phi = solve_stencil_eqs_diff(sc, hier, ki, kr, tol=1e-12,
+                                     maxiter=4000)
+        # mixes real and imag parts so both adjoint components matter
+        return jnp.sum(w * phi[0]) + 0.7 * jnp.sum(w * phi[1])
+
+    kr0 = sc.sigma_table
+    ki0 = jnp.asarray(ki0)
+    m, (g_kr, g_ki) = jax.value_and_grad(metric, argnums=(0, 1))(
+        kr0, ki0)
+    assert np.isfinite(float(m))
+    for tab, g, idx in ((kr0, g_kr, b), (ki0, g_ki, b),
+                        (kr0, g_kr, core.BODY_MUSCLE)):
+        h = 1e-6 * max(float(tab[idx]), 1e-3)
+        tp = tab.at[idx].add(h)
+        tm = tab.at[idx].add(-h)
+        if tab is kr0:
+            fd = (metric(tp, ki0) - metric(tm, ki0)) / (2 * h)
+        else:
+            fd = (metric(kr0, tp) - metric(kr0, tm)) / (2 * h)
+        # FD cancellation noise at h ~ 1e-9 dominates; a wrong
+        # transpose/adjoint would be O(1) off
+        np.testing.assert_allclose(float(g[idx]), float(fd), rtol=2e-4)
