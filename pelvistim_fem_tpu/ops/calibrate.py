@@ -153,3 +153,89 @@ def calibrate_sigma_lm(scase, hier, obs_idx, obs_phi, bodies: tuple,
     (p, _, _), losses = jax.lax.scan(
         step, (p0, jnp.float64(lam0), l0), None, length=iters)
     return base.at[bidx].set(jnp.exp(p)), losses
+
+
+@partial(jax.jit, static_argnames=("bodies", "alpha", "eps_inf",
+                                   "iters", "tol", "maxiter"))
+def calibrate_contact_dispersion(scase, hier, freqs_hz, Z_meas, w_act,
+                                 w_ret, bodies: tuple, x0, *,
+                                 alpha=0.0, eps_inf=1.0e3, iters=12,
+                                 tol=1e-10, maxiter=4_000):
+    """Bioimpedance-spectroscopy inverse problem: fit the contact
+    layer's Cole-Cole parameters (sigma_s, d_eps, tau) to a MEASURED
+    complex impedance spectrum Z(f) — the fit electrode-impedance
+    hardware performs, now through the full 3-D field model instead of
+    a lumped circuit.  Rides the differentiable complex solve
+    (ops/eqs.solve_stencil_eqs_diff): each Levenberg-Marquardt
+    iteration costs one primal + three tangent + one trial spectrum,
+    every spectrum one vmapped batch of certified-path COCG solves.
+
+    freqs_hz (W,); Z_meas (W, 2) re/im [ohm]; w_act/w_ret (N,)
+    electrode averaging weights; bodies: sigma-table slots carrying the
+    contact; x0 = (sigma_s, d_eps, tau) starting guess; alpha: fixed
+    Cole-Cole broadening (0 = Debye).  Returns
+    ((sigma_s, d_eps, tau) fit, loss history)."""
+    from pelvistim_fem_tpu.ops.eqs import EPS0, solve_stencil_eqs_diff
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("calibrate_contact_dispersion")
+    w = 2.0 * jnp.pi * jnp.asarray(freqs_hz, jnp.float64)
+    Z_meas = jnp.asarray(Z_meas, jnp.float64)
+    scale = jnp.sqrt(jnp.sum(Z_meas * Z_meas, axis=1))   # (W,) |Z|
+    base = scase.sigma_table.astype(jnp.float64)
+    bidx = jnp.asarray(bodies, jnp.int32)
+    I = jnp.sum(scase.b_neumann.astype(jnp.float64))
+    w_a = jnp.asarray(w_act, jnp.float64)
+    w_r = jnp.asarray(w_ret, jnp.float64)
+    hp = jax.lax.Precision.HIGHEST
+
+    def kappa(p):
+        """(W, 2) re/im contact admittivity from log-params."""
+        sigma_s, d_eps, tau = jnp.exp(p[0]), jnp.exp(p[1]), jnp.exp(p[2])
+        # (i w tau)^(1-alpha) decomposed in re/im (differentiable in tau)
+        mag = (w * tau) ** (1.0 - alpha)
+        th = (1.0 - alpha) * jnp.pi / 2.0
+        dr, di = 1.0 + mag * jnp.cos(th), mag * jnp.sin(th)
+        den = dr * dr + di * di
+        eps_re = eps_inf + d_eps * dr / den
+        eps_im = -d_eps * di / den
+        # kappa = sigma_s + i w eps0 (eps_re + i eps_im)
+        return (sigma_s - w * EPS0 * eps_im,
+                w * EPS0 * eps_re)
+
+    def resid(p):
+        kre, kim = kappa(p)
+
+        def one(kr_c, ki_c):
+            kr = base.at[bidx].set(kr_c)
+            ki = jnp.zeros_like(base).at[bidx].set(ki_c)
+            phi = solve_stencil_eqs_diff(scase, hier, ki, kr, tol=tol,
+                                         maxiter=maxiter)
+            V = (jnp.einsum("cn,n->c", phi, w_a, precision=hp)
+                 - jnp.einsum("cn,n->c", phi, w_r, precision=hp))
+            return V / I
+
+        Z = jax.vmap(one)(kre, kim)                     # (W, 2)
+        return ((Z - Z_meas) / scale[:, None]).reshape(-1)
+
+    def step(carry, _):
+        p, lam, l = carry
+        r, jvp = jax.linearize(resid, p)
+        J = jax.vmap(jvp)(jnp.eye(3, dtype=p.dtype))    # (3, 2W)
+        A = jnp.einsum("pm,qm->pq", J, J, precision=hp)
+        g = jnp.einsum("pm,m->p", J, r, precision=hp)
+        dp = -_spd_solve_small(
+            A + lam * jnp.diag(jnp.diag(A) + 1e-30), g)
+        p_try = p + dp
+        r_try = resid(p_try)
+        l_try = jnp.sum(r_try * r_try)
+        better = l_try < l
+        return (jnp.where(better, p_try, p),
+                jnp.where(better, lam / 3.0, lam * 4.0),
+                jnp.where(better, l_try, l)), \
+            jnp.where(better, l_try, l)
+
+    p0 = jnp.log(jnp.asarray(x0, jnp.float64))
+    l0 = jnp.sum(resid(p0) ** 2)
+    (p, _, _), losses = jax.lax.scan(
+        step, (p0, jnp.float64(1e-2), l0), None, length=iters)
+    return jnp.exp(p), losses

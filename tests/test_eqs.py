@@ -316,3 +316,41 @@ def test_eqs_diff_gradients_match_fd(pressure_problem):
         # FD cancellation noise at h ~ 1e-9 dominates; a wrong
         # transpose/adjoint would be O(1) off
         np.testing.assert_allclose(float(g[idx]), float(fd), rtol=2e-4)
+
+
+def test_spectrum_calibration_recovers_contact_dispersion(
+        pressure_problem):
+    """Round trip: synthesize Z(f) with known contact Cole-Cole
+    (Debye) parameters, start the fit 3x off in every parameter,
+    recover to <0.5% through the differentiable complex solves."""
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    from pelvistim_fem_tpu.ops.calibrate import \
+        calibrate_contact_dispersion
+    from pelvistim_fem_tpu.ops.eqs import dispersive_tables
+    case, params, sc, hier = pressure_problem
+    act, ret = electrode_node_masks(np.asarray(case.faces),
+                                    np.asarray(case.face_bcid),
+                                    case.n_nodes)
+    w_a = act / act.sum()
+    w_r = ret / ret.sum()
+    bodies = (core.BODY_CONTACT_ACTIVE, core.BODY_CONTACT_RETURN)
+
+    true = (5.0e-3, 4.0e6, 2.0e-4)        # sigma_s, d_eps, tau
+    freqs = np.logspace(1, 4, 4)
+    disp = {b: (true[0], 1.0e3, [(true[1], true[2], 0.0)])
+            for b in bodies}
+    kr, ki = dispersive_tables(freqs, sc.sigma_table, disp)
+    out = batched_eqs_solve_refined(sc, hier, ki, kr, tol=1e-10)
+    assert bool(np.asarray(out.converged).all())
+    phi = np.asarray(out.phi)
+    V = phi @ w_a - phi @ w_r
+    I = float(np.asarray(jnp.sum(sc.b_neumann)))
+    Z_meas = V / I                                       # (W, 2)
+
+    x0 = (true[0] * 3, true[1] / 3, true[2] * 3)
+    fit, losses = calibrate_contact_dispersion(
+        sc, hier, freqs, Z_meas, w_a, w_r, bodies, x0, iters=12)
+    fit = np.asarray(fit)
+    losses = np.asarray(losses)
+    assert losses[-1] < 1e-10, losses
+    np.testing.assert_allclose(fit, true, rtol=5e-3)
