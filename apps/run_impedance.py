@@ -51,6 +51,9 @@ def main():
                     help="full step04 resolution")
     ap.add_argument("--outdir", default="results_impedance")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--dispersive", action="store_true",
+                    help="Cole-Cole dispersive tissue (sigma(f), "
+                         "eps(f)) instead of constant eps_r")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -100,9 +103,43 @@ def main():
         tab = base.copy()
         tab[core.BODY_CONTACT_ACTIVE] = s_c
         tab[core.BODY_CONTACT_RETURN] = s_c
-        sp = impedance_spectrum(scase, hier, jnp.asarray(epsr), freqs,
-                                w_act=w_act, w_ret=w_ret,
-                                sigma_table=tab, tol=1e-8)
+        if args.dispersive:
+            # Cole-Cole dispersive tissue: sigma and eps both vary with
+            # frequency (single-pole literature-order placeholders);
+            # still one material-table batch on the same operator.
+            from pelvistim_fem_tpu.ops.bc import BC_ACTIVE  # noqa: F401
+            from pelvistim_fem_tpu.ops.eqs import (
+                batched_eqs_solve_refined, dispersive_tables)
+            disp = {
+                core.BODY_MUSCLE: (base[core.BODY_MUSCLE], 1.0e3,
+                                   [(EPSR["muscle"], 3.0e-4, 0.1)]),
+                core.BODY_FAT: (base[core.BODY_FAT], 1.0e2,
+                                [(EPSR["fat"], 1.0e-4, 0.1)]),
+                core.BODY_SKIN: (base[core.BODY_SKIN], 1.0e3,
+                                 [(EPSR["skin"], 5.0e-4, 0.2)]),
+                core.BODY_CONTACT_ACTIVE: (s_c, 1.0e3,
+                                           [(EPSR["contact"], 1.0e-3,
+                                             0.2)]),
+                core.BODY_CONTACT_RETURN: (s_c, 1.0e3,
+                                           [(EPSR["contact"], 1.0e-3,
+                                             0.2)]),
+            }
+            kr, ki = dispersive_tables(freqs, tab, disp)
+            out = batched_eqs_solve_refined(scase, hier, ki, kr,
+                                            tol=1e-8)
+            phi = np.asarray(out.phi)
+            V = (phi @ w_act - phi @ w_ret)
+            I = float(np.asarray(jnp.sum(scase.b_neumann)))
+            Z = V / I
+            sp = {"Z": Z, "Z_abs": np.hypot(Z[:, 0], Z[:, 1]),
+                  "Z_phase_deg": np.degrees(
+                      np.arctan2(Z[:, 1], Z[:, 0])),
+                  "residual": np.asarray(out.residual),
+                  "converged": np.asarray(out.converged)}
+        else:
+            sp = impedance_spectrum(scase, hier, jnp.asarray(epsr),
+                                    freqs, w_act=w_act, w_ret=w_ret,
+                                    sigma_table=tab, tol=1e-8)
         assert sp["converged"].all(), name
         spectra[name] = sp
         for f, z, zmag, ph in zip(freqs, sp["Z"], sp["Z_abs"],
