@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--params", default=None)
     ap.add_argument("--plot", action="store_true",
                     help="write the 4-panel pressure figure")
+    ap.add_argument("--thermal", action="store_true",
+                    help="Pennes bioheat per case: Joule heating -> "
+                         "skin temperature rise (duty-cycle scaled)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -65,9 +68,10 @@ def main():
     spec, _ = build_pressure_spec(p, coarse=args.smoke)
     scase, hier = assemble_lattice(spec, jnp.float64)
     tables = sigma_tables_for_sweep(scase, p)
-    case, _ = build_pressure_case(p, coarse=args.smoke,
-                                  dtype=jnp.float32, to_device=False)
-    case = jax.device_put(case)
+    case_host, _ = build_pressure_case(p, coarse=args.smoke,
+                                       dtype=jnp.float32,
+                                       to_device=False)
+    case = jax.device_put(case_host)
     t_build = time.perf_counter() - t0
     print(f"  spec+assemble (ONCE, reused for all {len(sweep)} cases): "
           f"{case.n_nodes} nodes, {case.n_tets} tets, {t_build:.1f} s")
@@ -103,6 +107,62 @@ def main():
               f"Z={row['contact_impedance_ohm']:.0f} ohm  "
               f"roi_E={row['roi_mean_E']:.2f} V/m  "
               f"Q={row['charge_density_mC_cm2']:.6f} mC/cm2")
+
+    if args.thermal:
+        # Electrical -> thermal chain: per-case Joule heating (duty-
+        # cycle averaged) into ONE vmapped Pennes solve — the operator
+        # is case-independent (thermal properties don't vary with
+        # sigma_contact), only the heat load differs per lane.  The
+        # reported safety quantity is what IEC 60601-2-10 actually
+        # bounds (skin temperature rise), beyond the reference's
+        # charge-density surrogate (run_pressure_sweep.py:617-625).
+        from pelvistim_fem_tpu.mesh import core as mcore
+        from pelvistim_fem_tpu.ops.bioheat import (
+            DEFAULT_K, DEFAULT_PERFUSION, build_bioheat_case,
+            skin_temperature_metrics, solve_bioheat, thermal_tables)
+        from pelvistim_fem_tpu.ops.fields import cell_power_density
+        duty = (p["stim"].get("pulse_width_us", 200.0) * 1e-6
+                * p["stim"].get("frequency_Hz", 10.0))
+        kt, pt = thermal_tables(
+            case.meta.n_bodies,
+            {mcore.BODY_MUSCLE: DEFAULT_K["muscle"],
+             mcore.BODY_FAT: DEFAULT_K["fat"],
+             mcore.BODY_SKIN: DEFAULT_K["skin"],
+             mcore.BODY_CONTACT_ACTIVE: DEFAULT_K["contact"],
+             mcore.BODY_CONTACT_RETURN: DEFAULT_K["contact"]},
+            {mcore.BODY_MUSCLE: DEFAULT_PERFUSION["muscle"],
+             mcore.BODY_FAT: DEFAULT_PERFUSION["fat"],
+             mcore.BODY_SKIN: DEFAULT_PERFUSION["skin"],
+             mcore.BODY_CONTACT_ACTIVE: 0.0,
+             mcore.BODY_CONTACT_RETURN: 0.0})
+        bh = build_bioheat_case(case_host, kt, pt)   # host arrays, no
+        t0 = time.perf_counter()                     # device readback
+        phis32 = out.phi.astype(jnp.float32)
+        tabs32 = tables.astype(jnp.float32)
+        q = jax.vmap(
+            lambda ph, s: cell_power_density(case, ph, s) * duty)(
+                phis32, tabs32)
+        # f32 thermal solves at 3e-6: delta-T accurate to ~1e-4 degC.
+        # Lane 0 = zero heating -> the NO-STIMULATION baseline field
+        # (skin sits below core through air convection); the safety
+        # number is the rise ABOVE that baseline.
+        q = jnp.concatenate([jnp.zeros_like(q[:1]), q], axis=0)
+        Ts = jax.vmap(lambda qc: solve_bioheat(case, bh, qc,
+                                               tol=3e-6).phi)(q)
+        Ts = np.asarray(Ts)
+        T_base = Ts[0]
+        t_th = time.perf_counter() - t0
+        for i, row in enumerate(results):
+            m = skin_temperature_metrics(case, bh, Ts[i + 1],
+                                         skin_body=mcore.BODY_SKIN,
+                                         T_ref=T_base)
+            row["dT_skin_max_C"] = m["dT_skin_max"]
+            row["dT_max_C"] = m["dT_max"]
+        print(f"  thermal (duty {100*duty:.2f}%): {len(results)} "
+              f"Pennes solves in {t_th:.2f} s; dT_skin_max "
+              f"{results[0]['dT_skin_max_C']:.4f} -> "
+              f"{results[-1]['dT_skin_max_C']:.4f} degC "
+              f"(guideline ~1 degC)")
 
     out_root = Path(args.outdir)
     save_results(results, out_root)
