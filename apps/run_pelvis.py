@@ -78,15 +78,30 @@ def run_sweep(args, n_cases):
     tables[:, BODY_CONTACT_RETURN] = sigmas
     tables = jnp.asarray(tables, jnp.float64)
 
+    # Routing: the dp-sharded per-lane-combined MG batch materializes
+    # O(L * 27 * G) coefficient stacks; past ~4 GB (megatet x wide)
+    # switch to the lane-chunked body-factored fused MG, which keeps
+    # memory O(chunk * G + B * 27 * G) — same certified contract
+    # (bench/step03 scale routing, PARITY.md round-3).
+    G = int(np.prod(spec.grid_shape))
+    stack_gb = n_cases * 27 * G * 12 / 1e9   # f64 master + f32 inner
     t0 = time.perf_counter()
-    out = sharded_stencil_material_solve_refined(scase, hier, tables,
-                                                 tol=1e-8, maxiter=2000)
+    if stack_gb > 4.0:
+        from pelvistim_fem_tpu.ops.multigrid import \
+            batched_mg_solve_fused_refined_chunked
+        label = f"chunked fused MG (per-lane stacks = {stack_gb:.0f} GB)"
+        out = batched_mg_solve_fused_refined_chunked(
+            scase, hier, tables, tol=1e-8, maxiter=2000)
+    else:
+        label = "sharded certified MG"
+        out = sharded_stencil_material_solve_refined(
+            scase, hier, tables, tol=1e-8, maxiter=2000)
     float(np.asarray(out.phi[0, 0]))   # force completion (axon quirk)
     t_solve = time.perf_counter() - t0
     conv = np.asarray(out.converged)
     res_max = float(np.asarray(out.residual).max())
     iters = np.asarray(out.iterations)
-    print(f"  sharded certified MG sweep: {n_cases} cases in "
+    print(f"  {label} sweep: {n_cases} cases in "
           f"{t_solve:.2f} s = {n_cases*60/t_solve:.1f} solves/min at "
           f"tol 1e-8 (max true residual {res_max:.2e}, iters "
           f"{int(iters.min())}-{int(iters.max())})")
