@@ -36,6 +36,113 @@ import jax.numpy as jnp
 from pelvistim_fem_tpu.ops.uq import DEFAULT_GSD as GSD  # noqa: E402
 
 
+def run_recruitment_uq(args):
+    """Does the programmed current recruit the target?  Tissue
+    conductivities are 1.3-3x uncertain; this propagates that prior
+    into the S3 recruitment-threshold distribution on the pelvic
+    model: one vmapped certified solve batch over sigma samples, AF
+    path profiles gathered on device (no full-field readbacks), Weiss
+    strength-duration thresholds per sample -> threshold percentiles
+    and P(recruited at I_target)."""
+    from pelvistim_fem_tpu.models.pelvis import (build_pelvis_spec,
+                                                 nerve_path)
+    from pelvistim_fem_tpu.models import pelvis as pv
+    from pelvistim_fem_tpu.ops.lattice_assembly import assemble_lattice
+    from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_refined
+    from pelvistim_fem_tpu.ops.nerve import (_path_ds, af_from_profile,
+                                             path_interp_plan,
+                                             strength_duration_factor)
+    from pelvistim_fem_tpu.ops.uq import sample_sigma_tables
+
+    spec, params = build_pelvis_spec(coarse=not args.full)
+    scase, hier = assemble_lattice(spec, jnp.float64)
+    nominal = np.asarray(spec.sigma_table)
+    S = args.n
+    tables = jnp.asarray(sample_sigma_tables(
+        nominal,
+        {pv.BODY_MUSCLE: GSD["muscle"], pv.BODY_FAT: GSD["fat"],
+         pv.BODY_SKIN: GSD["skin"], pv.BODY_CORE: 1.5,
+         pv.BODY_BONE: 1.5}, S, seed=args.seed), jnp.float64)
+
+    t0 = time.perf_counter()
+    out = batched_mg_solve_refined(scase, hier, tables, tol=1e-8,
+                                   maxiter=2000)
+    float(np.asarray(out.phi[0, 0]))
+    t_solve = time.perf_counter() - t0
+    assert bool(np.asarray(out.converged).all()), "UQ solves diverged"
+    res = float(np.asarray(out.residual).max())
+    print(f"  {S} certified pelvis-sample solves in {t_solve:.2f} s "
+          f"({S * 60 / t_solve:.0f}/min, max true residual {res:.2e})")
+
+    path = nerve_path(params)
+    ids, wts = path_interp_plan(spec.axes, spec.grid_index,
+                                spec.grid_shape, path)
+    vprof = np.asarray(jnp.einsum(
+        "spk,pk->sp", out.phi[:, jnp.asarray(ids)], jnp.asarray(wts),
+        precision=jax.lax.Precision.HIGHEST))
+    ds = _path_ds(path)
+    h_max = max(float(np.diff(np.asarray(a)).max()) for a in spec.axes)
+    nv = params["nerve"]
+    I_mA = params["stim"]["injected_current_mA"]
+    sd = strength_duration_factor(
+        params["stim"].get("pulse_width_us", 210.0) * 1e-6,
+        nv.get("chronaxie_us", 150.0) * 1e-6)
+    thr = np.full(S, np.inf)
+    max_af = np.zeros(S)
+    for i in range(S):
+        af = af_from_profile(vprof[i], ds, 3.0 * h_max)
+        max_af[i] = af["max_AF"]
+        if np.isfinite(af["max_AF"]) and af["max_AF"] > 0:
+            thr[i] = (nv["af_threshold_V_per_m2"] / af["max_AF"]) \
+                * sd * I_mA
+    p5, p50, p95 = np.percentile(thr, [5, 50, 95])
+    p_recruit = float((thr <= I_mA).mean())
+    print(f"  threshold current (d_ref fiber, PW-corrected): "
+          f"p5 {p5:.0f} / p50 {p50:.0f} / p95 {p95:.0f} mA; "
+          f"P(recruited at {I_mA:g} mA) = {100*p_recruit:.0f}%")
+
+    ok = (np.isfinite(max_af).all() and (max_af > 0).all()
+          and np.isfinite([p5, p50, p95]).all())
+    os.makedirs(args.outdir, exist_ok=True)
+    with open(os.path.join(args.outdir,
+                           "recruitment_summary.json"), "w") as f:
+        json.dump({
+            "n_samples": S, "seed": args.seed, "tol": 1e-8,
+            "max_true_residual": res,
+            "solve_wall_s": round(t_solve, 3),
+            "threshold_mA": {"p5": float(p5), "p50": float(p50),
+                             "p95": float(p95)},
+            "max_AF_V_per_m2": {"p5": float(np.percentile(max_af, 5)),
+                                "p50": float(np.percentile(max_af, 50)),
+                                "p95": float(np.percentile(max_af, 95))},
+            "p_recruited_at_target": p_recruit,
+            "I_target_mA": I_mA, "ok": bool(ok),
+        }, f, indent=1)
+    print(f"  summary -> {args.outdir}/recruitment_summary.json")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6, 4))
+        fin = thr[np.isfinite(thr)]
+        ax.hist(fin, bins=30, color="#4c72b0", alpha=0.85)
+        ax.axvline(I_mA, color="k", ls="--", lw=1,
+                   label=f"programmed {I_mA:g} mA")
+        for p in (p5, p50, p95):
+            ax.axvline(p, color="gray", ls=":", lw=0.9)
+        ax.set_xlabel("recruitment threshold current (mA)")
+        ax.set_ylabel("samples")
+        ax.set_title(f"threshold distribution under sigma uncertainty "
+                     f"({S} samples)")
+        ax.legend()
+        fig.tight_layout()
+        p = os.path.join(args.outdir, "recruitment_uq.png")
+        fig.savefig(p, dpi=140)
+        print(f"  figure -> {p}")
+    sys.exit(0 if ok else 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
@@ -45,9 +152,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--outdir", default="results_uq")
+    ap.add_argument("--recruitment", action="store_true",
+                    help="pelvis-model UQ: propagate tissue-sigma "
+                         "uncertainty into nerve recruitment-threshold "
+                         "percentiles")
     args = ap.parse_args()
 
     jax.config.update("jax_enable_x64", True)
+    if args.recruitment:
+        run_recruitment_uq(args)
+        return
     from pelvistim_fem_tpu.mesh import core
     from pelvistim_fem_tpu.models.pressure import (build_pressure_case,
                                                    build_pressure_spec)
