@@ -165,6 +165,48 @@ def run_sweep(args, n_cases):
             "max_AF_V_per_m2": float(m),
             "threshold_current_mA": float(thr_mA),
         })
+    if args.thermal:
+        # Joule -> Pennes chain per lane (one vmapped batch + a zero-
+        # heating baseline lane), duty-cycle averaged — same machinery
+        # as run_step04 --thermal on the 7-body pelvic stack.
+        from pelvistim_fem_tpu.ops.bioheat import (
+            DEFAULT_K, DEFAULT_PERFUSION, build_bioheat_case,
+            skin_temperature_metrics, solve_bioheat, thermal_tables)
+        from pelvistim_fem_tpu.ops.fields import cell_power_density
+        from pelvistim_fem_tpu.models import pelvis as pv
+        duty = (params["stim"].get("pulse_width_us", 210.0) * 1e-6
+                * params["stim"].get("frequency_Hz", 14.0))
+        kt, pt = thermal_tables(
+            case.meta.n_bodies,
+            {pv.BODY_CORE: DEFAULT_K["core"],
+             pv.BODY_MUSCLE: DEFAULT_K["muscle"],
+             pv.BODY_FAT: DEFAULT_K["fat"],
+             pv.BODY_SKIN: DEFAULT_K["skin"],
+             pv.BODY_BONE: DEFAULT_K["bone"],
+             pv.BODY_CONTACT_ACTIVE: DEFAULT_K["contact"],
+             pv.BODY_CONTACT_RETURN: DEFAULT_K["contact"]},
+            {pv.BODY_CORE: DEFAULT_PERFUSION["core"],
+             pv.BODY_MUSCLE: DEFAULT_PERFUSION["muscle"],
+             pv.BODY_FAT: DEFAULT_PERFUSION["fat"],
+             pv.BODY_SKIN: DEFAULT_PERFUSION["skin"],
+             pv.BODY_BONE: DEFAULT_PERFUSION["bone"],
+             pv.BODY_CONTACT_ACTIVE: 0.0,
+             pv.BODY_CONTACT_RETURN: 0.0})
+        bh = build_bioheat_case(case, kt, pt)
+        qh = jax.vmap(
+            lambda ph, s: cell_power_density(case, ph, s) * duty)(
+                phis32, tables.astype(jnp.float32))
+        qh = jnp.concatenate([jnp.zeros_like(qh[:1]), qh], axis=0)
+        Th = np.asarray(jax.vmap(
+            lambda qc: solve_bioheat(case, bh, qc, tol=3e-6).phi)(qh))
+        for i, row in enumerate(rows):
+            mth = skin_temperature_metrics(case, bh, Th[i + 1],
+                                           skin_body=pv.BODY_SKIN,
+                                           T_ref=Th[0])
+            row["dT_skin_max_C"] = mth["dT_skin_max"]
+        print(f"  thermal (duty {100*duty:.2f}%): dT_skin_max "
+              f"{rows[0]['dT_skin_max_C']:.4f} -> "
+              f"{rows[-1]['dT_skin_max_C']:.4f} degC")
     t_extract = time.perf_counter() - t0
     print(f"  batched metrics + per-lane AF: {t_extract:.2f} s "
           f"(end-to-end {n_cases*60/(t_solve+t_extract):.1f} "
@@ -211,6 +253,9 @@ def main():
                          "per-case recruitment metrics (default 100)")
     ap.add_argument("--outdir", default="results_pelvis")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--thermal", action="store_true",
+                    help="with --sweep: Pennes skin temperature rise "
+                         "per case (duty-cycle scaled)")
     args = ap.parse_args()
 
     if args.sweep:
