@@ -77,6 +77,15 @@ def cmd_inspect(args):
           + ", ".join(f"{b}: {int((m.face_bcid == b).sum())} faces "
                       f"({areas[m.face_bcid == b].sum()*1e4:.3f} cm2)"
                       for b in np.unique(m.face_bcid)))
+    from pelvistim_fem_tpu.mesh.core import tet_quality
+    q = tet_quality(m.nodes, m.tets)
+    rr, dh = q["radius_ratio"], q["min_dihedral"]
+    n_sliver = int((rr < 0.1).sum())
+    print(f"quality   : radius ratio min/median {rr.min():.3f}/"
+          f"{np.median(rr):.3f} (1 = regular), min dihedral "
+          f"{dh.min():.1f} deg"
+          + (f"  WARNING: {n_sliver} slivers (ratio < 0.1)"
+             if n_sliver else ""))
 
 
 def cmd_boundaries(args):

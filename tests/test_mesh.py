@@ -128,3 +128,30 @@ def test_ankle_cross_section_carving():
     assert vols.sum() < Lx * Ly * Lz * 0.95
     # deformed top surface: max z above Lz (Achilles bump), min top dip
     assert m.nodes[:, 2].max() > Lz + 0.0005
+
+
+def test_tet_quality_metrics():
+    """Regular tet: radius ratio 1, dihedral 70.53 deg; squashed sliver
+    degrades both; Kuhn lattice tets: 45-deg min dihedral, known ratio."""
+    from pelvistim_fem_tpu.mesh.core import tet_quality
+    # regular tetrahedron
+    reg = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                   float)
+    q = tet_quality(reg, np.array([[0, 1, 2, 3]]))
+    np.testing.assert_allclose(q["radius_ratio"], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(q["min_dihedral"], 70.528779, atol=1e-4)
+    # sliver: squash the regular tet 100x along z
+    sliver = reg.copy()
+    sliver[:, 2] *= 0.01
+    qs = tet_quality(sliver, np.array([[0, 1, 2, 3]]))
+    assert qs["radius_ratio"][0] < 0.1
+    assert qs["min_dihedral"][0] < 10.0
+    # Kuhn lattice: every tet shares the same quality class
+    from pelvistim_fem_tpu.mesh.generate import box_mesh
+    m = box_mesh(0.02, 0.02, 0.02, 0.01)
+    qk = tet_quality(m.nodes, m.tets)
+    np.testing.assert_allclose(qk["min_dihedral"], 45.0, atol=1e-9)
+    assert 0.4 < qk["radius_ratio"].min() <= qk["radius_ratio"].max() < 0.8
+    # all ratios identical on the uniform lattice (one Kuhn class shape)
+    np.testing.assert_allclose(qk["radius_ratio"],
+                               qk["radius_ratio"][0], rtol=1e-9)
