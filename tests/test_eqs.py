@@ -354,3 +354,31 @@ def test_spectrum_calibration_recovers_contact_dispersion(
     losses = np.asarray(losses)
     assert losses[-1] < 1e-10, losses
     np.testing.assert_allclose(fit, true, rtol=5e-3)
+
+
+def test_impedance_app_smoke(tmp_path):
+    """run_impedance end to end: three contact states, certified
+    spectra, CSV columns, monotone |Z| per state."""
+    import csv
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "apps" / "run_impedance.py"),
+         "--outdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rows = list(csv.DictReader(open(tmp_path / "impedance.csv")))
+    states = sorted({x["state"] for x in rows})
+    assert states == ["dry", "mid", "wet"]
+    for st in states:
+        z = [float(x["Z_abs_ohm"]) for x in rows if x["state"] == st]
+        assert len(z) == 11
+        assert all(a >= b - 1e-9 for a, b in zip(z, z[1:]))
+        ph = [float(x["Z_phase_deg"]) for x in rows
+              if x["state"] == st]
+        assert all(-90.0 < p <= 1e-9 for p in ph)
