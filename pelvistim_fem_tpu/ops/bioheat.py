@@ -113,6 +113,16 @@ def build_bioheat_case(case, k_table, perf_table, *, T_core=37.0,
     )
 
 
+def lumped_heat_load(case, q_cell):
+    """(N,) nodal heat load: vol/4-lumped per-cell volumetric heating
+    [W] — shared by the element and stencil thermal solvers."""
+    n = case.free_mask.shape[0]
+    contrib = (q_cell * case.vol / 4.0)[:, None] * jnp.ones(
+        (1, 4), q_cell.dtype)
+    return assembly.scatter_to_nodes(contrib, case.scatter_perm,
+                                     case.scatter_segids, n)
+
+
 def _thermal_operator(case, bh):
     n = bh.free.shape[0]
 
@@ -144,13 +154,7 @@ def solve_bioheat(case, bh: BioheatCase, q_cell, *, tol=1e-10,
     """
     op, raw, t_d = _thermal_operator(case, bh)
     n = bh.free.shape[0]
-    # consistent-lumped load: source + perfusion/Robin fixed parts
-    q_lump = jnp.zeros(n, bh.mass_lump.dtype)
-    contrib = (q_cell * case.vol / 4.0)[:, None] * jnp.ones(
-        (1, 4), bh.mass_lump.dtype)
-    q_lump = assembly.scatter_to_nodes(contrib, case.scatter_perm,
-                                       case.scatter_segids, n)
-    b = q_lump + bh.b_fixed
+    b = lumped_heat_load(case, q_cell) + bh.b_fixed
     b_eff = jnp.where(bh.free, b - raw(t_d), bh.dirichlet)
 
     diag_k = assembly.scatter_to_nodes(
@@ -175,6 +179,82 @@ def _stiff_diag_contrib(case, kvol):
     g = case.grads
     return jnp.einsum("mad,mad->ma", g, g,
                       precision=jax.lax.Precision.HIGHEST) * kvol[:, None]
+
+
+def bioheat_grid_data(case, bh: BioheatCase, scase):
+    """Grid-form (diag_extra, b_fixed, mass, free, dirichlet) for the
+    stencil fast path: nodal vectors scattered into the StencilCase's
+    grid layout via grid_index (host numpy, one-time)."""
+    gi = np.asarray(scase.grid_index)
+    shape = scase.grid_shape
+    size = int(np.prod(shape))
+
+    def to_grid(v, fill=0.0, dtype=None):
+        out = np.full(size, fill, dtype or np.float64)
+        out[gi] = np.asarray(v)
+        return out.reshape(shape)
+
+    free = np.zeros(size, dtype=bool)
+    free[gi] = np.asarray(bh.free)
+    return {
+        "diag_extra": to_grid(bh.diag_extra),
+        "b_fixed": to_grid(bh.b_fixed),
+        "mass": to_grid(bh.mass_lump),
+        "free": free.reshape(shape),
+        "dirichlet": to_grid(bh.dirichlet),
+    }
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter"))
+def solve_bioheat_stencil(scase, k_table, grid, q_node, *,
+                          tol=1e-10, maxiter=10_000) -> SolveResult:
+    """Pennes on the STENCIL fast path: thermal stiffness = the same
+    27-point body-factored stencils combined with the k table (the
+    geometry is identical to the conduction operator), plus the lumped
+    perfusion/Robin diagonal.  Jacobi-PCG: the thermal system is mildly
+    conditioned (k contrast ~2 + SPD shift), iteration counts match the
+    element path, and every iteration is a gather-free stencil apply —
+    the 27-shifted-FMA speed advantage that makes this the fast path.
+    (The conduction MG hierarchy is NOT reused: its coarse free masks
+    encode the ELECTRODE Dirichlet pattern, and preconditioning the
+    thermal core-plane BCs with it measured 3.6x MORE iterations than
+    plain Jacobi.)
+
+    grid: bioheat_grid_data(...); q_node: (N,) nodal heat load
+    (lumped_heat_load), in MESH node ordering.  Returns phi in mesh
+    node ordering like the other stencil solvers.
+    """
+    from pelvistim_fem_tpu.ops.stencil import (DIAG_OFFSET,
+                                               combine_coeffs,
+                                               stencil_spmv)
+    C = combine_coeffs(scase.coeff, k_table)
+    free = grid["free"]
+    D = grid["diag_extra"]
+
+    def raw(x):
+        return stencil_spmv(x, C) + D * x
+
+    def op(x):
+        return jnp.where(free, raw(jnp.where(free, x, 0.0)), x)
+
+    size = int(np.prod(scase.grid_shape))
+    q_grid = jnp.zeros(size, q_node.dtype).at[scase.grid_index].set(
+        q_node).reshape(scase.grid_shape)
+    b = q_grid + grid["b_fixed"]
+    t_d = jnp.where(free, 0.0, grid["dirichlet"])
+    b_eff = jnp.where(free, b - raw(t_d), grid["dirichlet"])
+
+    diag = jnp.where(free, C[DIAG_OFFSET] + D, 1.0)
+    minv = jnp.where(diag > 0, 1.0 / diag, 1.0)
+    x0 = jnp.where(free, jnp.asarray(37.0, b.dtype), grid["dirichlet"])
+    res = preconditioned_cg(op, b_eff, lambda r: minv * r, x0, tol=tol,
+                            maxiter=maxiter)
+    r = b_eff - op(res.phi)
+    rel = jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(b_eff),
+                                           1e-300)
+    phi = res.phi.reshape(-1)[scase.grid_index]
+    return SolveResult(phi=phi, iterations=res.iterations, residual=rel,
+                       converged=rel <= tol)
 
 
 def thermal_tables(n_bodies, k_by_body, perf_by_body):

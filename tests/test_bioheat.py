@@ -130,3 +130,41 @@ def test_joule_chain_end_to_end(pressure_case):
     assert m["dT_skin_max"] <= m["dT_max"] + 1e-12
     # continuous 5 mA through a coarse slab: rises stay physical (< 10 C)
     assert m["dT_max"] < 10.0
+
+
+def test_stencil_thermal_parity_with_element_path():
+    """The stencil fast-path Pennes solve (k-combined 27-point stencils
+    + lumped diagonal, MG-preconditioned) must match the element-path
+    solve to solver tolerance on the step04 lattice."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.bioheat import (bioheat_grid_data,
+                                               lumped_heat_load,
+                                               solve_bioheat_stencil)
+    from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                               stencil_host_data)
+    case, params, mesh = build_pressure_case(coarse=True,
+                                             with_mesh=True,
+                                             dtype=jnp.float64)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float64, host_data=hd)
+
+    n_b = case.meta.n_bodies
+    kt, pt = thermal_tables(n_b, {b: 0.3 + 0.05 * b
+                                  for b in range(1, n_b + 1)},
+                            {b: 1000.0 * b for b in range(1, n_b + 1)})
+    bh = build_bioheat_case(case, kt, pt)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(2e4 * (1 + 0.5 * rng.random(case.n_tets)))
+
+    ref = solve_bioheat(case, bh, q, tol=1e-12)
+    assert bool(ref.converged)
+
+    grid = bioheat_grid_data(case, bh, sc)
+    grid = {k: jnp.asarray(v) for k, v in grid.items()}
+    out = solve_bioheat_stencil(sc, jnp.asarray(kt), grid,
+                                lumped_heat_load(case, q), tol=1e-12)
+    assert bool(out.converged)
+    # same Jacobi preconditioner, same spectrum: iteration parity
+    assert abs(int(out.iterations) - int(ref.iterations)) <= 3
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
+                               atol=1e-8)
