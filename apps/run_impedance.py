@@ -107,9 +107,8 @@ def main():
             # Cole-Cole dispersive tissue: sigma and eps both vary with
             # frequency (single-pole literature-order placeholders);
             # still one material-table batch on the same operator.
-            from pelvistim_fem_tpu.ops.bc import BC_ACTIVE  # noqa: F401
             from pelvistim_fem_tpu.ops.eqs import (
-                batched_eqs_solve_refined, dispersive_tables)
+                dispersive_tables, impedance_spectrum_tables)
             disp = {
                 core.BODY_MUSCLE: (base[core.BODY_MUSCLE], 1.0e3,
                                    [(EPSR["muscle"], 3.0e-4, 0.1)]),
@@ -125,17 +124,9 @@ def main():
                                              0.2)]),
             }
             kr, ki = dispersive_tables(freqs, tab, disp)
-            out = batched_eqs_solve_refined(scase, hier, ki, kr,
-                                            tol=1e-8)
-            phi = np.asarray(out.phi)
-            V = (phi @ w_act - phi @ w_ret)
-            I = float(np.asarray(jnp.sum(scase.b_neumann)))
-            Z = V / I
-            sp = {"Z": Z, "Z_abs": np.hypot(Z[:, 0], Z[:, 1]),
-                  "Z_phase_deg": np.degrees(
-                      np.arctan2(Z[:, 1], Z[:, 0])),
-                  "residual": np.asarray(out.residual),
-                  "converged": np.asarray(out.converged)}
+            sp = impedance_spectrum_tables(scase, hier, ki, kr, freqs,
+                                           w_act=w_act, w_ret=w_ret,
+                                           tol=1e-8)
         else:
             sp = impedance_spectrum(scase, hier, jnp.asarray(epsr),
                                     freqs, w_act=w_act, w_ret=w_ret,

@@ -109,12 +109,16 @@ def run_sweep(args, n_cases):
         print(f"  WARNING: lanes not converged: {np.where(~conv)[0]}")
 
     # Electrode metrics: one vmapped device pass over all lanes.
-    case, _ = build_pelvis_case(coarse=args.smoke,
-                                resolution_scale=scale,
-                                dtype=jnp.float32)
-    act, ret = electrode_node_masks(np.asarray(case.faces),
-                                    np.asarray(case.face_bcid),
-                                    case.n_nodes)
+    # Host case first (to_device=False): thermal assembly and metric
+    # index prep never read device arrays back through the tunnel.
+    case_host, _ = build_pelvis_case(coarse=args.smoke,
+                                     resolution_scale=scale,
+                                     dtype=jnp.float32,
+                                     to_device=False)
+    act, ret = electrode_node_masks(np.asarray(case_host.faces),
+                                    np.asarray(case_host.face_bcid),
+                                    case_host.n_nodes)
+    case = jax.device_put(case_host)
     w_act = jnp.asarray(act / max(act.sum(), 1), jnp.float32)
     w_ret = jnp.asarray(ret / max(ret.sum(), 1), jnp.float32)
     bcid = case.face_bcid
@@ -192,7 +196,9 @@ def run_sweep(args, n_cases):
              pv.BODY_BONE: DEFAULT_PERFUSION["bone"],
              pv.BODY_CONTACT_ACTIVE: 0.0,
              pv.BODY_CONTACT_RETURN: 0.0})
-        bh = build_bioheat_case(case, kt, pt)
+        bh = build_bioheat_case(case_host, kt, pt)
+        skin_tets = np.asarray(case_host.tets)[
+            np.asarray(case_host.tet_body) == pv.BODY_SKIN]
         qh = jax.vmap(
             lambda ph, s: cell_power_density(case, ph, s) * duty)(
                 phis32, tables.astype(jnp.float32))
@@ -200,9 +206,10 @@ def run_sweep(args, n_cases):
         Th = np.asarray(jax.vmap(
             lambda qc: solve_bioheat(case, bh, qc, tol=3e-6).phi)(qh))
         for i, row in enumerate(rows):
-            mth = skin_temperature_metrics(case, bh, Th[i + 1],
+            mth = skin_temperature_metrics(case_host, Th[i + 1],
                                            skin_body=pv.BODY_SKIN,
-                                           T_ref=Th[0])
+                                           T_ref=Th[0],
+                                           skin_tets=skin_tets)
             row["dT_skin_max_C"] = mth["dT_skin_max"]
         print(f"  thermal (duty {100*duty:.2f}%): dT_skin_max "
               f"{rows[0]['dT_skin_max_C']:.4f} -> "

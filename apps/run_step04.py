@@ -136,7 +136,9 @@ def main():
              mcore.BODY_CONTACT_ACTIVE: 0.0,
              mcore.BODY_CONTACT_RETURN: 0.0})
         bh = build_bioheat_case(case_host, kt, pt)   # host arrays, no
-        t0 = time.perf_counter()                     # device readback
+        skin_tets = np.asarray(case_host.tets)[      # device readback
+            np.asarray(case_host.tet_body) == mcore.BODY_SKIN]
+        t0 = time.perf_counter()
         phis32 = out.phi.astype(jnp.float32)
         tabs32 = tables.astype(jnp.float32)
         q = jax.vmap(
@@ -153,9 +155,10 @@ def main():
         T_base = Ts[0]
         t_th = time.perf_counter() - t0
         for i, row in enumerate(results):
-            m = skin_temperature_metrics(case, bh, Ts[i + 1],
+            m = skin_temperature_metrics(case_host, Ts[i + 1],
                                          skin_body=mcore.BODY_SKIN,
-                                         T_ref=T_base)
+                                         T_ref=T_base,
+                                         skin_tets=skin_tets)
             row["dT_skin_max_C"] = m["dT_skin_max"]
             row["dT_max_C"] = m["dT_max"]
         print(f"  thermal (duty {100*duty:.2f}%): {len(results)} "

@@ -213,13 +213,22 @@ def tet_quality(nodes: np.ndarray, tets: np.ndarray):
     r_in = 3.0 * vol / np.maximum(area_sum, 1e-300)
 
     # circumradius via the circumcenter linear system
-    # 2 (p_i - p_0) . c = |p_i|^2 - |p_0|^2
+    # 2 (p_i - p_0) . c = |p_i|^2 - |p_0|^2.  Exactly-degenerate tets
+    # (coplanar/duplicate nodes — the very pathology this report exists
+    # to flag) make the system singular: mask them to identity so the
+    # batched solve cannot raise, and report quality 0 for them.
     A = 2.0 * v                                      # (M, 3, 3)
+    det = np.einsum("mi,mi->m", A[:, 0], np.cross(A[:, 1], A[:, 2]))
+    edge = np.linalg.norm(v, axis=2).max(axis=1)
+    ok = np.abs(det) > 1e-14 * np.maximum(edge, 1e-300) ** 3
+    A_safe = np.where(ok[:, None, None], A,
+                      np.eye(3)[None, :, :])
     rhs = (np.einsum("mij,mij->mi", p[:, 1:], p[:, 1:])
            - np.einsum("mj,mj->m", p[:, 0], p[:, 0])[:, None])
-    c = np.linalg.solve(A, rhs[..., None])[..., 0]
+    c = np.linalg.solve(A_safe, rhs[..., None])[..., 0]
     r_circ = np.linalg.norm(c - p[:, 0], axis=1)
-    radius_ratio = 3.0 * r_in / np.maximum(r_circ, 1e-300)
+    radius_ratio = np.where(ok, 3.0 * r_in / np.maximum(r_circ, 1e-300),
+                            0.0)
 
     # dihedral angles: pairs of faces sharing an edge; interior angle
     # between faces = pi - angle(outward normals).  The face normals
@@ -237,4 +246,4 @@ def tet_quality(nodes: np.ndarray, tets: np.ndarray):
             ang = np.arccos(np.clip(cosd, -1.0, 1.0))
             min_dih = np.minimum(min_dih, ang)
     return {"radius_ratio": radius_ratio,
-            "min_dihedral": np.degrees(min_dih)}
+            "min_dihedral": np.where(ok, np.degrees(min_dih), 0.0)}

@@ -161,9 +161,13 @@ def build_pelvis_spec(params: dict | None = None, *, coarse: bool = False,
 
 def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
                       resolution_scale: float = 1.0,
-                      dtype=jnp.float64, with_mesh: bool = False):
+                      dtype=jnp.float64, with_mesh: bool = False,
+                      to_device: bool = True):
     """Build the pelvic Case.  resolution_scale < 1 refines (0.33 gives
-    ~1M tets); coarse=True doubles spacings for smoke runs."""
+    ~1M tets); coarse=True doubles spacings for smoke runs.
+    to_device=False keeps numpy leaves (host-data discipline for
+    thermal assembly / metric index prep without device readbacks —
+    same contract as build_pressure_case)."""
     recipe, sigma_by_body, params = pelvis_recipe(
         params, coarse=coarse, resolution_scale=resolution_scale)
     mesh = recipe.mesh()
@@ -202,6 +206,7 @@ def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
         injected_current_A=st.get("injected_current_mA", 20.0) * 1e-3,
         meta_extra=meta_extra,
         dtype=dtype,
+        to_device=to_device,
     )
     if with_mesh:
         return case, params, mesh

@@ -268,7 +268,8 @@ def thermal_tables(n_bodies, k_by_body, perf_by_body):
     return k, p
 
 
-def skin_temperature_metrics(case, bh, T, *, skin_body, T_ref=37.0):
+def skin_temperature_metrics(case, T, *, skin_body, T_ref=37.0,
+                             skin_tets=None):
     """Max/mean temperature in the skin body + stimulation-induced
     rises.
 
@@ -276,14 +277,19 @@ def skin_temperature_metrics(case, bh, T, *, skin_body, T_ref=37.0):
     baseline field (solve_bioheat with q = 0) to isolate Joule heating;
     a scalar T_ref measures against a constant (the skin naturally sits
     BELOW core temperature through air convection, so rises vs T_core
-    are negative and meaningless as a safety number)."""
-    body_host = np.asarray(case.tet_body)
-    (skin_idx,) = np.nonzero(body_host == skin_body)
+    are negative and meaningless as a safety number).
+
+    Prefer a HOST case (to_device=False) here; for a device case in a
+    per-lane loop, precompute skin_tets = np.asarray(case.tets)[
+    np.asarray(case.tet_body) == skin_body] ONCE and pass it — each
+    np.asarray on a device array is a tunnel readback on axon."""
+    if skin_tets is None:
+        body_host = np.asarray(case.tet_body)
+        skin_tets = np.asarray(case.tets)[body_host == skin_body]
     T = np.asarray(T)
     dT = T - np.asarray(T_ref)
-    tets = np.asarray(case.tets)
-    t_skin = T[tets[skin_idx]].mean(axis=1)
-    d_skin = dT[tets[skin_idx]].mean(axis=1) if np.ndim(T_ref) \
+    t_skin = T[skin_tets].mean(axis=1)
+    d_skin = dT[skin_tets].mean(axis=1) if np.ndim(T_ref) \
         else t_skin - float(T_ref)
     return {
         "T_max": float(T.max()),

@@ -498,8 +498,22 @@ def impedance_spectrum(scase: StencilCase, hier: MGHierarchy,
     if sigma_table is not None:
         kr_tables = jnp.tile(jnp.asarray(sigma_table, jnp.float64),
                              (len(omegas), 1))
-    out = batched_eqs_solve_refined(scase, hier, ki, kr_tables, tol=tol,
-                                    **kw)
+    return impedance_spectrum_tables(scase, hier, ki, kr_tables,
+                                     freqs_hz, w_act=w_act, w_ret=w_ret,
+                                     I_inject_A=I_inject_A, tol=tol,
+                                     **kw)
+
+
+def impedance_spectrum_tables(scase: StencilCase, hier: MGHierarchy,
+                              ki_tables, kr_tables, freqs_hz, *, w_act,
+                              w_ret, I_inject_A=None, tol=1e-8, **kw):
+    """impedance_spectrum's core on EXPLICIT per-frequency (kr, ki)
+    tables — the entry point for DISPERSIVE tissue (dispersive_tables).
+    Z is reduced on device (two weighted averages), so only (W, 2)
+    scalars cross the tunnel — never the full potential field, and no
+    device-bool readback (convergence derives from the residuals)."""
+    out = batched_eqs_solve_refined(scase, hier, ki_tables, kr_tables,
+                                    tol=tol, **kw)
     if I_inject_A is None:
         I_inject_A = float(jnp.sum(scase.b_neumann))
     w_a = jnp.asarray(w_act, out.phi.dtype)
@@ -508,12 +522,15 @@ def impedance_spectrum(scase: StencilCase, hier: MGHierarchy,
     V = jnp.einsum("wcn,n->wc", out.phi, w_a, precision=hp) - jnp.einsum(
         "wcn,n->wc", out.phi, w_r, precision=hp)   # (W, 2) complex volts
     Z = np.asarray(V) / I_inject_A
+    residual = np.asarray(out.residual)
     return {
         "freq_hz": np.asarray(freqs_hz, np.float64),
         "Z": Z,
         "Z_abs": np.hypot(Z[:, 0], Z[:, 1]),
         "Z_phase_deg": np.degrees(np.arctan2(Z[:, 1], Z[:, 0])),
         "iterations": np.asarray(out.iterations),
-        "residual": np.asarray(out.residual),
-        "converged": np.asarray(out.converged),
+        "residual": residual,
+        # derived host-side: never read a bool array back from an axon
+        # device (documented minutes-long readback)
+        "converged": residual <= tol,
     }

@@ -56,9 +56,16 @@ def cell_power_density(case, phi, sigma_table=None):
     the injected current times the LOAD-weighted active-electrode
     potential (current mode, return grounded) — energy balance holds to
     solver tolerance, not just discretization order."""
+    if sigma_table is None:
+        sigma_table = case.sigma_table
+    # one gradient pass (cell_J would recompute cell_E; callers vmap
+    # this eagerly per sweep lane, where XLA cannot CSE the duplicate)
     E = cell_E(case, phi)
-    J = cell_J(case, phi, sigma_table)
-    return jnp.sum(J * E, axis=1)
+    sigma_e = sigma_table[case.tet_body]
+    if sigma_e.ndim == 3:
+        return jnp.einsum("mde,me,md->m", sigma_e, E, E,
+                          precision=jax.lax.Precision.HIGHEST)
+    return sigma_e * jnp.sum(E * E, axis=1)
 
 
 def cell_centers(case):

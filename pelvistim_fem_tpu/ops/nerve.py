@@ -267,7 +267,10 @@ def fiber_thresholds(af_result, af_threshold_V_per_m2, diameters_um, *,
     d = np.asarray(diameters_um, np.float64)
     if np.any(d <= 0):
         raise ValueError("fiber diameters must be positive")
-    sd = strength_duration_factor(pw_s, chronaxie_s) if pw_s else 1.0
+    # `is not None`, not falsy: pw_s = 0.0 must raise (a zero-width
+    # pulse has INFINITE threshold, not the rheobase factor 1.0)
+    sd = (strength_duration_factor(pw_s, chronaxie_s)
+          if pw_s is not None else 1.0)
     return base * sd * (float(d_ref_um) / d) ** float(diameter_exponent)
 
 

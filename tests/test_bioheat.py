@@ -117,11 +117,11 @@ def test_joule_chain_end_to_end(pressure_case):
     base = solve_bioheat(case, bh, jnp.zeros_like(q))
     assert bool(base.converged)
     # baseline physics: air convection keeps the skin BELOW core temp
-    m_vs_core = skin_temperature_metrics(case, bh, base.phi,
+    m_vs_core = skin_temperature_metrics(case, base.phi,
                                          skin_body=core.BODY_SKIN)
     assert m_vs_core["T_skin_max"] < 37.0
     # stimulation-induced rise vs the baseline field: strictly positive
-    m = skin_temperature_metrics(case, bh, out.phi,
+    m = skin_temperature_metrics(case, out.phi,
                                  skin_body=core.BODY_SKIN,
                                  T_ref=np.asarray(base.phi))
     assert m["dT_max"] > 0

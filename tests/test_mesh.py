@@ -155,3 +155,11 @@ def test_tet_quality_metrics():
     # all ratios identical on the uniform lattice (one Kuhn class shape)
     np.testing.assert_allclose(qk["radius_ratio"],
                                qk["radius_ratio"][0], rtol=1e-9)
+    # exactly-degenerate (coplanar) tets must report 0, not raise
+    # (LinAlgError regression: the batched circumcenter solve)
+    bad = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+                    [1, 1, 0]], float)
+    qd = tet_quality(bad, np.array([[0, 1, 2, 3], [0, 1, 2, 4]]))
+    assert qd["radius_ratio"][1] == 0.0
+    assert qd["min_dihedral"][1] == 0.0
+    assert qd["radius_ratio"][0] > 0.3
