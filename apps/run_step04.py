@@ -166,6 +166,25 @@ def main():
               f"{results[0]['dT_skin_max_C']:.4f} -> "
               f"{results[-1]['dT_skin_max_C']:.4f} degC "
               f"(guideline ~1 degC)")
+        # heating time course for the WORST (dry) case: the bioheat
+        # time constant rho_c/(w c) is ~20 min — a session may end
+        # before the steady rise is reached
+        from pelvistim_fem_tpu.ops.bioheat import \
+            solve_bioheat_transient
+        dt_s = 60.0
+        skin_nodes = np.unique(skin_tets)
+        T_base = jnp.asarray(Ts[0])
+        _, trace = solve_bioheat_transient(
+            case, bh, q[1], T_base, dt_s=dt_s, n_steps=45, tol=1e-7,
+            trace_nodes=jnp.asarray(skin_nodes), trace_ref=T_base)
+        trace = np.asarray(trace)       # pointwise skin rise per step
+        rise = float((Ts[1] - Ts[0])[skin_nodes].max())
+        if rise > 1e-9:
+            hit = np.nonzero(trace >= 0.95 * rise)[0]
+            t95 = (hit[0] + 1) * dt_s / 60.0 if hit.size else np.inf
+            print(f"  heating time course (dry case): t95 = "
+                  f"{t95:.0f} min to 95% of the steady "
+                  f"{rise:.4f} degC skin rise")
 
     out_root = Path(args.outdir)
     save_results(results, out_root)

@@ -174,6 +174,66 @@ def solve_bioheat(case, bh: BioheatCase, q_cell, *, tol=1e-10,
                        residual=rel, converged=rel <= tol)
 
 
+@partial(jax.jit, static_argnames=("dt_s", "n_steps", "tol",
+                                   "maxiter"))
+def solve_bioheat_transient(case, bh: BioheatCase, q_cell, T_start, *,
+                            rho_c=3.6e6, dt_s=60.0, n_steps=60,
+                            tol=1e-8, maxiter=2_000,
+                            trace_nodes=None, trace_ref=None):
+    """Implicit-Euler transient Pennes: how FAST does the tissue heat?
+
+        (C/dt + K_th) T_{n+1} = (C/dt) T_n + b,   C = rho_c * lumped mass
+
+    The bioheat time constant rho_c / (w_b c_b) is ~10-25 min for
+    perfused tissue — comparable to a stimulation session, so the
+    steady-state rise is an upper bound the session may not reach;
+    this gives the actual trajectory.  Implicit Euler's fixed point IS
+    the steady solve_bioheat solution (dt-independent), so accuracy in
+    dt only affects the PATH, never the asymptote.  Each step is one
+    warm-started Jacobi-PCG solve inside a lax.scan.
+
+    T_start: the initial field (pass the q=0 baseline steady state).
+    trace_nodes: optional (P,) int32 node subset for the per-step
+    maximum (e.g. skin nodes — the GLOBAL max is usually pinned at the
+    37 degC Dirichlet core and never moves); default: all nodes.
+    trace_ref: optional (N,) reference field SUBTRACTED before the max
+    (pass the baseline so the trace is the pointwise stimulation-
+    induced RISE — the hottest baseline node is generally not where
+    the heating happens, so max(T) - max(T_base) understates it).
+    Returns (T_final, trace (n_steps,)) for time-to-threshold
+    reductions on host.
+    """
+    op, raw, t_d = _thermal_operator(case, bh)
+    n = bh.free.shape[0]
+    C_dt = rho_c * bh.mass_lump / dt_s
+    b = lumped_heat_load(case, q_cell) + bh.b_fixed
+
+    def op_t(x):
+        return jnp.where(bh.free, op(x) + C_dt * jnp.where(
+            bh.free, x, 0.0), x)
+
+    diag_k = assembly.scatter_to_nodes(
+        _stiff_diag_contrib(case, bh.kvol), case.scatter_perm,
+        case.scatter_segids, n)
+    diag = jnp.where(bh.free, diag_k + bh.diag_extra + C_dt, 1.0)
+    minv = jnp.where(diag > 0, 1.0 / diag, 1.0)
+    lift = raw(t_d)
+
+    def step(T, _):
+        # mass is LUMPED (diagonal), so fixed nodes contribute no C/dt
+        # coupling to free rows — only the conduction lift appears
+        b_eff = jnp.where(bh.free, b + C_dt * T - lift, bh.dirichlet)
+        res = preconditioned_cg(op_t, b_eff, lambda r: minv * r, T,
+                                tol=tol, maxiter=maxiter)
+        probe = res.phi if trace_ref is None else res.phi - trace_ref
+        if trace_nodes is not None:
+            probe = probe[trace_nodes]
+        return res.phi, jnp.max(probe)
+
+    T, trace = jax.lax.scan(step, T_start, None, length=n_steps)
+    return T, trace
+
+
 def _stiff_diag_contrib(case, kvol):
     """(M, 4) per-element diagonal entries grad_a . grad_a * k * vol."""
     g = case.grads

@@ -168,3 +168,40 @@ def test_stencil_thermal_parity_with_element_path():
     assert abs(int(out.iterations) - int(ref.iterations)) <= 3
     np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
                                atol=1e-8)
+
+
+def test_transient_approaches_steady_state(pressure_case):
+    """Implicit Euler's fixed point IS the steady Pennes solution, so
+    the trajectory from the no-stimulation baseline must approach the
+    steady field monotonically with the bioheat time constant
+    rho_c / (w c) (~minutes), independent of dt accuracy."""
+    from pelvistim_fem_tpu.ops.bioheat import solve_bioheat_transient
+    case, params = pressure_case
+    kt, pt = _tables(case, perf=3000.0)
+    bh = build_bioheat_case(case, kt, pt)
+    q = jnp.full(case.n_tets, 3.0e4)
+
+    base = solve_bioheat(case, bh, jnp.zeros_like(q), tol=1e-11)
+    steady = solve_bioheat(case, bh, q, tol=1e-11)
+    assert bool(base.converged) and bool(steady.converged)
+
+    rho_c = 3.6e6
+    tau = rho_c / 3000.0                     # ~20 min
+    T, trace = solve_bioheat_transient(case, bh, q, base.phi,
+                                       rho_c=rho_c, dt_s=tau / 10,
+                                       n_steps=80, tol=1e-10)
+    trace = np.asarray(trace)
+    # monotone heating, asymptote = the steady max
+    assert np.all(np.diff(trace) >= -1e-9)
+    steady_max = float(np.asarray(steady.phi).max())
+    base_max = float(np.asarray(base.phi).max())
+    rise = steady_max - base_max
+    assert rise > 0.1
+    np.testing.assert_allclose(trace[-1], steady_max, atol=2e-3 * rise)
+    # the time constant is real: ~63% of the rise after one tau
+    i_tau = 9                                # step index at t = tau
+    frac = (trace[i_tau] - base_max) / rise
+    assert 0.45 < frac < 0.85, frac
+    # full-field agreement at the end, not just the max
+    np.testing.assert_allclose(np.asarray(T), np.asarray(steady.phi),
+                               atol=5e-3 * rise)
