@@ -373,11 +373,22 @@ def solve_stencil_eqs_diff(scase: StencilCase, hier: MGHierarchy,
 
 def _case_eqs_operator(case, kr_table, ki_table):
     """Element-path twin of _eqs_operator: masked complex operator and
-    effective RHS on an arbitrary (imported) tet mesh."""
+    effective RHS on an arbitrary (imported) tet mesh.
+
+    kr_table may be a (T,) scalar or (T, 3, 3) TENSOR table
+    (ops/aniso.py — anisotropic muscle at frequency); ki_table may be
+    either independently (assembly.spmv dispatches on sigvol rank)."""
     from pelvistim_fem_tpu.ops import assembly
     n = case.free_mask.shape[0]
-    sig_r = kr_table[case.tet_body] * case.vol
-    sig_i = ki_table[case.tet_body] * case.vol
+
+    def _sigvol(table):
+        s = table[case.tet_body]
+        if s.ndim == 3:
+            return s * case.vol[:, None, None]
+        return s * case.vol
+
+    sig_r = _sigvol(kr_table)
+    sig_i = _sigvol(ki_table)
 
     def raw(x2):
         def mv(x, sv):

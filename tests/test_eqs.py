@@ -382,3 +382,32 @@ def test_impedance_app_smoke(tmp_path):
         ph = [float(x["Z_phase_deg"]) for x in rows
               if x["state"] == st]
         assert all(-90.0 < p <= 1e-9 for p in ph)
+
+
+def test_eqs_element_tensor_kr():
+    """Anisotropic EQS on the element path: for the z-directed divider
+    the exact field has no lateral gradient, so a DIAGONAL tensor table
+    with the same zz entries (and 2x lateral entries) must reproduce
+    the scalar solution exactly — exercising the tensor branch of the
+    complex operator end to end."""
+    from pelvistim_fem_tpu.ops.eqs import solve_case_eqs_refined
+
+    sig_a, sig_b = 0.02, 0.35
+    epsr_a, epsr_b = 8.0e5, 1.0e4
+    omega = 2 * np.pi * 5.0e4
+    mesh, case, sc, hier, da, db = _two_layer_box(sig_a, sig_b)
+    ki = jnp.asarray([0.0, omega * EPS0 * epsr_a, omega * EPS0 * epsr_b],
+                     jnp.float64)
+
+    ref = solve_case_eqs_refined(case, ki, tol=1e-10)
+    assert bool(np.asarray(ref.converged))
+
+    kr_t = np.zeros((3, 3, 3))
+    for b, s in ((1, sig_a), (2, sig_b)):
+        kr_t[b] = np.diag([2 * s, 2 * s, s])
+    out = solve_case_eqs_refined(case, ki, jnp.asarray(kr_t),
+                                 tol=1e-10)
+    assert bool(np.asarray(out.converged))
+    # both certified to 1e-10; error-per-residual constants differ a bit
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
+                               atol=1e-7)
