@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 
@@ -85,8 +86,18 @@ def cole_cole_kappa(freqs_hz, sigma_s, eps_inf, poles):
     return sigma_s + 1j * w * EPS0 * eps
 
 
+class KappaTables(NamedTuple):
+    """Per-frequency admittivity tables.  NOTE the solver APIs
+    (batched_eqs_solve_refined, impedance_spectrum_tables) take ki
+    FIRST (kr is optional, defaulting to the static sigma table) —
+    unpack by NAME to avoid swapping: `t = dispersive_tables(...);
+    solve(..., t.ki, t.kr)`."""
+    kr: object   # (W, T) real part, sigma_eff(omega)
+    ki: object   # (W, T) imaginary part, omega eps0 epsr_eff(omega)
+
+
 def dispersive_tables(freqs_hz, base_sigma_table, dispersion_by_body):
-    """(kr (W, T), ki (W, T)) per-frequency admittivity tables.
+    """KappaTables(kr (W, T), ki (W, T)) per-frequency admittivity.
 
     dispersion_by_body: {body_id: (sigma_s, eps_inf, poles)} — bodies
     not listed stay purely resistive at base_sigma_table[b].  Feed the
@@ -105,7 +116,7 @@ def dispersive_tables(freqs_hz, base_sigma_table, dispersion_by_body):
     if np.any(kr[:, 1:] <= 0):      # index 0 is the unused slot
         raise ValueError("dispersive Re(kappa) must stay positive "
                          "(COCG needs an SPD real part)")
-    return jnp.asarray(kr), jnp.asarray(ki)
+    return KappaTables(jnp.asarray(kr), jnp.asarray(ki))
 
 
 # ── complex helpers on stacked (2, ...) arrays ───────────────────────────────
