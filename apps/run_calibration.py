@@ -49,6 +49,12 @@ def main():
                          "(ops/adjoint.solve_lattice_mg_diff)")
     ap.add_argument("--steps", type=int, default=0,
                     help="iterations (default: 15 LM / 200 Adam)")
+    ap.add_argument("--spectrum", action="store_true",
+                    help="bioimpedance-spectroscopy inverse problem: "
+                         "fit the contact layer's Cole-Cole "
+                         "(sigma_s, d_eps, tau) to a synthesized "
+                         "measured Z(f) through the differentiable "
+                         "complex solve")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--outdir", default="results_calibration")
     args = ap.parse_args()
@@ -69,6 +75,9 @@ def main():
 
     if args.fibers:
         _fit_fibers(args, spec, hier)
+        return
+    if args.spectrum:
+        _fit_spectrum(args, spec, scase, hier, params)
         return
 
     # ground-truth forward solve -> sample the top (skin) surface,
@@ -263,6 +272,76 @@ def _fit_fibers(args, spec, hier):
         fig.savefig(pth, dpi=130)
         print(f"  figure -> {pth}")
 
+    sys.exit(0 if ok else 1)
+
+
+
+
+def _fit_spectrum(args, spec, scase, hier, params):
+    """Spectroscopy mode: synthesize a 'measured' Z(f) with known
+    contact Cole-Cole parameters, start 3x off, recover by LM through
+    the differentiable complex solves (ops/calibrate.
+    calibrate_contact_dispersion)."""
+    import time
+
+    from pelvistim_fem_tpu.mesh import core
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    from pelvistim_fem_tpu.ops.calibrate import \
+        calibrate_contact_dispersion
+    from pelvistim_fem_tpu.ops.eqs import (batched_eqs_solve_refined,
+                                           dispersive_tables)
+
+    case, _ = build_pressure_case(coarse=not args.full,
+                                  to_device=False)
+    act, ret = electrode_node_masks(np.asarray(case.faces),
+                                    np.asarray(case.face_bcid),
+                                    case.n_nodes)
+    w_a, w_r = act / act.sum(), ret / ret.sum()
+    bodies = (core.BODY_CONTACT_ACTIVE, core.BODY_CONTACT_RETURN)
+
+    truth = (5.0e-3, 4.0e6, 2.0e-4)      # sigma_s [S/m], d_eps, tau [s]
+    freqs = np.logspace(1, 4, 4)
+    t = dispersive_tables(freqs, np.asarray(spec.sigma_table),
+                          {b: (truth[0], 1.0e3,
+                               [(truth[1], truth[2], 0.0)])
+                           for b in bodies})
+    out = batched_eqs_solve_refined(scase, hier, t.ki, t.kr, tol=1e-10)
+    assert bool(np.asarray(out.converged).all())
+    phi = np.asarray(out.phi)
+    Z_meas = (phi @ w_a - phi @ w_r) / float(np.asarray(
+        jnp.sum(scase.b_neumann)))
+    rng = np.random.default_rng(0)
+    if args.noise:
+        Z_meas = Z_meas * (1 + args.noise * rng.standard_normal(
+            Z_meas.shape))
+
+    x0 = (truth[0] * 3, truth[1] / 3, truth[2] * 3)
+    print(f"  truth   sigma_s={truth[0]:.3e}  d_eps={truth[1]:.3e}  "
+          f"tau={truth[2]:.3e}")
+    print(f"  start   sigma_s={x0[0]:.3e}  d_eps={x0[1]:.3e}  "
+          f"tau={x0[2]:.3e}  (3x off everywhere)")
+    t0 = time.time()
+    fit, losses = calibrate_contact_dispersion(
+        scase, hier, freqs, jnp.asarray(Z_meas), w_a, w_r, bodies, x0,
+        iters=12)
+    fit = np.asarray(fit)
+    losses = np.asarray(losses)
+    wall = time.time() - t0
+    err = np.abs(fit / np.asarray(truth) - 1)
+    print(f"  fit     sigma_s={fit[0]:.3e}  d_eps={fit[1]:.3e}  "
+          f"tau={fit[2]:.3e}")
+    print(f"  rel err {err[0]:.2e} / {err[1]:.2e} / {err[2]:.2e}; "
+          f"loss {losses[-1]:.2e}; {wall:.1f} s "
+          f"({len(losses)} LM iterations)")
+    ok = bool((err < (0.05 if args.noise else 1e-2)).all())
+    os.makedirs(args.outdir, exist_ok=True)
+    with open(os.path.join(args.outdir, "spectrum_fit.json"), "w") as f:
+        json.dump({"truth": list(truth), "start": list(x0),
+                   "fit": fit.tolist(), "rel_err": err.tolist(),
+                   "loss": losses.tolist(), "noise": args.noise,
+                   "freqs_hz": freqs.tolist(), "ok": ok}, f, indent=1)
+    print(f"  summary -> {args.outdir}/spectrum_fit.json")
     sys.exit(0 if ok else 1)
 
 
