@@ -52,6 +52,9 @@ def main():
                          "samples (worst-case objective, sample-wise "
                          "skin safety): S*K certified solves in one "
                          "vmapped batch")
+    ap.add_argument("--pareto", type=int, default=0, metavar="P",
+                    help="dose-vs-safety Pareto sweep over P skin-|J| "
+                         "limits (no new FEM solves)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--outdir", default="results_array_opt")
@@ -169,6 +172,40 @@ def main():
           and float(info["peak_J_skin"]) <= j_limit * (1 + 1e-9)
           and obj >= best_single * (1 - 1e-6))
 
+    pareto = None
+    if args.pareto > 0:
+        # Dose-vs-safety tradeoff: re-run the Frank-Wolfe design over a
+        # j_limit sweep.  The lead vectors are already in hand, so each
+        # Pareto point costs only a 400-step jitted ascent — NO new FEM
+        # solves (the reference would re-run its whole subprocess chain
+        # per point).  The curve is the clinician's operating diagram:
+        # how much ROI dose each increment of skin-safety margin buys.
+        t0 = time.perf_counter()
+        j_grid = np.logspace(np.log10(j_limit / 4),
+                             np.log10(4 * j_limit), args.pareto)
+        pareto_rows = []
+        for jl in j_grid:
+            ip, inf_p = optimize_pattern(w, J_skin, budget=budget,
+                                         i_max=i_max, j_limit=jl,
+                                         steps=args.steps)
+            pareto_rows.append({
+                "j_limit_Apm2": float(jl),
+                "roi_E_Vpm": float(inf_p["objective"]),
+                "peak_J_skin_Apm2": float(inf_p["peak_J_skin"]),
+                "l1_mA": float(inf_p["l1"]),
+            })
+        t_par = time.perf_counter() - t0
+        doses = [r["roi_E_Vpm"] for r in pareto_rows]
+        # dose is nondecreasing in the safety limit (larger feasible set)
+        ok &= all(a <= b + 1e-9 for a, b in zip(doses, doses[1:]))
+        ok &= all(r["peak_J_skin_Apm2"] <= r["j_limit_Apm2"] * (1 + 1e-6)
+                  for r in pareto_rows)
+        print(f"\n  Pareto dose-vs-safety sweep: {args.pareto} limits "
+              f"in {t_par:.2f} s (zero new solves); dose "
+              f"{doses[0]:.3f} -> {doses[-1]:.3f} V/m over j_limit "
+              f"{j_grid[0]:.3f} -> {j_grid[-1]:.3f} A/m^2")
+        pareto = pareto_rows
+
     robust = None
     if args.robust > 0:
         from pelvistim_fem_tpu.ops.leadfield import (
@@ -253,6 +290,7 @@ def main():
         "gain": gain,
         "peak_J_skin_Apm2": float(info["peak_J_skin"]),
         "robust": robust,
+        "pareto": pareto,
         "ok": bool(ok),
     }
     with open(os.path.join(args.outdir, "summary.json"), "w") as f:
