@@ -301,6 +301,25 @@ def main():
         from pelvistim_fem_tpu.viz.plots import plot_array_opt
         plot_array_opt(params, meta, i_np, np.asarray(info["history"]),
                        summary, outdir=args.outdir)
+        if pareto:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(6, 4))
+            jl = [r["j_limit_Apm2"] for r in pareto]
+            dd = [r["roi_E_Vpm"] for r in pareto]
+            ax.semilogx(jl, dd, marker="o", ms=4)
+            ax.axvline(j_limit, color="gray", ls="--", lw=0.9,
+                       label=f"operating limit {j_limit:.2f}")
+            ax.set_xlabel("skin |J| safety limit (A/m$^2$)")
+            ax.set_ylabel("achievable ROI dose (V/m)")
+            ax.set_title("dose vs safety Pareto (fixed budget/caps)")
+            ax.grid(alpha=0.3, which="both")
+            ax.legend(fontsize=8)
+            fig.tight_layout()
+            fp = os.path.join(args.outdir, "pareto.png")
+            fig.savefig(fp, dpi=140)
+            print(f"  figure -> {fp}")
 
     sys.exit(0 if ok else 1)
 
