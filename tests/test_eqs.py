@@ -411,3 +411,47 @@ def test_eqs_element_tensor_kr():
     # both certified to 1e-10; error-per-residual constants differ a bit
     np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
                                atol=1e-7)
+
+
+def test_eqs_complex_reciprocity():
+    """Discrete complex reciprocity: for two Neumann patch loads b1, b2
+    on the SAME grounded complex-symmetric system, the unconjugated
+    bilinear pairing b2^T phi1 == b1^T phi2 exactly (to solver
+    tolerance) — certifying K^T = K through the whole element EQS
+    chain, magnitude AND phase."""
+    import dataclasses
+
+    from pelvistim_fem_tpu.ops.eqs import solve_case_eqs_refined
+    from pelvistim_fem_tpu.ops.leadfield import element_patch_loads
+
+    case, params = build_pressure_case(coarse=True, dtype=jnp.float64)
+    bcid = np.asarray(case.face_bcid)
+    nrm = np.asarray(case.face_normal)
+    # patch 1 = the active electrode; patch 2 = a probe patch on part
+    # of the top insulated surface (upward normals, bcid 3)
+    cand = np.nonzero((bcid == 3) & (nrm[:, 2] > 0.5))[0]
+    patch_id = np.zeros(len(bcid), np.int32)
+    patch_id[bcid == 1] = 1
+    patch_id[cand[: max(4, len(cand) // 4)]] = 2
+    loads = element_patch_loads(case, patch_id)        # (2, N), 1 A each
+
+    n_b = case.meta.n_bodies
+    epsr = np.zeros(n_b + 1)
+    epsr[core.BODY_CONTACT_ACTIVE] = 5e6
+    epsr[core.BODY_CONTACT_RETURN] = 5e6
+    epsr[core.BODY_MUSCLE] = 2e5
+    ki = jnp.asarray(2 * np.pi * 1e3 * EPS0 * epsr)
+
+    phis = []
+    for k in range(2):
+        c = dataclasses.replace(case,
+                                b_neumann=jnp.asarray(loads[k]))
+        out = solve_case_eqs_refined(c, ki, tol=1e-11)
+        assert bool(np.asarray(out.converged))
+        p = np.asarray(out.phi)
+        phis.append(p[0] + 1j * p[1])
+
+    z12 = complex(loads[1] @ phis[0])      # bilinear, NO conjugate
+    z21 = complex(loads[0] @ phis[1])
+    assert abs(z12.imag) > 1e-3 * abs(z12.real)   # phase is nontrivial
+    assert abs(z12 - z21) <= 1e-8 * abs(z12), (z12, z21)
