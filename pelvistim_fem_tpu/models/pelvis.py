@@ -214,7 +214,13 @@ def build_pelvis_case(params: dict | None = None, *, coarse: bool = False,
 
 
 def nerve_path(params, n_points=None):
-    from pelvistim_fem_tpu.ops.nerve import straight_path
+    """S3 root trajectory: a curved waypoint polyline when
+    nerve.waypoints_xyz is given (real roots bend around the sacrum),
+    else the straight start->end segment."""
+    from pelvistim_fem_tpu.ops.nerve import polyline_path, straight_path
     nv = params["nerve"]
-    return straight_path(nv["start_xyz"], nv["end_xyz"],
-                         n_points or nv.get("n_points", 201))
+    n = n_points or nv.get("n_points", 201)
+    wp = nv.get("waypoints_xyz")
+    if wp:
+        return polyline_path(wp, n)
+    return straight_path(nv["start_xyz"], nv["end_xyz"], n)

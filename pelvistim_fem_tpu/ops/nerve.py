@@ -67,6 +67,44 @@ def straight_path(p0, p1, n_points=201):
     return np.asarray(p0)[None] * (1 - t) + np.asarray(p1)[None] * t
 
 
+def polyline_path(waypoints, n_points=201, max_iters=64):
+    """(P, 3) points along a waypoint polyline with EQUAL CHORD
+    spacing — curved nerve trajectories (real roots bend around bone)
+    for the AF machinery, which requires uniform point spacing.
+
+    Plain equal-ARCLENGTH resampling cuts corners: the chord that
+    straddles a bend is shorter than its arclength step (measured 3.5%
+    on a 1 cm bend), violating the uniform-spacing contract.  A few
+    fixed-point iterations reallocate the arclength parameters until
+    consecutive chords equalize (quadratic corner effect -> fast
+    convergence).  Endpoints are reproduced exactly; densify the
+    waypoints for smooth curves."""
+    w = np.asarray(waypoints, np.float64)
+    if w.ndim != 2 or w.shape[0] < 2 or w.shape[1] != 3:
+        raise ValueError("waypoints must be (K>=2, 3)")
+    seg = np.linalg.norm(np.diff(w, axis=0), axis=1)
+    if np.any(seg <= 0):
+        raise ValueError("duplicate consecutive waypoints")
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+
+    def interp(si):
+        out = np.empty((len(si), 3))
+        for d in range(3):
+            out[:, d] = np.interp(si, s, w[:, d])
+        return out
+
+    si = np.linspace(0.0, s[-1], n_points)
+    for _ in range(max_iters):
+        pts = interp(si)
+        c = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        dev = (c.max() - c.min()) / c.mean()
+        if dev < 1e-12:
+            break
+        cum = np.concatenate([[0.0], np.cumsum(c)])
+        si = np.interp(np.linspace(0.0, cum[-1], n_points), cum, si)
+    return interp(si)
+
+
 def path_interp_plan(axes, grid_index, grid_shape, points):
     """Host-side trilinear sampling plan: (ids (P, 8) int32 mesh-node
     indices, wts (P, 8) f64) such that phi_path = (phi[ids] * wts).sum(-1)
@@ -137,7 +175,9 @@ def _path_ds(pts):
     seg = np.linalg.norm(np.diff(np.asarray(pts, np.float64), axis=0),
                          axis=1)
     ds = float(seg.mean())
-    if seg.size and (seg.max() - seg.min()) > 1e-9 * max(ds, 1e-12):
+    # 1e-6 relative: immaterial to the quadratic AF fit, loose enough
+    # for chord-equalized curved polylines (polyline_path)
+    if seg.size and (seg.max() - seg.min()) > 1e-6 * max(ds, 1e-12):
         raise ValueError("path points must be equally spaced")
     return ds
 

@@ -220,3 +220,40 @@ def test_pelvis_spec_current_integrates_exactly():
     I = params["stim"]["injected_current_mA"] * 1e-3
     np.testing.assert_allclose(spec.b_neumann.sum(), I, rtol=1e-9)
     assert spec.area_active > 0 and spec.area_return > 0
+
+
+def test_polyline_path_curved(pelvis):
+    """Curved nerve trajectories: equal-arclength resampling of a
+    waypoint polyline (collinear waypoints reproduce straight_path
+    exactly), and the AF machinery accepts the curved path on the
+    solved field."""
+    from pelvistim_fem_tpu.ops.nerve import polyline_path
+    case, params, mesh, res = pelvis
+    p0 = np.asarray(params["nerve"]["start_xyz"])
+    p1 = np.asarray(params["nerve"]["end_xyz"])
+
+    # collinear waypoints == straight segment
+    mid = 0.5 * (p0 + p1)
+    pp = polyline_path([p0, mid, p1], 101)
+    np.testing.assert_allclose(pp, straight_path(p0, p1, 101),
+                               atol=1e-12)
+
+    # equal spacing on a genuinely bent path
+    bend = mid + np.array([0.0, 0.008, -0.004])
+    pc = polyline_path([p0, bend, p1], 151)
+    seg = np.linalg.norm(np.diff(pc, axis=0), axis=1)
+    np.testing.assert_allclose(seg, seg[0], rtol=1e-10)
+    np.testing.assert_allclose(pc[0], p0, atol=1e-15)
+    np.testing.assert_allclose(pc[-1], p1, atol=1e-15)
+
+    af = activating_function(mesh, res.phi, pc)
+    assert np.isfinite(af["max_AF"]) and af["max_AF"] > 0
+
+    # params-driven dispatch
+    params2 = {**params, "nerve": {**params["nerve"],
+                                   "waypoints_xyz": [p0.tolist(),
+                                                     bend.tolist(),
+                                                     p1.tolist()]}}
+    pw = nerve_path(params2)
+    seg = np.linalg.norm(np.diff(pw, axis=0), axis=1)
+    np.testing.assert_allclose(seg, seg[0], rtol=1e-10)
