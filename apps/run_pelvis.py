@@ -346,17 +346,38 @@ def main():
 
     # Fiber-population recruitment: per-diameter thresholds (discrete
     # cable L^2 scaling + Weiss strength-duration at the programmed
-    # pulse width) -> recruited fraction vs amplitude.
+    # pulse width) -> recruited fraction vs amplitude.  The root is a
+    # BUNDLE: when nerve.n_fascicles > 1, thresholds pool over F
+    # fascicle paths offset inside a disc of nerve.bundle_radius_mm
+    # around the nominal trajectory (each fascicle sees its own AF).
     from pelvistim_fem_tpu.ops.nerve import (fiber_thresholds,
                                              recruitment_curve)
     nv = params["nerve"]
     diam = np.asarray(nv.get("fiber_diameters_um",
                              np.linspace(5.0, 16.0, 12)))
     pw_s = params["stim"].get("pulse_width_us", 210.0) * 1e-6
-    fib_thr = fiber_thresholds(
-        af, nv["af_threshold_V_per_m2"], diam,
-        d_ref_um=nv.get("d_ref_um", 10.0), pw_s=pw_s,
-        chronaxie_s=nv.get("chronaxie_us", 150.0) * 1e-6)
+
+    n_fasc = int(nv.get("n_fascicles", 1))
+    r_bund = nv.get("bundle_radius_mm", 1.5) * 1e-3
+    af_list = [af]
+    if n_fasc > 1:
+        d = np.asarray(nv["end_xyz"]) - np.asarray(nv["start_xyz"])
+        d = d / np.linalg.norm(d)
+        u = np.cross(d, [0.0, 0.0, 1.0])
+        u = u / max(np.linalg.norm(u), 1e-12)
+        v = np.cross(d, u)
+        ga = np.pi * (3 - np.sqrt(5))            # golden-angle disc
+        for k in range(1, n_fasc):
+            rad = r_bund * np.sqrt(k / (n_fasc - 1))
+            off = rad * (np.cos(k * ga) * u + np.sin(k * ga) * v)
+            af_list.append(activating_function(mesh, res.phi,
+                                               path + off[None, :]))
+    fib_thr = np.concatenate([
+        fiber_thresholds(a, nv["af_threshold_V_per_m2"], diam,
+                         d_ref_um=nv.get("d_ref_um", 10.0), pw_s=pw_s,
+                         chronaxie_s=nv.get("chronaxie_us", 150.0)
+                         * 1e-6)
+        for a in af_list])
     # amplitude axis (multiples of I_target): always include the
     # programmed amplitude AND the full population sigmoid
     fin = fib_thr[np.isfinite(fib_thr)]
