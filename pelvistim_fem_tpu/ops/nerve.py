@@ -330,3 +330,77 @@ def recruitment_curve(thresholds, amplitudes, weights=None):
         w = np.asarray(weights, np.float64)
         w = w / w.sum()
     return (w[None, :] * (thr[None, :] <= amp[:, None])).sum(axis=1)
+
+
+# ── waveform-aware recruitment (time-resolved driving term) ─────────────────
+
+def af_fit_kernel(ds, window_m):
+    """(kernel (2*half+1,), half): the moving windowed-quadratic
+    second-derivative fit of af_from_profile expressed as a fixed
+    correlation stencil — on an EQUALLY spaced profile the LSQ fit is a
+    linear operator, so a whole (time x path) batch of AF profiles is
+    one matmul instead of T x P polyfits."""
+    half = max(2, int(round(window_m / 2 / ds)))
+    x = np.arange(-half, half + 1) * float(ds)
+    X = np.stack([x * x, x, np.ones_like(x)], axis=1)
+    pinv = np.linalg.solve(X.T @ X, X.T)         # (3, W) LSQ solve
+    return 2.0 * pinv[0], half
+
+
+def af_profiles_batch(v, ds, window_m):
+    """af_from_profile's curvature estimator on a BATCH of profiles
+    v (..., P) (e.g. the (T, P) time-resolved path potential from
+    waveform.pulse_response).  Returns (..., P) with NaN within half a
+    window of the path ends — bitwise-identical estimator to the
+    per-profile polyfit loop (tests/test_waveform.py pins this)."""
+    v = np.asarray(v, np.float64)
+    kernel, half = af_fit_kernel(ds, window_m)
+    win = np.lib.stride_tricks.sliding_window_view(
+        v, 2 * half + 1, axis=-1)
+    af = np.full(v.shape, np.nan)
+    af[..., half:v.shape[-1] - half] = win @ kernel
+    return af
+
+
+def membrane_lowpass_periodic(x, dt, tau_m):
+    """Periodic steady state of the first-order membrane filter
+    tau_m y' + y = x along axis 0 (time), via the frequency response
+    Y_k = X_k / (1 + i w_k tau_m) — exact for the trigonometric
+    interpolant the Fourier synthesis path produces."""
+    x = np.asarray(x, np.float64)
+    w = 2 * np.pi * np.fft.rfftfreq(x.shape[0], d=dt)
+    H = 1.0 / (1.0 + 1j * w * float(tau_m))
+    H = H.reshape((-1,) + (1,) * (x.ndim - 1))
+    return np.fft.irfft(np.fft.rfft(x, axis=0) * H, n=x.shape[0],
+                        axis=0)
+
+
+def waveform_threshold_scale(af_ts, dt, af_threshold_V_per_m2, *,
+                             tau_m_s=216e-6):
+    """Waveform-aware recruitment threshold: Lapicque leaky integration
+    of the time-resolved driving term.
+
+    The passive node membrane integrates the AF drive with time
+    constant tau_m; threshold is on the PEAK of the filtered response
+    over (time x path).  For a rectangular pulse of width pw in
+    non-dispersive tissue this reduces to the classic exponential
+    strength-duration law I_th ~ 1/(1 - e^(-pw/tau_m)) (Lapicque 1907;
+    chronaxie = tau_m ln 2, so the 150 us chronaxie used by
+    fiber_thresholds corresponds to tau_m = 216 us).  In DISPERSIVE
+    tissue the intra-pulse AF is no longer rectangular (capacitive
+    creep/droop), and this path captures the threshold shift the
+    separable Weiss factor cannot.
+
+    af_ts: (T, P) periodic AF time course (af_profiles_batch output;
+    NaN path-end columns are ignored).  Returns the multiplier on the
+    injected current for the filtered peak to reach threshold.
+    """
+    af_ts = np.asarray(af_ts, np.float64)
+    cols = np.isfinite(af_ts).all(axis=0)
+    if not cols.any():
+        return np.inf
+    y = membrane_lowpass_periodic(af_ts[:, cols], dt, tau_m_s)
+    peak = y.max()
+    if not np.isfinite(peak) or peak <= 0:
+        return np.inf
+    return float(af_threshold_V_per_m2) / peak
