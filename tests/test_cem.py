@@ -1,0 +1,226 @@
+"""Complete electrode model (ops/cem.py).
+
+Anchors: the exact 1-D two-layer column with contact impedances on both
+electrodes (P1-exact), two-terminal impedance invariance under ground
+swap, charge conservation, z-monotonicity (vmapped sweep), and the
+rim-concentration -> uniform-current crossover between the shunt
+(z -> 0) and gap (z -> inf) limits.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh import core
+from pelvistim_fem_tpu.mesh.generate import build_mesh_from_lattice
+from pelvistim_fem_tpu.models.case import build_case
+from pelvistim_fem_tpu.ops.cem import (cem_weights_from_bcids,
+                                       solve_case_cem)
+
+L_XY = 0.02
+DA = DB = 0.01
+
+
+def _column_case(sig_a, sig_b, h=0.0025):
+    xs = np.linspace(0, L_XY, int(L_XY / h) + 1)
+    zs = np.linspace(0, DA + DB, int((DA + DB) / h) + 1)
+
+    def body_fn(cx, cy, cz):
+        return np.where(cz < DA, 1, 2).astype(np.int32)
+
+    def bcid_fn(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, core.BC_INSULATED, np.int32)
+        out[(nz > 0.5) & (np.abs(fz - (DA + DB)) < 1e-9)] = core.BC_ACTIVE
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = core.BC_RETURN
+        return out
+
+    mesh = build_mesh_from_lattice(xs, xs, zs, body_fn, bcid_fn)
+    case = build_case(mesh, {1: sig_a, 2: sig_b}, mode="current",
+                      injected_current_A=1.0, dtype=jnp.float64)
+    return mesh, case
+
+
+def _patch_case(sig=0.3, h=0.0025, half_w=0.005):
+    """Single-body box with a square electrode patch centered on top
+    (partial coverage — the geometry where shunting matters)."""
+    xs = np.linspace(0, L_XY, int(L_XY / h) + 1)
+    zs = np.linspace(0, DA, int(DA / h) + 1)
+    c = L_XY / 2
+
+    def body_fn(cx, cy, cz):
+        return np.ones(cx.shape, np.int32)
+
+    def bcid_fn(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, core.BC_INSULATED, np.int32)
+        top = (nz > 0.5) & (np.abs(fz - DA) < 1e-9)
+        patch = top & (np.abs(fx - c) <= half_w + 1e-9) \
+            & (np.abs(fy - c) <= half_w + 1e-9)
+        out[patch] = core.BC_ACTIVE
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = core.BC_RETURN
+        return out
+
+    mesh = build_mesh_from_lattice(xs, xs, zs, body_fn, bcid_fn)
+    case = build_case(mesh, {1: sig}, mode="current",
+                      injected_current_A=1.0, dtype=jnp.float64)
+    return mesh, case
+
+
+def test_cem_column_exact():
+    """Two full-face electrodes with contact impedances: the interior
+    field is linear (P1-exact) and the terminal voltage is the series
+    circuit I (z_a + z_g)/A + I sum d_l/(sigma_l A)."""
+    sig_a, sig_b = 0.05, 0.35
+    z_a, z_g = 0.011, 0.004          # ohm m^2
+    I = 5e-3
+    mesh, case = _column_case(sig_a, sig_b)
+    W = cem_weights_from_bcids(case)
+    A = L_XY * L_XY
+    np.testing.assert_allclose(W.sum(axis=1), [A, A], rtol=1e-12)
+
+    res = solve_case_cem(case, W, jnp.asarray([z_a, z_g]),
+                         jnp.asarray([I, 0.0]), ground=1, tol=1e-12)
+    assert bool(np.asarray(res.converged))
+
+    Z_exact = (z_a + z_g) / A + DA / (sig_a * A) + DB / (sig_b * A)
+    U = np.asarray(res.U)
+    np.testing.assert_allclose(U[0], I * Z_exact, rtol=1e-8)
+    np.testing.assert_allclose(U[1], 0.0, atol=1e-15)
+
+    # recovered currents: injected at 0, balanced at the ground
+    I_out = np.asarray(res.I)
+    np.testing.assert_allclose(I_out, [I, -I], rtol=1e-8)
+
+    # interior: piecewise linear from phi_bot = I z_g / A upward
+    z = np.asarray(mesh.nodes[:, 2])
+    phi_bot = I * z_g / A
+    ja = I / A
+    expected = np.where(
+        z <= DA + 1e-12, phi_bot + ja * z / sig_a,
+        phi_bot + ja * DA / sig_a + ja * (z - DA) / sig_b)
+    np.testing.assert_allclose(np.asarray(res.phi), expected, rtol=1e-8)
+
+
+def test_cem_ground_swap_invariance():
+    """The two-terminal impedance U_drive/I must not depend on which
+    electrode is grounded (same physical resistor network)."""
+    mesh, case = _patch_case()
+    W = cem_weights_from_bcids(case)
+    z = jnp.asarray([0.02, 0.005])
+    I = 3e-3
+    r01 = solve_case_cem(case, W, z, jnp.asarray([I, 0.0]), ground=1,
+                         tol=1e-12)
+    r10 = solve_case_cem(case, W, z, jnp.asarray([0.0, -I]), ground=0,
+                         tol=1e-12)
+    Z_a = float(np.asarray(r01.U)[0]) / I
+    Z_b = -float(np.asarray(r10.U)[1]) / I
+    np.testing.assert_allclose(Z_a, Z_b, rtol=1e-8)
+    # charge conservation in both formulations
+    for r in (r01, r10):
+        Iv = np.asarray(r.I)
+        assert abs(Iv.sum()) <= 1e-8 * np.abs(Iv).max()
+
+
+def test_cem_z_sweep_monotone_vmapped():
+    """Contact-impedance sweep as ONE vmapped batch (zero re-assembly);
+    the terminal impedance is strictly increasing in z_active."""
+    mesh, case = _patch_case()
+    W = cem_weights_from_bcids(case)
+    I = 1e-3
+    z_act = np.logspace(-4, -1, 6)
+    zs = jnp.asarray(np.stack([z_act, np.full_like(z_act, 3e-3)], 1))
+
+    one = lambda zz: solve_case_cem(case, W, zz,
+                                    jnp.asarray([I, 0.0]), ground=1,
+                                    tol=1e-11)
+    out = jax.vmap(one)(zs)
+    assert bool(np.asarray(out.converged).all())
+    Z = np.asarray(out.U)[:, 0] / I
+    assert (np.diff(Z) > 0).all()
+    # each increment is at LEAST the pure series term dz/|E0|: the
+    # shunt (small z) distribution minimizes volume dissipation, so
+    # the spreading resistance also grows with z
+    dz_series = np.diff(z_act) / float(W[0].sum())
+    assert (np.diff(Z) >= dz_series * (1 - 1e-9)).all()
+
+
+def test_cem_shunt_vs_gap_current_profile():
+    """Under a partial patch the CEM current density concentrates at
+    the rim in the shunt limit (z -> 0) and becomes uniform in the gap
+    limit (z -> inf) — the physics a meshed resistive layer cannot
+    express.  Nodal injected density j_n = (U - phi_n)/z."""
+    mesh, case = _patch_case()
+    W = cem_weights_from_bcids(case)
+    w0 = W[0]
+    nodes = np.asarray(mesh.nodes)
+    on = w0 > 0
+    c = L_XY / 2
+    r_xy = np.hypot(nodes[:, 0] - c, nodes[:, 1] - c)
+    rim = on & (r_xy >= 0.95 * r_xy[on].max())
+    center = on & (r_xy <= 0.25 * r_xy[on].max())
+
+    def density_ratio(z_a):
+        res = solve_case_cem(case, W, jnp.asarray([z_a, 1e-3]),
+                             jnp.asarray([1e-3, 0.0]), ground=1,
+                             tol=1e-11)
+        phi = np.asarray(res.phi)
+        j = (float(np.asarray(res.U)[0]) - phi) / z_a
+        return j[rim].mean() / j[center].mean()
+
+    assert density_ratio(1e-6) > 1.5          # metal shunt: rim spike
+    assert abs(density_ratio(10.0) - 1) < 0.05  # gap: uniform density
+
+
+def test_cem_matches_meshed_thin_layer():
+    """Parity bridge between the two electrode models: a MESHED thin
+    resistive contact layer (the reference's representation, step04
+    run_pressure_sweep.py:55-215) of thickness t and conductivity
+    sigma_c carries z = t/sigma_c; the CEM with that z on the SAME
+    stack (minus the meshed layer) must give the same terminal
+    impedance up to the layer's lateral-conduction correction (small
+    for thin layers over a full face: exact here, since the 1-D field
+    has no lateral component)."""
+    sig_a, sig_b, sig_c = 0.05, 0.35, 5e-4
+    t_c = 0.0025                      # one cell of contact layer
+    I = 2e-3
+    h = 0.0025
+    xs = np.linspace(0, L_XY, int(L_XY / h) + 1)
+    zs = np.linspace(0, DA + DB + t_c, int((DA + DB + t_c) / h) + 1)
+
+    def body_fn(cx, cy, cz):
+        out = np.where(cz < DA, 1, 2).astype(np.int32)
+        out[cz > DA + DB] = 3         # meshed contact layer on top
+        return out
+
+    def bcid_fn(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, core.BC_INSULATED, np.int32)
+        top = (nz > 0.5) & (np.abs(fz - (DA + DB + t_c)) < 1e-9)
+        out[top] = core.BC_ACTIVE
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = core.BC_RETURN
+        return out
+
+    mesh3 = build_mesh_from_lattice(xs, xs, zs, body_fn, bcid_fn)
+    case3 = build_case(mesh3, {1: sig_a, 2: sig_b, 3: sig_c},
+                       mode="current", injected_current_A=I,
+                       dtype=jnp.float64)
+    from pelvistim_fem_tpu.ops.solve import solve_case_refined
+    res3 = solve_case_refined(case3, tol=1e-10)
+    assert bool(np.asarray(res3.converged))
+    # terminal voltage of the meshed model: top surface average minus
+    # grounded bottom (Dirichlet 0 in current mode)
+    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
+    act, _ = electrode_node_masks(np.asarray(case3.faces),
+                                  np.asarray(case3.face_bcid),
+                                  case3.n_nodes)
+    V_meshed = float(np.asarray(res3.phi) @ (act / act.sum()))
+
+    # CEM twin: the 2-body column, contact as z = t/sigma_c, and the
+    # bottom grounded through a vanishing contact impedance (the
+    # meshed model's bottom is an ideal Dirichlet ground)
+    mesh2, case2 = _column_case(sig_a, sig_b)
+    W = cem_weights_from_bcids(case2)
+    z_eq = t_c / sig_c
+    res2 = solve_case_cem(case2, W, jnp.asarray([z_eq, 1e-12]),
+                          jnp.asarray([I, 0.0]), ground=1, tol=1e-12)
+    V_cem = float(np.asarray(res2.U)[0])
+    np.testing.assert_allclose(V_cem, V_meshed, rtol=1e-6)
