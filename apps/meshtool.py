@@ -118,8 +118,41 @@ def cmd_solve(args):
     from pelvistim_fem_tpu.utils.config import default_params, load_params
     params = (load_params(args.params) if args.params
               else default_params("step03_ankle_layers"))
-    case, res, row, mesh = solve_imported(args.input, params,
-                                          tol=args.tol)
+
+    if args.cem:
+        # complete-electrode-model path: contact impedance as a thin
+        # Robin interface (ops/cem.py) on the detected electrode
+        # patches — no meshed gel, floating electrode potentials
+        import jax.numpy as jnp
+
+        from pelvistim_fem_tpu.models.imported import (build_imported_case,
+                                                       read_mesh_any)
+        from pelvistim_fem_tpu.ops.cem import (cem_weights_from_bcids,
+                                               solve_case_cem)
+        from pelvistim_fem_tpu.utils.config import get_stim
+        z_act, z_ret = (float(v) for v in args.cem.split(","))
+        mesh = read_mesh_any(args.input).with_positive_volumes()
+        case, mesh = build_imported_case(mesh, params, with_mesh=True)
+        I = get_stim(params).get("injected_current_mA", 5.0) * 1e-3
+        W = cem_weights_from_bcids(case)
+        res = solve_case_cem(case, W, jnp.asarray([z_act, z_ret]),
+                             jnp.asarray([I, 0.0]), ground=1,
+                             tol=args.tol)
+        U = np.asarray(res.U); Iv = np.asarray(res.I)
+        row = {"mode": "cem", "z_act_ohm_m2": z_act,
+               "z_ret_ohm_m2": z_ret, "I_A": I,
+               "U_act_V": float(U[0]), "U_ret_V": float(U[1]),
+               "Z_total_ohm": float(U[0] / I),
+               "I_recovered_A": Iv.tolist(),
+               "iterations": int(np.asarray(res.iterations)),
+               "residual": float(np.asarray(res.residual)),
+               "converged": bool(np.asarray(res.converged))}
+        print(f"CEM: U_act {row['U_act_V']:.3f} V, Z_total "
+              f"{row['Z_total_ohm']:.1f} ohm, {row['iterations']} "
+              f"iters, residual {row['residual']:.1e}")
+    else:
+        case, res, row, mesh = solve_imported(args.input, params,
+                                              tol=args.tol)
     out = Path(args.out or ".")
     out.mkdir(parents=True, exist_ok=True)
     clean = {k: (None if isinstance(v, float) and not np.isfinite(v)
@@ -150,6 +183,11 @@ def main():
     c.add_argument("--tol", type=float, default=1e-8)
     c.add_argument("--vtu", action="store_true",
                    help="also write solution.vtu")
+    c.add_argument("--cem", default=None, metavar="Z_ACT,Z_RET",
+                   help="solve the complete electrode model with these "
+                        "contact impedances [ohm m^2] on the detected "
+                        "electrode patches (ops/cem.py) instead of the "
+                        "meshed-BC problem")
     c.set_defaults(fn=cmd_solve)
     args = ap.parse_args()
     args.fn(args)

@@ -263,6 +263,13 @@ def main():
     ap.add_argument("--thermal", action="store_true",
                     help="with --sweep: Pennes skin temperature rise "
                          "per case (duty-cycle scaled)")
+    ap.add_argument("--pulse", action="store_true",
+                    help="waveform-aware recruitment: time-resolved AF "
+                         "along the S3 path over the programmed "
+                         "biphasic pulse in capacitive tissue "
+                         "(Fourier-synthesized EQS), Lapicque membrane-"
+                         "integrated threshold vs the static Weiss one")
+    ap.add_argument("--pulse-harmonics", type=int, default=128)
     args = ap.parse_args()
 
     if args.sweep:
@@ -398,6 +405,110 @@ def main():
           f"{100*frac_injected:.0f}% recruited at the injected "
           f"{I_mA} mA")
 
+    pulse_extra = {}
+    if args.pulse:
+        # Waveform-aware recruitment: the programmed biphasic pulse in
+        # CAPACITIVE tissue.  Literature-order placeholder eps_r per
+        # body (declared like the reference's placeholder sigmas,
+        # step03 params.yaml:4-6; Gabriel 1996 for the tissue orders).
+        from pelvistim_fem_tpu.models.pelvis import (
+            BODY_BONE, BODY_CONTACT_ACTIVE, BODY_CONTACT_RETURN,
+            BODY_CORE, BODY_FAT, BODY_MUSCLE, BODY_SKIN,
+            build_pelvis_spec)
+        from pelvistim_fem_tpu.ops.lattice_assembly import \
+            assemble_lattice
+        from pelvistim_fem_tpu.ops.nerve import (_path_ds,
+                                                 path_interp_plan,
+                                                 waveform_threshold_scale)
+        from pelvistim_fem_tpu.ops.waveform import (
+            biphasic_pulse_samples, pulse_af_response)
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        if not args.megatet:
+            spec, _ = build_pelvis_spec(params, coarse=args.smoke,
+                                        resolution_scale=scale)
+        scase, hier = assemble_lattice(spec, jnp.float64)
+        epsr = np.zeros(spec.n_bodies + 1)
+        epsr[BODY_CORE] = 5.0e4
+        epsr[BODY_MUSCLE] = 2.0e5
+        epsr[BODY_FAT] = 2.0e4
+        epsr[BODY_SKIN] = 3.0e4
+        epsr[BODY_BONE] = 1.0e3
+        epsr[BODY_CONTACT_ACTIVE] = 5.0e6    # electrode double layer
+        epsr[BODY_CONTACT_RETURN] = 5.0e6
+
+        plan = path_interp_plan(spec.axes, spec.grid_index,
+                                spec.grid_shape, path)
+        ds = _path_ds(path)
+        h_max = max(float(np.diff(np.asarray(a)).max())
+                    for a in spec.axes)
+        period = 10e-3     # >= every interface tau; 0.4% -> same PSS
+        tt, ii = biphasic_pulse_samples(period, I_mA * 1e-3, pw_s,
+                                        n_samples=2048)
+        pres = pulse_af_response(scase, hier, plan, ds, ii, period,
+                                 epsr_table=jnp.asarray(epsr),
+                                 window_m=3.0 * h_max,
+                                 n_harm=args.pulse_harmonics, tol=1e-8)
+        assert pres["converged"].all()
+        thr_wave = waveform_threshold_scale(
+            pres["af_ts"], period / len(ii),
+            nv["af_threshold_V_per_m2"],
+            tau_m_s=nv.get("chronaxie_us", 150.0) * 1e-6 / np.log(2))
+        thr_weiss = thr * (1.0 + nv.get("chronaxie_us", 150.0) * 1e-6
+                           / pw_s)
+        # peak intra-pulse AF vs the static (DC) AF — BOTH at the
+        # programmed amplitude (the static solve injects I_mA too):
+        # >1 means capacitive sharpening, <1 dispersive smoothing
+        af_t = pres["af_ts"][:, np.isfinite(pres["af_ts"]).all(0)]
+        shape_ratio = float(np.abs(af_t).max() / np.abs(
+            np.asarray(af["af"])[np.isfinite(af["af"])]).max())
+        t_pulse = time.perf_counter() - t0
+        print(f"  pulse AF ({len(pres['active_harmonics'])} certified "
+              f"harmonic solves, {t_pulse:.1f} s): waveform-aware "
+              f"threshold {thr_wave:.2f}x ({thr_wave*I_mA:.1f} mA) vs "
+              f"Weiss-factored static {thr_weiss:.2f}x "
+              f"({thr_weiss*I_mA:.1f} mA); intra-pulse/static AF "
+              f"shape ratio {shape_ratio:.3f}")
+        pulse_extra = {
+            "pulse_threshold_lapicque_mA": thr_wave * I_mA,
+            "pulse_threshold_weiss_mA": thr_weiss * I_mA,
+            "pulse_af_shape_ratio": shape_ratio,
+            "pulse_harmonics": int(len(pres["active_harmonics"])),
+            "pulse_max_true_residual": float(pres["residual"].max()),
+        }
+
+        if args.plot:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            out_dir = Path(args.outdir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            # zoom on the pulse window; arclength x time AF heatmap
+            win = tt <= 4 * (2 * pw_s)
+            afz = pres["af_ts"][win]
+            s_mm = np.arange(afz.shape[1]) * ds * 1e3
+            fig, (axw, axm) = plt.subplots(
+                2, 1, figsize=(8, 6), sharex=True,
+                height_ratios=[1, 2.4])
+            axw.plot(tt[win] * 1e3, ii[win] * 1e3, color="0.3")
+            axw.set_ylabel("I (mA)")
+            vmax = np.nanmax(np.abs(afz))
+            pm = axm.pcolormesh(tt[win] * 1e3, s_mm, afz.T,
+                                cmap="RdBu_r", vmin=-vmax, vmax=vmax,
+                                shading="nearest")
+            fig.colorbar(pm, ax=axm, label="AF (V/m$^2$)")
+            axm.set_xlabel("time (ms)")
+            axm.set_ylabel("arclength along S3 (mm)")
+            for ax in (axw,):
+                ax.grid(alpha=0.3)
+            fig.suptitle("intra-pulse activating function "
+                         "(Fourier-synthesized EQS, capacitive tissue)")
+            fig.tight_layout()
+            fig.savefig(out_dir / "pulse_af.png", dpi=150,
+                        bbox_inches="tight")
+            print(f"  figure -> {out_dir / 'pulse_af.png'}")
+
     out = Path(args.outdir)
     out.mkdir(parents=True, exist_ok=True)
     (out / "summary.json").write_text(json.dumps({
@@ -416,6 +527,7 @@ def main():
         "fiber_diameters_um": diam.tolist(),
         "fiber_threshold_mA": (fib_thr * I_mA).tolist(),
         "recruited_fraction_at_target": frac_injected,
+        **pulse_extra,
     }, indent=2, cls=_NanToNullEncoder))
     print(f"  summary -> {out / 'summary.json'}")
 
