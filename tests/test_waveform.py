@@ -378,3 +378,39 @@ def test_harmonic_transfer_sharded_parity():
     assert shd["converged"].all()
     np.testing.assert_allclose(shd["transfer"], ref["transfer"],
                                rtol=1e-7, atol=1e-12)
+
+
+def test_lapicque_threshold_harmonic_convergence():
+    """The membrane-integrated threshold must be converged in the
+    harmonic cutoff: doubling n_harm moves it < 1% once the cutoff
+    clears the membrane band (the tau_m lowpass kills the tail)."""
+    from pelvistim_fem_tpu.ops.nerve import (af_profiles_batch,
+                                             path_interp_plan,
+                                             straight_path,
+                                             waveform_threshold_scale)
+    from pelvistim_fem_tpu.ops.waveform import pulse_af_response
+
+    sig_a, sig_b = 0.05, 0.35
+    epsr_b = sig_b * 100e-6 / EPS0
+    case, sc, hier, _ = _column_problem(sig_a, sig_b)
+    h = 0.0025
+    xs = np.linspace(0, L_XY, int(L_XY / h) + 1)
+    zs = np.linspace(0, DA + DB, int((DA + DB) / h) + 1)
+    pts = straight_path(np.array([L_XY / 2, L_XY / 2, 0.002]),
+                        np.array([L_XY / 2, L_XY / 2, DA + DB - 0.002]),
+                        n_points=81)
+    plan = path_interp_plan((xs, xs, zs), np.asarray(sc.grid_index),
+                            sc.grid_shape, pts)
+    ds = np.linalg.norm(pts[1] - pts[0])
+
+    period, S = 2e-3, 512
+    t, i = biphasic_pulse_samples(period, 5e-3, 0.2e-3, n_samples=S)
+    thr = {}
+    for n_harm in (48, 96):
+        res = pulse_af_response(sc, hier, plan, ds, i, period,
+                                epsr_table=np.array([0, 0.0, epsr_b]),
+                                window_m=3 * h, n_harm=n_harm, tol=1e-8)
+        assert res["converged"].all()
+        thr[n_harm] = waveform_threshold_scale(res["af_ts"], period / S,
+                                               1.0)
+    assert abs(thr[96] - thr[48]) <= 0.01 * thr[96]
