@@ -148,3 +148,154 @@ def solve_case_cem(case, weights, z_contact, I_elec, *,
     return CEMResult(phi=res.phi, U=U, I=I_out,
                      iterations=res.iterations, residual=res.residual,
                      converged=res.converged)
+
+
+# ── stencil fast path: CEM at generated-lattice (megatet) scale ──────────────
+
+def stencil_cem_setup(host_data, weights, *, ground=0,
+                      dtype=None):
+    """Host prep for solve_stencil_cem_refined.
+
+    host_data: ops.stencil.stencil_host_data output; weights: (E, N)
+    electrode surface weights in mesh-node ordering
+    (cem_weights_from_bcids).  Returns (weights_grid (E, X, Y, Z) f64,
+    present (X, Y, Z) bool, hier) where the MG hierarchy's free mask
+    treats the GROUNDED patch as Dirichlet — that approximates the
+    grounded Robin contact (exact as z_g -> 0) and pins the constant
+    mode, so the V-cycle is a nonsingular SPD preconditioner for the
+    exact CEM operator.
+    """
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.ops.multigrid import build_hierarchy
+    X, Y, Z = host_data["free"].shape
+    gi = np.asarray(host_data["grid_index"])
+    G = X * Y * Z
+    E = np.asarray(weights).shape[0]
+    Wg = np.zeros((E, G))
+    Wg[:, gi] = np.asarray(weights)
+    present = np.zeros(G, bool)
+    present[gi] = True
+    free_pre = present & (Wg[ground] == 0)
+    hd2 = dict(host_data, free=free_pre.reshape(X, Y, Z),
+               dirichlet=np.zeros((X, Y, Z)),
+               b_neumann=np.zeros((X, Y, Z)))
+    hier = build_hierarchy(hd2, dtype=dtype or jnp.float64)
+    return (jnp.asarray(Wg.reshape(E, X, Y, Z)),
+            jnp.asarray(present.reshape(X, Y, Z)),
+            hier)
+
+
+def _stencil_cem_operator(scase, sigma_table, Wg, present, z, areas,
+                          flt):
+    """Masked CEM operator on grid fields: exact stiffness spmv +
+    Robin diagonal + rank-1 per floating electrode; identity on grid
+    slots not present in the mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.ops.stencil import combine_coeffs, stencil_spmv
+    C = combine_coeffs(scase.coeff, sigma_table)
+    hp = jax.lax.Precision.HIGHEST
+    robin = (Wg / z[:, None, None, None]).sum(0)
+
+    def op(x):
+        xz = jnp.where(present, x, 0.0)
+        kx = stencil_spmv(xz, C)
+        wx = jnp.einsum("exyz,xyz->e", Wg, xz, precision=hp)
+        r1 = jnp.where(flt, wx / (z * areas), 0.0)
+        out = kx + robin * xz - jnp.einsum("e,exyz->xyz", r1, Wg,
+                                           precision=hp)
+        return jnp.where(present, out, x)
+
+    return op
+
+
+@partial(jax.jit, static_argnames=("ground", "tol", "inner_tol",
+                                   "maxiter", "nu", "coarse_iters",
+                                   "max_refinements"))
+def solve_stencil_cem_refined(scase, hier, Wg, present, z_contact,
+                              I_elec, *, sigma_table=None, ground=0,
+                              tol=1e-8, inner_tol=3e-4, maxiter=2_000,
+                              nu=2, coarse_iters=24,
+                              max_refinements=8) -> CEMResult:
+    """CEM on the stencil fast path: f32 MG-preconditioned inner CG +
+    f64 residual correction against the f64 master CEM operator — the
+    same certified-TRUE-residual contract as solve_stencil_mg_refined,
+    at generated-lattice (megatet) scale.  Inputs from
+    stencil_cem_setup; a (z, I, sigma) sweep vmaps over this function
+    with zero re-assembly.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pelvistim_fem_tpu.ops.multigrid import make_v_cycle
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("solve_stencil_cem_refined")
+    if sigma_table is None:
+        sigma_table = scase.sigma_table
+    to = lambda a, dt: jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, a)
+    sc64, sc32 = to(scase, jnp.float64), to(scase, jnp.float32)
+    hier32 = to(hier, jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    z = jnp.asarray(z_contact, jnp.float64)
+    I_in = jnp.asarray(I_elec, jnp.float64)
+    E = Wg.shape[0]
+    flt = jnp.arange(E) != ground
+    Wg64 = Wg.astype(jnp.float64)
+    areas = Wg64.sum(axis=(1, 2, 3))
+
+    op64 = _stencil_cem_operator(sc64, sigma_table.astype(jnp.float64),
+                                 Wg64, present, z, areas, flt)
+    op32 = _stencil_cem_operator(sc32, sigma_table.astype(jnp.float32),
+                                 Wg.astype(jnp.float32), present,
+                                 z.astype(jnp.float32),
+                                 areas.astype(jnp.float32), flt)
+    b64 = jnp.einsum("e,exyz->xyz", jnp.where(flt, I_in / areas, 0.0),
+                     Wg64, precision=hp)
+    M32 = make_v_cycle(hier32, sigma_table.astype(jnp.float32), nu=nu,
+                       coarse_iters=coarse_iters)
+    fp = hier32.levels[0].free   # present minus the grounded patch
+
+    def Mp(r):
+        return jnp.where(fp, M32(jnp.where(fp, r, 0.0)), r)
+
+    from pelvistim_fem_tpu.ops.solve import preconditioned_cg
+    bnorm = jnp.sqrt(jnp.sum(b64 * b64))
+    x = jnp.zeros_like(b64)
+
+    def refine(carry):
+        x, rel_old, total_it, k = carry
+        done = rel_old <= tol
+        r64 = b64 - op64(x)
+        need = 0.25 * tol / jnp.minimum(rel_old, 1.0)
+        tol_k = jnp.clip(need, inner_tol, 0.05)
+        res = preconditioned_cg(op32, r64.astype(jnp.float32), Mp,
+                                jnp.zeros_like(r64, jnp.float32),
+                                tol=tol_k, maxiter=maxiter)
+        x_n = x + res.phi.astype(jnp.float64)
+        rel_n = jnp.sqrt(jnp.sum((b64 - op64(x_n)) ** 2)) / jnp.where(
+            bnorm > 0, bnorm, 1.0)
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(x_n, x), sel(rel_n, rel_old),
+                sel(total_it + res.iterations, total_it), k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = lax.while_loop(
+        cond, refine, (x, jnp.float64(jnp.inf), jnp.int32(0),
+                       jnp.int32(0)))
+
+    wphi = jnp.einsum("exyz,xyz->e", Wg64, x, precision=hp)
+    U = jnp.where(flt, (z * I_in + wphi) / areas, 0.0)
+    I_out = (U * areas - wphi) / z
+    phi_nodes = x.reshape(-1)[scase.grid_index]
+    return CEMResult(phi=phi_nodes, U=U, I=I_out,
+                     iterations=total_it, residual=rel,
+                     converged=rel <= tol)

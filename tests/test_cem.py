@@ -224,3 +224,40 @@ def test_cem_matches_meshed_thin_layer():
                           jnp.asarray([I, 0.0]), ground=1, tol=1e-12)
     V_cem = float(np.asarray(res2.U)[0])
     np.testing.assert_allclose(V_cem, V_meshed, rtol=1e-6)
+
+
+def test_stencil_cem_matches_element_path():
+    """The stencil fast-path CEM (certified f32-inner/f64-correction
+    MG solve) must reproduce the element-path CEM: the discrete system
+    is IDENTICAL (same lumped weights, same P1 stiffness), so phi/U/I
+    agree to solver tolerance on both the exact column and the partial
+    patch geometry."""
+    from pelvistim_fem_tpu.ops.cem import (solve_stencil_cem_refined,
+                                           stencil_cem_setup)
+    from pelvistim_fem_tpu.ops.stencil import stencil_host_data
+
+    for builder in (_column_case, lambda: _patch_case()):
+        mesh, case = (builder(0.05, 0.35) if builder is _column_case
+                      else builder())
+        W = cem_weights_from_bcids(case)
+        z = jnp.asarray([0.012, 0.003])
+        I = jnp.asarray([4e-3, 0.0])
+
+        ref = solve_case_cem(case, W, z, I, ground=1, tol=1e-12)
+        hd = stencil_host_data(case, mesh)
+        from pelvistim_fem_tpu.ops.stencil import build_stencil_case
+        sc = build_stencil_case(case, mesh, dtype=jnp.float64,
+                                host_data=hd)
+        Wg, present, hier = stencil_cem_setup(hd, W, ground=1)
+        res = solve_stencil_cem_refined(sc, hier, Wg, present, z, I,
+                                        ground=1, tol=1e-10)
+        assert bool(np.asarray(res.converged))
+        assert float(np.asarray(res.residual)) <= 1e-10
+        scale = float(np.abs(np.asarray(ref.phi)).max())
+        np.testing.assert_allclose(np.asarray(res.phi),
+                                   np.asarray(ref.phi),
+                                   atol=1e-8 * scale)
+        np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(res.I), np.asarray(ref.I),
+                                   rtol=1e-7)
