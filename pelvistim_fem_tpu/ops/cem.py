@@ -50,7 +50,8 @@ from pelvistim_fem_tpu.ops import assembly
 from pelvistim_fem_tpu.ops.solve import preconditioned_cg
 
 __all__ = ["CEMResult", "electrode_surface_weights",
-           "cem_weights_from_bcids", "solve_case_cem"]
+           "cem_weights_from_bcids", "solve_case_cem",
+           "stencil_cem_setup", "solve_stencil_cem_refined"]
 
 
 @jax.tree_util.register_dataclass

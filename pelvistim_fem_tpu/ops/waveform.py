@@ -59,7 +59,7 @@ from pelvistim_fem_tpu.ops.stencil import (StencilCase, combine_coeffs,
 __all__ = [
     "WaveformHarmonics", "biphasic_pulse_samples", "waveform_harmonics",
     "synthesize_series", "harmonic_transfer", "pulse_response",
-    "solve_stencil_eqs_transient",
+    "pulse_af_response", "solve_stencil_eqs_transient",
 ]
 
 
