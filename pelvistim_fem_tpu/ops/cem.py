@@ -51,6 +51,7 @@ from pelvistim_fem_tpu.ops.solve import preconditioned_cg
 
 __all__ = ["CEMResult", "electrode_surface_weights",
            "cem_weights_from_bcids", "solve_case_cem",
+           "build_cem_amg", "cem_transfer_matrix",
            "stencil_cem_setup", "solve_stencil_cem_refined"]
 
 
@@ -89,9 +90,29 @@ def cem_weights_from_bcids(case, bcids=(1, 2)):
         for b in bcids])
 
 
+def build_cem_amg(case, weights, *, ground=0, sigma_table=None,
+                  mesh=None, **kw):
+    """AMG hierarchy for the CEM preconditioner: the case's BC masks
+    are replaced by 'everything free except the grounded patch'
+    (approximating the grounded Robin contact as Dirichlet — exact as
+    z_g -> 0, and it pins the constant mode).  Pass the result as
+    solve_case_cem's `amg=` for hard-contrast imported meshes where
+    Jacobi CG crawls."""
+    import dataclasses as dc
+
+    from pelvistim_fem_tpu.ops.amg import build_amg
+    n = case.free_mask.shape[0]
+    gw = np.asarray(weights)[ground]
+    free = jnp.asarray(gw == 0)
+    case2 = dc.replace(case, free_mask=free,
+                       dirichlet_vals=jnp.zeros(n, case.dirichlet_vals.dtype),
+                       b_neumann=jnp.zeros(n, case.b_neumann.dtype))
+    return build_amg(case2, sigma_table, mesh=mesh, **kw)
+
+
 @partial(jax.jit, static_argnames=("ground", "tol", "maxiter"))
 def solve_case_cem(case, weights, z_contact, I_elec, *,
-                   sigma_table=None, ground=0, tol=1e-10,
+                   sigma_table=None, ground=0, amg=None, tol=1e-10,
                    maxiter=20_000) -> CEMResult:
     """CEM forward solve on the element path (any imported mesh).
 
@@ -138,7 +159,27 @@ def solve_case_cem(case, weights, z_contact, I_elec, *,
         case.tets, case.grads, sigvol, case.scatter_perm,
         case.scatter_segids, n)
     minv = 1.0 / (diag_k + robin_diag)            # Jacobi (sans rank-1)
-    res = preconditioned_cg(op, b, lambda r: minv * r,
+    if amg is None:
+        M = lambda r: minv * r
+    else:
+        # AMG V-cycle on the ground-pinned subspace (build_cem_amg),
+        # Jacobi on the grounded-patch rows — SPD, and the level-0 op
+        # is the TRUE CEM operator restricted to that subspace
+        from pelvistim_fem_tpu.ops.amg import make_amg_preconditioner
+        fidx = amg.free_idx
+        mask = jnp.zeros(n, bool).at[fidx].set(True)
+
+        def fine_op(xf):
+            xfull = jnp.zeros(n, b.dtype).at[fidx].set(xf)
+            return op(xfull)[fidx]
+
+        Mf = make_amg_preconditioner(amg, fine_op)
+
+        def M(r):
+            z = jnp.zeros_like(r).at[fidx].set(Mf(r[fidx]))
+            return jnp.where(mask, z, minv * r)
+
+    res = preconditioned_cg(op, b, M,
                             jnp.zeros_like(b), tol=tol, maxiter=maxiter)
 
     wphi = jnp.einsum("en,n->e", W, res.phi, precision=hp)
@@ -300,3 +341,42 @@ def solve_stencil_cem_refined(scase, hier, Wg, present, z_contact,
     return CEMResult(phi=phi_nodes, U=U, I=I_out,
                      iterations=total_it, residual=rel,
                      converged=rel <= tol)
+
+
+def cem_transfer_matrix(case, weights, z_contact, *, ground=0,
+                        sigma_table=None, amg=None, tol=1e-10,
+                        maxiter=20_000):
+    """(E, E) CEM transfer-impedance matrix: Z[l, k] = U_k for unit
+    current injected at floating electrode l (ground row/column zero
+    by the U_ground = 0 gauge).  One vmapped batch of E-1 CEM solves;
+    Z is symmetric over the floating block by reciprocity — the EIT
+    forward measurement map on REALISTIC contacts, where every
+    undriven electrode still shunts current (the lead-field
+    idealization treats them as absent; models/array.py:67-70).
+
+    Returns dict with Z, the (E-1, N) CEM lead fields (phi per unit
+    drive, rows ordered by the floating indices in "drives"), and the
+    solve diagnostics."""
+    W = np.asarray(weights)
+    E = W.shape[0]
+    drives = np.array([e for e in range(E) if e != ground])
+    patterns = np.eye(E)[drives]
+
+    one = lambda Iv: solve_case_cem(case, weights, z_contact, Iv,
+                                    sigma_table=sigma_table,
+                                    ground=ground, amg=amg, tol=tol,
+                                    maxiter=maxiter)
+    out = jax.vmap(one)(jnp.asarray(patterns))
+    residual = np.asarray(out.residual)
+    Z = np.zeros((E, E))
+    Z[drives] = np.asarray(out.U)
+    return {
+        "Z": Z,
+        "drives": drives,
+        "phi": out.phi,                    # (E-1, N) lead fields
+        "U": np.asarray(out.U),
+        "I": np.asarray(out.I),
+        "iterations": np.asarray(out.iterations),
+        "residual": residual,
+        "converged": residual <= tol,      # host-derived (axon bools)
+    }

@@ -261,3 +261,99 @@ def test_stencil_cem_matches_element_path():
                                    rtol=1e-8)
         np.testing.assert_allclose(np.asarray(res.I), np.asarray(ref.I),
                                    rtol=1e-7)
+
+
+def test_cem_amg_preconditioner_parity():
+    """AMG-preconditioned CEM (build_cem_amg: hierarchy of the plain
+    stiffness with the grounded patch pinned) must reproduce the
+    Jacobi-CG solution and converge in fewer iterations at the hard
+    7000x contrast where Jacobi crawls."""
+    from pelvistim_fem_tpu.ops.cem import build_cem_amg
+    sig_a, sig_b = 5e-5, 0.35          # step04-class contact contrast
+    mesh, case = _column_case(sig_a, sig_b)
+    W = cem_weights_from_bcids(case)
+    z = jnp.asarray([0.011, 0.004])
+    I = jnp.asarray([5e-3, 0.0])
+
+    rj = solve_case_cem(case, W, z, I, ground=1, tol=1e-11)
+    amg = build_cem_amg(case, W, ground=1, mesh=mesh,
+                        dtype=jnp.float64)
+    ra = solve_case_cem(case, W, z, I, ground=1, amg=amg, tol=1e-11)
+    assert bool(np.asarray(ra.converged))
+    assert int(ra.iterations) < int(rj.iterations), (
+        int(ra.iterations), int(rj.iterations))
+    np.testing.assert_allclose(np.asarray(ra.U), np.asarray(rj.U),
+                               rtol=1e-8)
+    scale = float(np.abs(np.asarray(rj.phi)).max())
+    np.testing.assert_allclose(np.asarray(ra.phi), np.asarray(rj.phi),
+                               atol=1e-8 * scale)
+
+    # the exact 1-D column answer still holds with AMG in the loop
+    A = L_XY * L_XY
+    Z_exact = (float(z[0]) + float(z[1])) / A + DA / (sig_a * A) \
+        + DB / (sig_b * A)
+    np.testing.assert_allclose(float(np.asarray(ra.U)[0]),
+                               float(I[0]) * Z_exact, rtol=1e-7)
+
+
+def _three_electrode_case(sig=0.3, h=0.0025):
+    """Two top patches (bcids 1 and 4) + full bottom return (bcid 2):
+    the smallest geometry where the transfer matrix has a nontrivial
+    floating block."""
+    xs = np.linspace(0, L_XY, int(L_XY / h) + 1)
+    zs = np.linspace(0, DA, int(DA / h) + 1)
+    q = L_XY / 4
+
+    def body_fn(cx, cy, cz):
+        return np.ones(cx.shape, np.int32)
+
+    def bcid_fn(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, core.BC_INSULATED, np.int32)
+        top = (nz > 0.5) & (np.abs(fz - DA) < 1e-9)
+        w = 0.004
+        p1 = top & (np.abs(fx - q) <= w) & (np.abs(fy - q) <= w)
+        p2 = top & (np.abs(fx - 3 * q) <= w) & (np.abs(fy - 3 * q) <= w)
+        out[p1] = core.BC_ACTIVE
+        out[p2] = 4
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = core.BC_RETURN
+        return out
+
+    mesh = build_mesh_from_lattice(xs, xs, zs, body_fn, bcid_fn)
+    case = build_case(mesh, {1: sig}, mode="current",
+                      injected_current_A=1.0, dtype=jnp.float64)
+    return mesh, case
+
+
+def test_cem_transfer_matrix():
+    """Z[l, k] packaging: rows match per-drive solves, the floating
+    block is symmetric (reciprocity of the SPD system), diagonal
+    dominates, and every drive's charge balances at the ground."""
+    from pelvistim_fem_tpu.ops.cem import cem_transfer_matrix
+    mesh, case = _three_electrode_case()
+    W = cem_weights_from_bcids(case, bcids=(1, 4, 2))
+    z = jnp.asarray([0.02, 0.013, 0.004])
+
+    out = cem_transfer_matrix(case, W, z, ground=2, tol=1e-11)
+    assert out["converged"].all()
+    Z = out["Z"]
+    np.testing.assert_array_equal(out["drives"], [0, 1])
+    # ground row zero (gauge)
+    np.testing.assert_allclose(Z[2], 0.0, atol=1e-15)
+
+    # reciprocity over the floating block
+    np.testing.assert_allclose(Z[0, 1], Z[1, 0], rtol=1e-8)
+    # diagonal (self) impedance dominates the mutual
+    assert Z[0, 0] > Z[0, 1] > 0
+    assert Z[1, 1] > Z[1, 0] > 0
+
+    # rows match independent single-drive solves
+    for row, e in enumerate(out["drives"]):
+        I = np.zeros(3)
+        I[e] = 1.0
+        ref = solve_case_cem(case, W, z, jnp.asarray(I), ground=2,
+                             tol=1e-11)
+        np.testing.assert_allclose(Z[e], np.asarray(ref.U), rtol=1e-9,
+                                   atol=1e-12)
+        # charge balance: all injected current exits at the ground
+        np.testing.assert_allclose(out["I"][row].sum(), 0.0, atol=1e-8)
+        np.testing.assert_allclose(out["I"][row][2], -1.0, rtol=1e-7)
