@@ -112,8 +112,8 @@ def build_cem_amg(case, weights, *, ground=0, sigma_table=None,
 
 @partial(jax.jit, static_argnames=("ground", "tol", "maxiter"))
 def solve_case_cem(case, weights, z_contact, I_elec, *,
-                   sigma_table=None, ground=0, amg=None, tol=1e-10,
-                   maxiter=20_000) -> CEMResult:
+                   sigma_table=None, ground=0, amg=None, x0=None,
+                   tol=1e-10, maxiter=20_000) -> CEMResult:
     """CEM forward solve on the element path (any imported mesh).
 
     weights: (E, N) electrode surface weights (cem_weights_from_bcids);
@@ -179,8 +179,10 @@ def solve_case_cem(case, weights, z_contact, I_elec, *,
             z = jnp.zeros_like(r).at[fidx].set(Mf(r[fidx]))
             return jnp.where(mask, z, minv * r)
 
-    res = preconditioned_cg(op, b, M,
-                            jnp.zeros_like(b), tol=tol, maxiter=maxiter)
+    res = preconditioned_cg(op, b,
+                            M, jnp.zeros_like(b) if x0 is None
+                            else jnp.asarray(x0, b.dtype),
+                            tol=tol, maxiter=maxiter)
 
     wphi = jnp.einsum("en,n->e", W, res.phi, precision=hp)
     U = jnp.where(flt, (z * I_in + wphi) / areas, 0.0)
@@ -343,9 +345,25 @@ def solve_stencil_cem_refined(scase, hier, Wg, present, z_contact,
                      converged=rel <= tol)
 
 
+@partial(jax.jit, static_argnames=("ground", "tol", "maxiter"))
+def _cem_transfer_batch(case, weights, z_contact, patterns, sigma_table,
+                        amg, phi0, *, ground, tol, maxiter):
+    """Module-level jit for the E-1 drive batch: an inverse-problem
+    outer loop calls the transfer matrix dozens of times, and a
+    per-call vmap closure would re-trace (and on axon re-COMPILE)
+    every call."""
+    one = lambda Iv, x0: solve_case_cem(case, weights, z_contact, Iv,
+                                        sigma_table=sigma_table,
+                                        ground=ground, amg=amg, x0=x0,
+                                        tol=tol, maxiter=maxiter)
+    if phi0 is None:
+        return jax.vmap(lambda Iv: one(Iv, None))(patterns)
+    return jax.vmap(one)(patterns, phi0)
+
+
 def cem_transfer_matrix(case, weights, z_contact, *, ground=0,
-                        sigma_table=None, amg=None, tol=1e-10,
-                        maxiter=20_000):
+                        sigma_table=None, amg=None, phi0=None,
+                        tol=1e-10, maxiter=20_000):
     """(E, E) CEM transfer-impedance matrix: Z[l, k] = U_k for unit
     current injected at floating electrode l (ground row/column zero
     by the U_ground = 0 gauge).  One vmapped batch of E-1 CEM solves;
@@ -362,11 +380,10 @@ def cem_transfer_matrix(case, weights, z_contact, *, ground=0,
     drives = np.array([e for e in range(E) if e != ground])
     patterns = np.eye(E)[drives]
 
-    one = lambda Iv: solve_case_cem(case, weights, z_contact, Iv,
-                                    sigma_table=sigma_table,
-                                    ground=ground, amg=amg, tol=tol,
-                                    maxiter=maxiter)
-    out = jax.vmap(one)(jnp.asarray(patterns))
+    out = _cem_transfer_batch(case, jnp.asarray(weights), z_contact,
+                              jnp.asarray(patterns), sigma_table, amg,
+                              phi0, ground=ground, tol=tol,
+                              maxiter=maxiter)
     residual = np.asarray(out.residual)
     Z = np.zeros((E, E))
     Z[drives] = np.asarray(out.U)
