@@ -464,15 +464,85 @@ def main():
         shape_ratio = float(np.abs(af_t).max() / np.abs(
             np.asarray(af["af"])[np.isfinite(af["af"])]).max())
         t_pulse = time.perf_counter() - t0
+
+        # CRRSS cable simulation on the SAME time-resolved path
+        # potentials (pres["series"] is phi(t, s) [V] at the injected
+        # amplitude): the surrogate-free threshold the AF/Lapicque/
+        # Weiss chain approximates.  Nodes at the true internodal
+        # spacing centered on the AF hotspot; one log-bisection, every
+        # probe a fused scan (ops/cable.py).
+        from pelvistim_fem_tpu.ops.cable import (build_fiber,
+                                                 threshold_scale_bisect)
+        D_um = float(nv.get("d_ref_um", 10.0))
+        seg = np.linalg.norm(np.diff(path, axis=0), axis=1)
+        s_path = np.concatenate([[0.0], np.cumsum(seg)])
+        t_win = min(4.0 * pw_s + 1e-3, period)
+        tt_s = np.asarray(pres["times_s"])
+        sel_t = tt_s <= t_win
+        phi_ts = np.asarray(pres["series"])[sel_t]      # (Tw, P) volts
+        dt_ms = 2e-3                                    # 2 us steps
+        t_ms = np.arange(0.0, t_win * 1e3, dt_ms)
+
+        # ONE vmapped bisection across the diameter spectrum (every
+        # probe a batched scan) — the simulated recruitment curve the
+        # (d_ref/d)^2 surrogate approximates.  Same field, each
+        # diameter resampled at its own internodal spacing around the
+        # hotspot; fibers are PASSING (no Ve drive at the truncation
+        # compartments — ops/cable.build_fiber docstring).  The d_ref
+        # headline threshold is read off the same batch so single and
+        # population numbers share one node grid.
+        import jax as _jax
+        L_max = 100.0 * float(diam.max()) * 1e-6
+        n_pop = min(41, int(s_path[-1] / L_max) - 1)
+        half_p = (n_pop - 1) / 2.0
+
+        def _ve_for(d_um):
+            L = 100.0 * d_um * 1e-6
+            s0d = np.clip(af["argmax_AF_s"], half_p * L,
+                          s_path[-1] - half_p * L)
+            sn = s0d + (np.arange(n_pop) - half_p) * L
+            vn = np.stack([np.interp(sn, s_path, row)
+                           for row in phi_ts])
+            return np.stack(
+                [np.interp(t_ms, tt_s[sel_t] * 1e3, vn[:, k])
+                 for k in range(n_pop)], axis=1) * 1e3
+
+        fibs = [build_fiber(float(d), n_pop, dt_ms=dt_ms)
+                for d in diam]
+        fib_stack = _jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *fibs)
+        ve_stack = jnp.asarray(np.stack([_ve_for(float(d))
+                                         for d in diam]))
+        thr_pop = np.asarray(_jax.vmap(
+            lambda f, v: threshold_scale_bisect(f, v, amp_hi=512.0))(
+                fib_stack, ve_stack))
+        frac_cable = float(np.interp(1.0, amps,
+                                     recruitment_curve(thr_pop, amps)))
+        thr_cable = float(thr_pop[int(np.argmin(np.abs(diam - D_um)))])
+
         print(f"  pulse AF ({len(pres['active_harmonics'])} certified "
               f"harmonic solves, {t_pulse:.1f} s): waveform-aware "
               f"threshold {thr_wave:.2f}x ({thr_wave*I_mA:.1f} mA) vs "
               f"Weiss-factored static {thr_weiss:.2f}x "
               f"({thr_weiss*I_mA:.1f} mA); intra-pulse/static AF "
               f"shape ratio {shape_ratio:.3f}")
+        print(f"  CRRSS cable ({n_pop} nodes, {D_um:.0f} um): "
+              f"threshold {thr_cable:.2f}x "
+              f"({thr_cable*I_mA:.1f} mA) — the simulation the "
+              f"surrogates approximate")
+        fin_pop = thr_pop[np.isfinite(thr_pop)]
+        print(f"  cable population ({diam.min():.0f}-{diam.max():.0f} "
+              f"um, one vmapped bisection): thresholds "
+              f"{fin_pop.min()*I_mA:.0f}-{fin_pop.max()*I_mA:.0f} mA, "
+              f"{100*frac_cable:.0f}% recruited at {I_mA} mA "
+              f"(surrogate curve said {100*frac_injected:.0f}%)")
         pulse_extra = {
             "pulse_threshold_lapicque_mA": thr_wave * I_mA,
             "pulse_threshold_weiss_mA": thr_weiss * I_mA,
+            "pulse_threshold_cable_mA": thr_cable * I_mA,
+            "pulse_cable_thresholds_mA":
+                (thr_pop * I_mA).round(2).tolist(),
+            "pulse_recruited_frac_cable": frac_cable,
             "pulse_af_shape_ratio": shape_ratio,
             "pulse_harmonics": int(len(pres["active_harmonics"])),
             "pulse_max_true_residual": float(pres["residual"].max()),

@@ -91,7 +91,7 @@ class FiberGeometry:
 
 
 def build_fiber(D_um, n_nodes, dt_ms=0.001, *, d_ratio=0.7,
-                node_len_um=1.5, L_over_D=100.0):
+                node_len_um=1.5, L_over_D=100.0, passing=True):
     """Host-side setup for a fiber of outer diameter D_um with n_nodes
     nodes of Ranvier (McNeal geometry: internode L = 100 D, axon
     d = 0.7 D, nodal gap 1.5 um).
@@ -101,6 +101,17 @@ def build_fiber(D_um, n_nodes, dt_ms=0.001, *, d_ratio=0.7,
         V' = M_impl @ (M_expl @ V) + M_src @ Ve - inv_c*area_ion_term,
     i.e. exclusively matmuls — the batched (fibers x amps) threshold
     search runs on the MXU instead of a sequential tridiagonal sweep.
+
+    passing=True (default) models a fiber that TRAVERSES the sampled
+    window: the two terminal compartments receive no extracellular
+    drive (Ve treated as locally constant there), because a sealed end
+    inside a nonzero field otherwise acts as a virtual electrode and
+    the truncation point — an artifact of where the sampling window
+    ends, not anatomy — sets the threshold (measured on the S3 path:
+    truncation-end triggering shifted thresholds 2-3x as the window
+    length changed).  Spike CONDUCTION through the ends is untouched.
+    Set passing=False only for a fiber that anatomically terminates in
+    the field.
     """
     D_cm = D_um * 1e-4
     d_cm = d_ratio * D_cm                       # axon diameter
@@ -127,7 +138,11 @@ def build_fiber(D_um, n_nodes, dt_ms=0.001, *, d_ratio=0.7,
     # Ve enters through the same cable Laplacian; CN-average both
     # endpoints is overkill for sampled Ve — mid-step evaluation keeps
     # O(dt^2) (tests pin strength-duration + velocity, not Ve phase)
-    m_src = dt_ms * (m_impl @ lap)
+    lap_src = lap.copy()
+    if passing:
+        lap_src[0, :] = 0.0         # no Ve drive at the truncation
+        lap_src[-1, :] = 0.0        # compartments (see docstring)
+    m_src = dt_ms * (m_impl @ lap_src)
     return FiberGeometry(M_impl=jnp.asarray(m_impl, jnp.float64),
                          M_expl=jnp.asarray(m_expl, jnp.float64),
                          M_src=jnp.asarray(m_src, jnp.float64),

@@ -163,7 +163,10 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
     table's values at `bodies` as the start.
 
     Returns dict: sigma_table (full fitted table), z (E,), loss_history
-    (normalized ||r||^2 per residual evaluation), n_forward, converged.
+    (normalized ||r||^2 per residual evaluation), n_forward, converged,
+    log_std (linearized posterior std of each fitted LOG parameter —
+    ~relative std — at the achieved residual rms; ordered fit_bodies
+    then fit_zidx), residual_rms.
     """
     from scipy.optimize import least_squares
 
@@ -252,6 +255,19 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
     res = least_squares(resid, p0, jac=jac, method="lm",
                         xtol=1e-15, ftol=1e-15, gtol=1e-14,
                         max_nfev=max_nfev)
+    # linearized posterior: std of each LOG parameter (~ relative std)
+    # for measurement noise at the achieved residual rms — what the
+    # data can actually pin, which for weakly-observed parameters
+    # (deep layers) is the honest error bar, not the point estimate.
+    # The floor on "noise" even for synthetic data is the solver
+    # tolerance amplified by the operator conditioning.
+    Jf = jac(res.x)
+    rms = np.sqrt(2.0 * res.cost / max(Jf.shape[0], 1))
+    try:
+        cov = np.linalg.inv(Jf.T @ Jf)
+        log_std = rms * np.sqrt(np.maximum(np.diag(cov), 0.0))
+    except np.linalg.LinAlgError:
+        log_std = np.full(Jf.shape[1], np.inf)
     base, z = unpack(res.x)
     final_loss = 2.0 * res.cost / denom
     state["history"].append(final_loss)
@@ -259,4 +275,6 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
         final_loss <= 1e-14
     return {"sigma_table": base, "z": z,
             "loss_history": state["history"],
-            "n_forward": state["n_forward"], "converged": converged}
+            "n_forward": state["n_forward"], "converged": converged,
+            "log_std": log_std, "fit_bodies": list(bodies),
+            "fit_zidx": list(zidx), "residual_rms": float(rms)}

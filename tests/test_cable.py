@@ -209,3 +209,44 @@ def test_fem_field_drives_cable():
     # the threshold current is physiological: fractions of a mA to a
     # few mA for a surface electrode 8 mm above a 10 um fiber
     assert 0.05 < thr_100 < 50.0, thr_100
+
+
+def test_passing_ends_suppress_truncation_artifact():
+    """A fiber window whose END sits in a strong field: with sealed
+    ends the truncation compartment acts as a virtual electrode and
+    fires at a spuriously LOW threshold (set by where the sampling
+    window happens to stop); the passing-fiber default drops the Ve
+    drive at the terminals, so the trigger moves to the physical
+    hotspot and the threshold stabilizes against the window length."""
+    D = 10.0
+    L_m = 100.0 * D * 1e-6
+    h = 1e-3
+
+    def prof(n, center):
+        x = (np.arange(n) - center) * L_m
+        r = np.sqrt(x * x + h * h)
+        return -1e3 / (4 * np.pi * 0.3 * r)
+
+    # source just OUTSIDE the window (above virtual node -2): there is
+    # NO physical hotspot inside the window — a sealed end still fires
+    # (the truncation compartment is a virtual electrode), the passing
+    # fiber correctly never does
+    n = 31
+    ve = _pulse_drive(prof(n, -2.0), 100)
+    t_pass = float(threshold_scale_bisect(
+        build_fiber(D, n, dt_ms=DT), ve, amp_hi=4096.0))
+    t_seal = float(threshold_scale_bisect(
+        build_fiber(D, n, dt_ms=DT, passing=False), ve, amp_hi=4096.0))
+    assert np.isfinite(t_seal), t_seal
+    assert np.isinf(t_pass), t_pass
+
+    # window-length stability with an INTERIOR hotspot (node under the
+    # source in both windows): widening the window must not move the
+    # passing threshold
+    t31 = float(threshold_scale_bisect(
+        build_fiber(D, 31, dt_ms=DT),
+        _pulse_drive(prof(31, 15.0), 100)))
+    t41 = float(threshold_scale_bisect(
+        build_fiber(D, 41, dt_ms=DT),
+        _pulse_drive(prof(41, 20.0), 100)))
+    assert abs(t41 / t31 - 1) < 0.05, (t31, t41)
