@@ -52,7 +52,8 @@ from pelvistim_fem_tpu.ops.solve import preconditioned_cg
 __all__ = ["CEMResult", "electrode_surface_weights",
            "cem_weights_from_bcids", "solve_case_cem",
            "build_cem_amg", "cem_transfer_matrix",
-           "stencil_cem_setup", "solve_stencil_cem_refined"]
+           "stencil_cem_setup", "solve_stencil_cem_refined",
+           "stencil_cem_transfer_matrix"]
 
 
 @jax.tree_util.register_dataclass
@@ -384,6 +385,57 @@ def cem_transfer_matrix(case, weights, z_contact, *, ground=0,
                               jnp.asarray(patterns), sigma_table, amg,
                               phi0, ground=ground, tol=tol,
                               maxiter=maxiter)
+    residual = np.asarray(out.residual)
+    Z = np.zeros((E, E))
+    Z[drives] = np.asarray(out.U)
+    return {
+        "Z": Z,
+        "drives": drives,
+        "phi": out.phi,                    # (E-1, N) lead fields
+        "U": np.asarray(out.U),
+        "I": np.asarray(out.I),
+        "iterations": np.asarray(out.iterations),
+        "residual": residual,
+        "converged": residual <= tol,      # host-derived (axon bools)
+    }
+
+
+@partial(jax.jit, static_argnames=("ground", "tol", "inner_tol",
+                                   "maxiter", "nu", "coarse_iters",
+                                   "max_refinements"))
+def _stencil_cem_transfer_batch(scase, hier, Wg, present, z_contact,
+                                patterns, sigma_table, *, ground, tol,
+                                inner_tol, maxiter, nu, coarse_iters,
+                                max_refinements):
+    one = lambda Iv: solve_stencil_cem_refined(
+        scase, hier, Wg, present, z_contact, Iv,
+        sigma_table=sigma_table, ground=ground, tol=tol,
+        inner_tol=inner_tol, maxiter=maxiter, nu=nu,
+        coarse_iters=coarse_iters, max_refinements=max_refinements)
+    return jax.vmap(one)(patterns)
+
+
+def stencil_cem_transfer_matrix(scase, hier, Wg, present, z_contact, *,
+                                ground=0, sigma_table=None, tol=1e-8,
+                                inner_tol=3e-4, maxiter=2_000, nu=2,
+                                coarse_iters=24, max_refinements=8):
+    """cem_transfer_matrix on the stencil fast path: the (E, E) EIT
+    measurement map at generated-lattice (megatet) scale as ONE
+    vmapped batch of E-1 certified CEM solves (f32 MG inner + f64
+    residual correction).  Inputs from stencil_cem_setup; same return
+    contract as the element-path twin (phi rows are node-ordered lead
+    fields)."""
+    E = Wg.shape[0]
+    drives = np.array([e for e in range(E) if e != ground])
+    patterns = np.eye(E)[drives]
+    if sigma_table is None:
+        sigma_table = scase.sigma_table
+    out = _stencil_cem_transfer_batch(
+        scase, hier, Wg, present, jnp.asarray(z_contact),
+        jnp.asarray(patterns), jnp.asarray(sigma_table),
+        ground=ground, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+        nu=nu, coarse_iters=coarse_iters,
+        max_refinements=max_refinements)
     residual = np.asarray(out.residual)
     Z = np.zeros((E, E))
     Z[drives] = np.asarray(out.U)

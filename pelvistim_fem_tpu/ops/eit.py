@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from pelvistim_fem_tpu.ops.cem import cem_transfer_matrix
 
 __all__ = ["eit_jacobians", "eit_recover", "eit_sensitivity_cells",
-           "eit_difference_image"]
+           "eit_difference_image", "stencil_eit_jacobians",
+           "eit_recover_stencil"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -54,6 +55,20 @@ def _lead_gradients(case, phi):
     """(D, M, 3) per-element gradients of the (D, N) lead fields."""
     return jnp.einsum("mkc,dmk->dmc", case.grads, phi[:, case.tets],
                       precision=_HP)
+
+
+def _contact_jacobian(W2, phi2, U, z):
+    """(D, D, E) dZ[l, k]/dz_m from lumped surface weights: W2 (E, M)
+    and phi2 (D, M) share any indexing (mesh nodes or grid slots)."""
+    area = W2.sum(axis=1)
+    T = jnp.einsum("mn,ln->lm", W2, phi2, precision=_HP)     # (D, E)
+    Q = jnp.einsum("mn,ln,kn->lkm", W2, phi2, phi2,
+                   precision=_HP)                            # (D, D, E)
+    # sum_n W[m,n] (phi_l - U[l,m]) (phi_k - U[k,m]), expanded
+    s = (Q - U[None, :, :] * T[:, None, :]
+         - U[:, None, :] * T[None, :, :]
+         + U[:, None, :] * U[None, :, :] * area[None, None, :])
+    return s / (z * z)[None, None, :]
 
 
 def eit_jacobians(case, weights, z_contact, out, *, n_bodies=None):
@@ -82,15 +97,7 @@ def eit_jacobians(case, weights, z_contact, out, *, n_bodies=None):
     J_sigma = -jnp.einsum("lmc,kmc,m,mb->lkb", G, G, gv,
                           onehot.astype(jnp.float64), precision=_HP)
 
-    area = W.sum(axis=1)                                 # (E,)
-    T = jnp.einsum("mn,ln->lm", W, phi, precision=_HP)   # (D, E)
-    Q = jnp.einsum("mn,ln,kn->lkm", W, phi, phi,
-                   precision=_HP)                        # (D, D, E)
-    # sum_n W[m,n] (phi_l - U[l,m]) (phi_k - U[k,m]), expanded
-    s = (Q - U[None, :, :] * T[:, None, :]
-         - U[:, None, :] * T[None, :, :]
-         + U[:, None, :] * U[None, :, :] * area[None, None, :])
-    J_z = s / (z * z)[None, None, :]
+    J_z = _contact_jacobian(W, phi, U, z)
     del drives
     return np.asarray(J_sigma), np.asarray(J_z)
 
@@ -132,7 +139,7 @@ def eit_difference_image(case, out, dZ, *, lam_rel=1e-3):
 
 def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
                 fit_z=True, amg=None, max_nfev=60, tol=1e-11,
-                verbose=False):
+                verbose=False, forward_fn=None, jacobian_fn=None):
     """Recover sigma_table[bodies] (and optionally contact impedances)
     from measured electrode-voltage blocks by Levenberg-Marquardt on
     log parameters (scipy MINPACK drives the trust region host-side;
@@ -161,6 +168,13 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
 
     z0: (E,) starting contact impedances.  sigma0 overrides the case
     table's values at `bodies` as the start.
+
+    forward_fn(sigma_table, z, ground, phi0) -> transfer dict and
+    jacobian_fn(z, out, sigma_table) -> (J_sigma, J_z) inject a
+    different discretization backend (eit_recover_stencil wires the
+    lattice fast path); defaults are the element-path
+    cem_transfer_matrix / eit_jacobians.  `case` then only needs a
+    .sigma_table attribute.
 
     Returns dict: sigma_table (full fitted table), z (E,), loss_history
     (normalized ||r||^2 per residual evaluation), n_forward, converged,
@@ -195,6 +209,17 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
         zv[zidx] = np.exp(p[nb:])
         return tab, zv
 
+    if forward_fn is None:
+        def forward_fn(tab, zv, g, phi0):
+            return cem_transfer_matrix(case, weights, jnp.asarray(zv),
+                                       ground=g, amg=amg,
+                                       sigma_table=jnp.asarray(tab),
+                                       phi0=phi0, tol=tol)
+    if jacobian_fn is None:
+        def jacobian_fn(zv, out, tab):
+            return eit_jacobians(case, weights, zv, out,
+                                 n_bodies=base.shape[0])
+
     state = {"n_forward": 0, "bad": False, "history": [], "phi": {}}
     cache = {}
 
@@ -207,12 +232,7 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
                 # warm-start each drive's CG from the last evaluation's
                 # lead field: LM probes nearby parameters, so CG only
                 # pays for the DIFFERENCE (~3-5x fewer iterations)
-                out = cem_transfer_matrix(case, weights,
-                                          jnp.asarray(zv), ground=g,
-                                          amg=amg,
-                                          sigma_table=jnp.asarray(tab),
-                                          phi0=state["phi"].get(g),
-                                          tol=tol)
+                out = forward_fn(tab, zv, g, state["phi"].get(g))
                 state["phi"][g] = out["phi"]
                 outs.append(out)
             state["n_forward"] += len(grounds)
@@ -242,8 +262,7 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
         tab, zv = unpack(p)
         rows = []
         for out in outs:
-            J_sig, J_z = eit_jacobians(case, weights, zv, out,
-                                       n_bodies=base.shape[0])
+            J_sig, J_z = jacobian_fn(zv, out, tab)
             D = J_sig.shape[0]
             cols = [J_sig[:, :, b].reshape(D * D) * tab[b]
                     for b in bodies]
@@ -278,3 +297,69 @@ def eit_recover(case, weights, measurements, *, bodies, z0, sigma0=None,
             "n_forward": state["n_forward"], "converged": converged,
             "log_std": log_std, "fit_bodies": list(bodies),
             "fit_zidx": list(zidx), "residual_rms": float(rms)}
+
+
+def stencil_eit_jacobians(scase, Wg, z_contact, out):
+    """Fast-path analytic Jacobians at generated-lattice scale.
+
+    The stencil operator is already BODY-FACTORED (StencilCase.coeff:
+    K(sigma) = sum_b sigma_b K_b), so the volume integral collapses to
+        dZ[l, k]/dsigma_b = -phi_l^T K_b phi_k
+    — one 27-point stencil apply per body per lead field and a dot
+    product.  No per-element gradients exist or are needed; at megatet
+    scale this is a handful of fused elementwise kernels.  Contact
+    derivatives use the same lumped surface expansion as the element
+    path, on grid slots.
+
+    out: stencil_cem_transfer_matrix(...) result.  Returns
+    (J_sigma (D, D, n_bodies + 1), J_z (D, D, E)) with the sigma axis
+    aligned to sigma_table slots (slot 0 unused, zero column).
+    """
+    from pelvistim_fem_tpu.ops.stencil import stencil_spmv
+
+    phi = jnp.asarray(out["phi"], jnp.float64)           # (D, N)
+    E, X, Y, Z = Wg.shape
+    G = X * Y * Z
+    D = phi.shape[0]
+    pg = jnp.zeros((D, G), jnp.float64) \
+        .at[:, scase.grid_index].set(phi).reshape(D, X, Y, Z)
+    coeff = scase.coeff.astype(jnp.float64)
+    Kb = jax.vmap(lambda c: jax.vmap(
+        lambda p: stencil_spmv(p, c))(pg))(coeff)        # (B, D, grid)
+    Jb = -jnp.einsum("lxyz,bkxyz->lkb", pg, Kb, precision=_HP)
+    J_sigma = jnp.concatenate(
+        [jnp.zeros((D, D, 1), Jb.dtype), Jb], axis=2)
+    J_z = _contact_jacobian(Wg.reshape(E, G).astype(jnp.float64),
+                            pg.reshape(D, G),
+                            jnp.asarray(out["U"], jnp.float64),
+                            jnp.asarray(z_contact, jnp.float64))
+    return np.asarray(J_sigma), np.asarray(J_z)
+
+
+def eit_recover_stencil(scase, hier, Wg, present, measurements, *,
+                        bodies, z0, tol=1e-8, **kw):
+    """eit_recover on the lattice fast path: every forward is one
+    vmapped batch of certified stencil CEM solves
+    (cem.stencil_cem_transfer_matrix) and J_sigma comes straight from
+    the body-factored stencil coefficients (stencil_eit_jacobians) —
+    tissue + contact identification at megatet scale.
+
+    All measurements must share the ground electrode that
+    stencil_cem_setup pinned into `hier` (re-referenced protocols need
+    one setup per reference).
+    """
+    from pelvistim_fem_tpu.ops.cem import stencil_cem_transfer_matrix
+
+    def fwd(tab, zv, g, phi0):
+        del phi0       # the refined stencil solve has no warm start
+        return stencil_cem_transfer_matrix(
+            scase, hier, Wg, present, zv, ground=g,
+            sigma_table=jnp.asarray(tab), tol=tol)
+
+    def jac(zv, out, tab):
+        del tab
+        return stencil_eit_jacobians(scase, Wg, zv, out)
+
+    return eit_recover(scase, None, measurements, bodies=bodies,
+                       z0=z0, tol=tol, forward_fn=fwd,
+                       jacobian_fn=jac, **kw)

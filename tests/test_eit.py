@@ -225,3 +225,76 @@ def test_eit_sensitivity_concentrates_under_electrodes():
     top = s[cz > 0.75 * LZ].mean()
     bulk = s[(cz > 0.25 * LZ) & (cz < 0.5 * LZ)].mean()
     assert top > 5 * bulk, (top, bulk)
+
+
+def _stencil_setup(case, mesh, ground):
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.ops.cem import stencil_cem_setup
+    from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                               stencil_host_data)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float64,
+                            host_data=hd)
+    W = cem_weights_from_bcids(case, bcids=BCIDS)
+    Wg, present, hier = stencil_cem_setup(hd, W, ground=ground)
+    return sc, hier, W, Wg, present
+
+
+def test_stencil_transfer_matrix_matches_element():
+    """The stencil fast-path transfer matrix must reproduce the
+    element path (identical discrete system), and its Jacobians —
+    J_sigma straight from the body-factored stencil coefficients, no
+    per-element gradients — must match the element-path einsums."""
+    from pelvistim_fem_tpu.ops.cem import stencil_cem_transfer_matrix
+    from pelvistim_fem_tpu.ops.eit import stencil_eit_jacobians
+    mesh, case = _four_electrode_case()
+    sc, hier, W, Wg, present = _stencil_setup(case, mesh, GROUND)
+    z = np.array([0.02, 0.012, 0.03, 0.004])
+
+    ref = cem_transfer_matrix(case, W, jnp.asarray(z), ground=GROUND,
+                              tol=1e-11)
+    out = stencil_cem_transfer_matrix(sc, hier, Wg, present,
+                                      jnp.asarray(z), ground=GROUND,
+                                      tol=1e-10)
+    assert out["converged"].all()
+    np.testing.assert_allclose(out["Z"], ref["Z"], rtol=1e-7,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["phi"]),
+                               np.asarray(ref["phi"]),
+                               atol=1e-7 * np.abs(ref["phi"]).max())
+
+    J_se, J_ze = eit_jacobians(case, W, z, ref)
+    J_ss, J_zs = stencil_eit_jacobians(sc, Wg, z, out)
+    assert J_ss.shape == J_se.shape
+    np.testing.assert_allclose(J_ss, J_se,
+                               atol=1e-6 * np.abs(J_se).max())
+    np.testing.assert_allclose(J_zs, J_ze,
+                               atol=1e-6 * np.abs(J_ze).max())
+
+
+def test_eit_recover_stencil_roundtrip():
+    """Joint (sigma, patch z) recovery entirely on the lattice fast
+    path: certified stencil CEM forwards + coefficient-stack
+    Jacobians."""
+    from pelvistim_fem_tpu.ops.cem import stencil_cem_transfer_matrix
+    from pelvistim_fem_tpu.ops.eit import eit_recover_stencil
+    sig_true = (0.21, 0.047)
+    z_true = np.array([0.018, 0.011, 0.027, 0.0045])
+    mesh, case = _four_electrode_case(sig=sig_true)
+    sc, hier, W, Wg, present = _stencil_setup(case, mesh, GROUND)
+    U = stencil_cem_transfer_matrix(sc, hier, Wg, present,
+                                    jnp.asarray(z_true), ground=GROUND,
+                                    tol=1e-11)
+    U_meas = U["Z"][np.ix_(U["drives"], U["drives"])]
+
+    z0 = z_true * [3.0, 0.5, 2.0, 1.0]             # pad z known/held
+    rec = eit_recover_stencil(sc, hier, Wg, present,
+                              [(GROUND, U_meas)], bodies=[1, 2],
+                              sigma0=[0.5, 0.02], z0=z0,
+                              fit_z=(0, 1, 2), tol=1e-11)
+    assert rec["converged"]
+    assert rec["loss_history"][-1] < 1e-13
+    np.testing.assert_allclose(rec["sigma_table"][1:3], sig_true,
+                               rtol=1e-4)
+    np.testing.assert_allclose(rec["z"], z_true, rtol=1e-4)
