@@ -53,7 +53,8 @@ __all__ = ["CEMResult", "electrode_surface_weights",
            "cem_weights_from_bcids", "solve_case_cem",
            "build_cem_amg", "cem_transfer_matrix",
            "stencil_cem_setup", "solve_stencil_cem_refined",
-           "stencil_cem_transfer_matrix"]
+           "stencil_cem_transfer_matrix", "cpe_contact_impedance",
+           "solve_stencil_cem_eqs_refined"]
 
 
 @jax.tree_util.register_dataclass
@@ -449,3 +450,160 @@ def stencil_cem_transfer_matrix(scase, hier, Wg, present, z_contact, *,
         "residual": residual,
         "converged": residual <= tol,      # host-derived (axon bools)
     }
+
+
+# ── complex (EQS) CEM: frequency-dependent contact impedance ────────────────
+#
+# The real CEM above treats z_l as a resistance.  A physical electrode
+# interface is CAPACITIVE (double layer / CPE): z_l = z_l(omega) is
+# complex, and tissue itself is complex kappa = sigma + i omega eps0
+# epsr (ops/eqs.py).  The complex CEM operator
+#
+#   A(x) = K(kappa) x + sum_m diag(W_m)/z_m x
+#          - sum_{m != g} (w_m^T x)/(z_m |E_m|) w_m
+#
+# stays COMPLEX-SYMMETRIC (K symmetric, complex diagonal, symmetric
+# rank-1 terms), so the same Smith-scaled COCG + real-sigma V-cycle
+# machinery applies, under the f64-correction certified contract.
+# This is the spectroscopy twin of the meshed dispersive contact layer
+# (run_impedance --dispersive): the thin-layer equivalence
+# z(omega) = t / kappa_c(omega) is pinned by test at every frequency.
+
+
+def cpe_contact_impedance(freqs_hz, *, z_ser=0.0, q_cpe=1.0,
+                          alpha=0.8):
+    """(F, E?) -> (F,) complex contact impedance of a series
+    resistance + constant-phase element:  z(w) = z_ser + 1/(q (i w)^a)
+    [ohm m^2].  alpha = 1 is an ideal double-layer capacitor (q = C_dl
+    per area), alpha ~ 0.7-0.9 matches real electrode interfaces."""
+    w = 2 * np.pi * np.asarray(freqs_hz, np.float64)
+    jw_a = np.power(1j * w, alpha)
+    return z_ser + 1.0 / (q_cpe * jw_a)
+
+
+def _stencil_cem_eqs_operator(scase, kr_table, ki_table, Wg, present,
+                              z2, areas, flt):
+    """Masked complex CEM operator on stacked (2, X, Y, Z) fields."""
+    from pelvistim_fem_tpu.ops.eqs import _cdiv
+    from pelvistim_fem_tpu.ops.stencil import combine_coeffs, stencil_spmv
+    Cr = combine_coeffs(scase.coeff, kr_table)
+    Ci = combine_coeffs(scase.coeff, ki_table)
+    hp = jax.lax.Precision.HIGHEST
+    # robin = sum_m W_m / z_m  (complex reciprocal, E-sized scalars)
+    zmag2 = z2[0] ** 2 + z2[1] ** 2
+    inv_z = jnp.stack([z2[0] / zmag2, -z2[1] / zmag2])     # (2, E)
+    robin = jnp.einsum("ce,exyz->cxyz", inv_z, Wg, precision=hp)
+
+    def op(x2):
+        xz = jnp.where(present[None], x2, 0.0)
+        xr, xi = xz[0], xz[1]
+        kx = jnp.stack([stencil_spmv(xr, Cr) - stencil_spmv(xi, Ci),
+                        stencil_spmv(xr, Ci) + stencil_spmv(xi, Cr)])
+        wx = jnp.einsum("exyz,cxyz->ce", Wg, xz, precision=hp)
+        den = jnp.stack([z2[0] * areas, z2[1] * areas])
+        r1 = _cdiv(wx, den)                               # (2, E)
+        r1 = jnp.where(flt[None], r1, 0.0)
+        rob = jnp.stack([robin[0] * xr - robin[1] * xi,
+                         robin[0] * xi + robin[1] * xr])
+        out = kx + rob - jnp.einsum("ce,exyz->cxyz", r1, Wg,
+                                    precision=hp)
+        return jnp.where(present[None], out, x2)
+
+    return op
+
+
+@partial(jax.jit, static_argnames=("ground", "tol", "inner_tol",
+                                   "maxiter", "nu", "coarse_iters",
+                                   "max_refinements"))
+def solve_stencil_cem_eqs_refined(scase, hier, Wg, present, z2,
+                                  I_elec, *, ki_table, kr_table=None,
+                                  ground=0, tol=1e-8, inner_tol=3e-4,
+                                  maxiter=2_000, nu=2, coarse_iters=24,
+                                  max_refinements=8) -> CEMResult:
+    """Complex CEM on the stencil fast path: f32 COCG inner sweeps
+    preconditioned per component by the REAL-kappa ground-pinned
+    V-cycle, f64 residual correction against the f64 master complex
+    CEM operator (certified TRUE residual).
+
+    z2: (2, E) stacked complex contact impedances [ohm m^2];
+    ki_table: (T,) omega*eps0*epsr admittivities; kr_table defaults to
+    scase.sigma_table; I_elec: (E,) REAL drive currents.  Returns
+    CEMResult with stacked complex phi (2, N), U (2, E), I (2, E).
+    """
+    from jax import lax
+
+    from pelvistim_fem_tpu.ops.eqs import _cdiv, _cocg, _hnorm
+    from pelvistim_fem_tpu.ops.multigrid import make_v_cycle
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("solve_stencil_cem_eqs_refined")
+    kr = scase.sigma_table if kr_table is None else kr_table
+    to = lambda a, dt: jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, a)
+    sc64, sc32 = to(scase, jnp.float64), to(scase, jnp.float32)
+    hier32 = to(hier, jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    z64 = jnp.asarray(z2, jnp.float64)
+    I_in = jnp.asarray(I_elec, jnp.float64)
+    E = Wg.shape[0]
+    flt = jnp.arange(E) != ground
+    Wg64 = Wg.astype(jnp.float64)
+    areas = Wg64.sum(axis=(1, 2, 3))
+
+    op64 = _stencil_cem_eqs_operator(
+        sc64, kr.astype(jnp.float64), ki_table.astype(jnp.float64),
+        Wg64, present, z64, areas, flt)
+    op32 = _stencil_cem_eqs_operator(
+        sc32, kr.astype(jnp.float32), ki_table.astype(jnp.float32),
+        Wg.astype(jnp.float32), present, z64.astype(jnp.float32),
+        areas.astype(jnp.float32), flt)
+    breal = jnp.einsum("e,exyz->xyz", jnp.where(flt, I_in / areas, 0.0),
+                       Wg64, precision=hp)
+    b64 = jnp.stack([breal, jnp.zeros_like(breal)])
+
+    M32 = make_v_cycle(hier32, kr.astype(jnp.float32), nu=nu,
+                       coarse_iters=coarse_iters)
+    fp = hier32.levels[0].free   # present minus the grounded patch
+
+    def Mp(r2):
+        zr = jnp.where(fp, M32(jnp.where(fp, r2[0], 0.0)), r2[0])
+        zi = jnp.where(fp, M32(jnp.where(fp, r2[1], 0.0)), r2[1])
+        return jnp.stack([zr, zi])
+
+    bnorm = _hnorm(b64)
+    x = jnp.zeros_like(b64)
+
+    def refine(carry):
+        x, rel_old, total_it, k = carry
+        done = rel_old <= tol
+        r64 = b64 - op64(x)
+        need = 0.25 * tol / jnp.minimum(rel_old, 1.0)
+        tol_k = jnp.clip(need, inner_tol, 0.05)
+        dx, it, _ = _cocg(op32, r64.astype(jnp.float32), Mp,
+                          jnp.zeros_like(r64, jnp.float32),
+                          tol=tol_k, maxiter=maxiter)
+        x_n = x + dx.astype(jnp.float64)
+        rel_n = _hnorm(b64 - op64(x_n)) / jnp.where(bnorm > 0, bnorm,
+                                                    1.0)
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(x_n, x), sel(rel_n, rel_old),
+                sel(total_it + it, total_it), k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = lax.while_loop(
+        cond, refine, (x, jnp.float64(jnp.inf), jnp.int32(0),
+                       jnp.int32(0)))
+
+    wphi = jnp.einsum("exyz,cxyz->ce", Wg64, x, precision=hp)  # (2, E)
+    zI = jnp.stack([z64[0] * I_in, z64[1] * I_in])
+    U = (zI + wphi) / areas[None]
+    U = jnp.where(flt[None], U, 0.0)
+    I_out = _cdiv(U * areas[None] - wphi, z64)
+    phi_nodes = x.reshape(2, -1)[:, scase.grid_index]
+    return CEMResult(phi=phi_nodes, U=U, I=I_out,
+                     iterations=total_it, residual=rel,
+                     converged=rel <= tol)

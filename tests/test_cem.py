@@ -357,3 +357,99 @@ def test_cem_transfer_matrix():
         # charge balance: all injected current exits at the ground
         np.testing.assert_allclose(out["I"][row].sum(), 0.0, atol=1e-8)
         np.testing.assert_allclose(out["I"][row][2], -1.0, rtol=1e-7)
+
+
+def _column_stencil_cem(sig_a, sig_b, ground=1):
+    from pelvistim_fem_tpu.ops.cem import stencil_cem_setup
+    from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                               stencil_host_data)
+    mesh, case = _column_case(sig_a, sig_b)
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float64,
+                            host_data=hd)
+    W = cem_weights_from_bcids(case)
+    Wg, present, hier = stencil_cem_setup(hd, W, ground=ground)
+    return mesh, case, sc, hier, Wg, present
+
+
+def test_cem_eqs_column_exact_complex():
+    """Complex two-layer column with complex contact impedances: the
+    terminal voltage is the exact complex series circuit
+    U = I [(z_a + z_g)/A + d_a/(kappa_a A) + d_b/(kappa_b A)] with
+    kappa = sigma + i omega eps0 epsr (P1-exact interior)."""
+    from pelvistim_fem_tpu.ops.cem import solve_stencil_cem_eqs_refined
+    from pelvistim_fem_tpu.ops.eqs import admittivity_imag_table
+    sig_a, sig_b = 0.05, 0.35
+    epsr = np.array([0.0, 4e6, 8e4])       # slots 0(unused), body1, 2
+    f_hz = 1_000.0
+    omega = 2 * np.pi * f_hz
+    z_a = 0.011 - 0.004j                    # capacitive contact
+    z_g = 0.004 - 0.001j
+    I = 5e-3
+
+    mesh, case, sc, hier, Wg, present = _column_stencil_cem(sig_a,
+                                                            sig_b)
+    ki = admittivity_imag_table(jnp.asarray(epsr), omega)
+    z2 = jnp.asarray(np.stack([[z_a.real, z_g.real],
+                               [z_a.imag, z_g.imag]]))
+    res = solve_stencil_cem_eqs_refined(
+        sc, hier, Wg, present, z2, jnp.asarray([I, 0.0]),
+        ki_table=ki, ground=1, tol=1e-10)
+    assert bool(np.asarray(res.converged))
+
+    A = L_XY * L_XY
+    eps0 = 8.8541878128e-12
+    ka = sig_a + 1j * omega * eps0 * epsr[1]
+    kb = sig_b + 1j * omega * eps0 * epsr[2]
+    Z_exact = (z_a + z_g) / A + DA / (ka * A) + DB / (kb * A)
+    U = np.asarray(res.U)
+    U0 = U[0, 0] + 1j * U[1, 0]
+    np.testing.assert_allclose(U0, I * Z_exact, rtol=1e-8)
+
+    # complex charge balance: injected at 0, returned at the ground
+    I_out = np.asarray(res.I)
+    np.testing.assert_allclose(I_out[0], [I, -I], rtol=1e-7)
+    np.testing.assert_allclose(I_out[1], 0.0, atol=1e-9 * I)
+
+
+def test_cem_eqs_zero_frequency_reduces_to_real():
+    """ki = 0 and real z: the complex CEM must reproduce the real
+    stencil CEM exactly (same discrete system)."""
+    from pelvistim_fem_tpu.ops.cem import (solve_stencil_cem_eqs_refined,
+                                           solve_stencil_cem_refined)
+    mesh, case, sc, hier, Wg, present = _column_stencil_cem(0.05, 0.35)
+    z = np.array([0.012, 0.003])
+    I = jnp.asarray([4e-3, 0.0])
+    ref = solve_stencil_cem_refined(sc, hier, Wg, present,
+                                    jnp.asarray(z), I, ground=1,
+                                    tol=1e-10)
+    z2 = jnp.asarray(np.stack([z, np.zeros_like(z)]))
+    res = solve_stencil_cem_eqs_refined(
+        sc, hier, Wg, present, z2, I,
+        ki_table=jnp.zeros_like(sc.sigma_table), ground=1, tol=1e-10)
+    assert bool(np.asarray(res.converged))
+    scale = float(np.abs(np.asarray(ref.phi)).max())
+    np.testing.assert_allclose(np.asarray(res.phi)[0],
+                               np.asarray(ref.phi), atol=1e-8 * scale)
+    np.testing.assert_allclose(np.asarray(res.phi)[1], 0.0,
+                               atol=1e-10 * scale)
+    np.testing.assert_allclose(np.asarray(res.U)[0], np.asarray(ref.U),
+                               rtol=1e-8)
+
+
+def test_cpe_contact_impedance_limits():
+    """alpha = 1 is an ideal capacitor (phase -90 deg, |z| ~ 1/w);
+    alpha < 1 gives the constant CPE phase -alpha*90 deg."""
+    from pelvistim_fem_tpu.ops.cem import cpe_contact_impedance
+    f = np.array([10.0, 100.0, 1000.0])
+    z_cap = cpe_contact_impedance(f, q_cpe=2e-2, alpha=1.0)
+    np.testing.assert_allclose(np.angle(z_cap), -np.pi / 2, rtol=1e-12)
+    np.testing.assert_allclose(np.abs(z_cap[0]) / np.abs(z_cap[2]),
+                               100.0, rtol=1e-12)
+    z_cpe = cpe_contact_impedance(f, q_cpe=2e-2, alpha=0.8)
+    np.testing.assert_allclose(np.angle(z_cpe), -0.8 * np.pi / 2,
+                               rtol=1e-12)
+    # a series resistance dominates at high frequency
+    z_s = cpe_contact_impedance(np.array([1e7]), z_ser=0.01,
+                                q_cpe=2e-2, alpha=1.0)
+    np.testing.assert_allclose(z_s.real, 0.01, rtol=1e-3)
