@@ -24,3 +24,22 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after every test module.
+
+    On the single-core CI box the XLA CPU client segfaults inside
+    backend_compile_and_load once a few hundred executables have
+    accumulated over the suite (reproducibly at the same test, NOT
+    reproducible when its file runs alone or with only its neighbors;
+    128 GB RAM mostly free, so it is compiler/code-arena state, not
+    memory).  Dropping the jit caches between modules bounds the live
+    executable count; modules re-trace their own functions anyway, so
+    the wall-clock cost is small.
+    """
+    yield
+    jax.clear_caches()
