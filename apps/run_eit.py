@@ -16,8 +16,17 @@ certified CEM solves).  A difference-imaging demo localizes a skin-
 layer conductivity change from the voltage shift, and --svd prints the
 identifiability spectrum.
 
+--spectral runs the multifrequency (fd-EIT) session instead: the same
+slab measured at several frequencies with dispersive (Cole-Cole) skin
+and CPE electrode interfaces, fitted on the STENCIL fast path
+(ops/eit.py eit_recover_spectral).  Frequency breaks the static
+series degeneracy, so the return pad's contact state — which the
+static session must characterize separately and HOLD — is fitted
+jointly with the tissue parameters.
+
 Usage: python apps/run_eit.py [--full] [--noise R] [--seed S]
-                              [--svd] [--plot] [--outdir DIR]
+                              [--svd] [--plot] [--spectral]
+                              [--outdir DIR]
 """
 
 import argparse
@@ -80,6 +89,167 @@ def build_eit_case(full=False):
     return mesh, case
 
 
+def run_spectral(args):
+    """Multifrequency fd-EIT session: dispersive skin + CPE contacts,
+    jointly fitted — pad included — on the stencil fast path."""
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.ops.cem import (cem_weights_from_bcids,
+                                           stencil_cem_eqs_transfer_matrix,
+                                           stencil_cem_setup)
+    from pelvistim_fem_tpu.ops.eit import eit_recover_spectral
+    from pelvistim_fem_tpu.ops.eqs import cole_cole_kappa
+    from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
+                                               stencil_host_data)
+    from pelvistim_fem_tpu.utils.summary import save_results
+
+    rng = np.random.default_rng(args.seed)
+    t0 = time.perf_counter()
+    mesh, case = build_eit_case(full=args.full)
+    W = cem_weights_from_bcids(case, bcids=BCIDS)
+    ground = len(BCIDS) - 1
+    hd = stencil_host_data(case, mesh)
+    sc = build_stencil_case(case, mesh, dtype=jnp.float64,
+                            host_data=hd)
+    Wg, present, hier = stencil_cem_setup(hd, W, ground=ground)
+    print(f"mesh: {case.n_nodes} nodes (stencil fast path), "
+          f"{len(BCIDS)} electrodes ({time.perf_counter() - t0:.1f} s)")
+
+    freqs = np.logspace(3, 5, 5)                 # 1-100 kHz
+    alpha = 0.8
+    # truth: skin disperses (beta band), fat runs low, muscle held at
+    # literature (still a deep series slab); every interface is a CPE
+    lit = np.asarray(case.sigma_table, np.float64)
+    skin_true = dict(sigma_s=lit[3] * 1.8, d_eps=2.8e4, tau=1.1e-5)
+    fat_true = dict(sigma_s=lit[2] * 0.62)
+    q_true = np.array([7e-3, 1.2e-2, 5e-3, 9e-3, 2.8e-2])
+    z_ser = np.array([0.004] * 4 + [0.001])
+
+    T = lit.shape[0]
+    kr = np.tile(lit, (len(freqs), 1))
+    ki = np.zeros((len(freqs), T))
+    kap = cole_cole_kappa(freqs, skin_true["sigma_s"], 0.0,
+                          [(skin_true["d_eps"], skin_true["tau"], 0.0)])
+    kr[:, 3], ki[:, 3] = kap.real, kap.imag
+    kr[:, 2] = fat_true["sigma_s"]
+    w = 2 * np.pi * freqs
+    zf = z_ser[None, :] + 1.0 / (q_true[None, :]
+                                 * (1j * w[:, None]) ** alpha)
+
+    t1 = time.perf_counter()
+    meas = stencil_cem_eqs_transfer_matrix(
+        sc, hier, Wg, present, zf, ki_tables=ki, kr_tables=kr,
+        ground=ground, tol=1e-10)
+    assert meas["converged"].all()
+    dr = meas["drives"]
+    M = meas["Z"][:, dr][:, :, dr]
+    print(f"synthesized {len(freqs)}-frequency measurement tensor "
+          f"({len(freqs) * len(dr)} certified complex CEM solves, "
+          f"{time.perf_counter() - t1:.1f} s)")
+    if args.noise > 0:
+        M = M * (1 + args.noise * rng.standard_normal(M.shape)) \
+            * np.exp(1j * args.noise * rng.standard_normal(M.shape))
+        print(f"added {args.noise:.1%} amplitude + phase noise")
+
+    t2 = time.perf_counter()
+    rec = eit_recover_spectral(
+        sc, hier, Wg, present, freqs, M,
+        body_models={3: dict(sigma_s=lit[3], d_eps=1e4, tau=4e-6),
+                     2: dict(sigma_s=lit[2])},
+        z_ser=z_ser, q_cpe=np.full(len(BCIDS), 1.2e-2),
+        alpha_cpe=alpha, fit_q=True, ground=ground, tol=1e-10,
+        verbose=True)
+    dt = time.perf_counter() - t2
+    print(f"recovered in {rec['n_forward']} complex solve batches, "
+          f"{dt:.1f} s, final loss {rec['loss_history'][-1]:.2e}, "
+          f"converged={rec['converged']}")
+
+    names, truths, fits = [], [], []
+    m3 = rec["body_models"][3]
+    for key in ("sigma_s", "d_eps", "tau"):
+        names.append(f"skin_{key}")
+        truths.append(skin_true[key])
+        fits.append(m3[key])
+    names.append("fat_sigma_s")
+    truths.append(fat_true["sigma_s"])
+    fits.append(rec["body_models"][2]["sigma_s"])
+    for m in range(len(BCIDS)):
+        names.append(f"q_cpe_{m}" + ("_pad" if m == ground else ""))
+        truths.append(q_true[m])
+        fits.append(rec["q_cpe"][m])
+
+    rows, n_bad = [], 0
+    print(f"  {'parameter':>14s} {'truth':>11s} {'recovered':>11s} "
+          f"{'rel err':>9s} {'+-(1sd)':>9s}")
+    for k, (nm, tr, rv) in enumerate(zip(names, truths, fits)):
+        err = abs(rv / tr - 1)
+        sd = rec["log_std"][k]
+        ok = err <= max(3.0 * sd, 1e-3)
+        n_bad += not ok
+        print(f"  {nm:>14s} {tr:11.4g} {rv:11.4g} {err:9.2%} "
+              f"{sd:9.2%}" + ("" if ok else "  <-"))
+        rows.append({"param": nm, "truth": tr, "recovered": rv,
+                     "rel_err": err, "posterior_rel_std": float(sd)})
+    print(("  PASS" if n_bad == 0 else f"  WARN ({n_bad} outside)")
+          + ": every fitted parameter within max(3 posterior sd, 0.1%)"
+          + " — including the return pad's CPE, which the static"
+          " session must hold")
+    save_results(rows, Path(args.outdir), stem="eit_spectral_fit")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fgrid = np.logspace(3, 5, 60)
+        wg = 2 * np.pi * fgrid
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4.2))
+        ax = axes[0]
+        ax.semilogy(rec["loss_history"], "o-", ms=3, color="0.25")
+        ax.set_xlabel("residual evaluation")
+        ax.set_ylabel("normalized loss")
+        ax.set_title("spectral Gauss-Newton convergence")
+        ax.grid(alpha=0.3)
+
+        ax = axes[1]
+        for m in range(len(BCIDS)):
+            zt = z_ser[m] + 1 / (q_true[m] * (1j * wg) ** alpha)
+            zr = z_ser[m] + 1 / (rec["q_cpe"][m] * (1j * wg) ** alpha)
+            ln, = ax.loglog(fgrid, np.abs(zt), lw=1.0)
+            ax.loglog(fgrid, np.abs(zr), "--", lw=1.8,
+                      color=ln.get_color(),
+                      label=f"contact {m}" + (" (pad)"
+                                              if m == ground else ""))
+        ax.set_xlabel("frequency (Hz)")
+        ax.set_ylabel("|z| (ohm m$^2$)")
+        ax.set_title("contact CPE spectra: truth vs fit (dashed)")
+        ax.legend(fontsize=7)
+        ax.grid(alpha=0.3, which="both")
+
+        ax = axes[2]
+        kt = cole_cole_kappa(fgrid, skin_true["sigma_s"], 0.0,
+                             [(skin_true["d_eps"], skin_true["tau"],
+                               0.0)])
+        kf = cole_cole_kappa(fgrid, m3["sigma_s"], 0.0,
+                             [(m3["d_eps"], m3["tau"], 0.0)])
+        ax.semilogx(fgrid, kt.real, lw=1.0, label="Re kappa truth")
+        ax.semilogx(fgrid, kf.real, "--", lw=1.8, label="Re kappa fit")
+        ax.semilogx(fgrid, kt.imag, lw=1.0, label="Im kappa truth")
+        ax.semilogx(fgrid, kf.imag, "--", lw=1.8, label="Im kappa fit")
+        ax.set_xlabel("frequency (Hz)")
+        ax.set_ylabel("kappa (S/m)")
+        ax.set_title("skin Cole-Cole dispersion: truth vs fit")
+        ax.legend(fontsize=8)
+        ax.grid(alpha=0.3)
+        fig.suptitle("spectral (multifrequency) EIT session")
+        fig.tight_layout()
+        fp = Path(args.outdir) / "eit_spectral_summary.png"
+        fig.savefig(fp, dpi=150, bbox_inches="tight")
+        print(f"  figure -> {fp}")
+
+    return 0 if n_bad == 0 else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
@@ -89,9 +259,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--svd", action="store_true",
                     help="print the identifiability spectrum")
+    ap.add_argument("--spectral", action="store_true",
+                    help="multifrequency (fd-EIT) session instead")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--outdir", default="results_eit")
     args = ap.parse_args()
+
+    if args.spectral:
+        return run_spectral(args)
 
     import jax.numpy as jnp
 

@@ -54,7 +54,8 @@ __all__ = ["CEMResult", "electrode_surface_weights",
            "build_cem_amg", "cem_transfer_matrix",
            "stencil_cem_setup", "solve_stencil_cem_refined",
            "stencil_cem_transfer_matrix", "cpe_contact_impedance",
-           "solve_stencil_cem_eqs_refined"]
+           "solve_stencil_cem_eqs_refined",
+           "stencil_cem_eqs_transfer_matrix"]
 
 
 @jax.tree_util.register_dataclass
@@ -607,3 +608,82 @@ def solve_stencil_cem_eqs_refined(scase, hier, Wg, present, z2,
     return CEMResult(phi=phi_nodes, U=U, I=I_out,
                      iterations=total_it, residual=rel,
                      converged=rel <= tol)
+
+
+@partial(jax.jit, static_argnames=("ground", "tol", "inner_tol",
+                                   "maxiter", "nu", "coarse_iters",
+                                   "max_refinements"))
+def _stencil_cem_eqs_transfer_batch(scase, hier, Wg, present, z2f,
+                                    patterns, kr_tables, ki_tables, *,
+                                    ground, tol, inner_tol, maxiter,
+                                    nu, coarse_iters, max_refinements):
+    """Module-level jit for the (frequency x drive) batch: the spectral
+    EIT outer loop calls this dozens of times (ops/eit.py
+    eit_recover_spectral), and a per-call closure would re-trace."""
+    def one(z2, krt, kit, Iv):
+        return solve_stencil_cem_eqs_refined(
+            scase, hier, Wg, present, z2, Iv, kr_table=krt,
+            ki_table=kit, ground=ground, tol=tol, inner_tol=inner_tol,
+            maxiter=maxiter, nu=nu, coarse_iters=coarse_iters,
+            max_refinements=max_refinements)
+
+    def per_freq(z2, krt, kit):
+        return jax.vmap(lambda Iv: one(z2, krt, kit, Iv))(patterns)
+
+    return jax.vmap(per_freq)(z2f, kr_tables, ki_tables)
+
+
+def stencil_cem_eqs_transfer_matrix(scase, hier, Wg, present,
+                                    z_contact_f, *, ki_tables,
+                                    kr_tables=None, ground=0, tol=1e-8,
+                                    inner_tol=3e-4, maxiter=2_000,
+                                    nu=2, coarse_iters=24,
+                                    max_refinements=8):
+    """Multifrequency COMPLEX transfer-impedance tensor Z (F, E, E):
+    Z[f, l, k] = complex U_k for unit real current at floating
+    electrode l, with per-frequency complex admittivity tables
+    (ops/eqs.dispersive_tables) and complex contact impedances
+    (cpe_contact_impedance) — the spectral-EIT forward measurement
+    map.  ONE jitted (F x (E-1)) vmapped batch of certified complex
+    CEM solves.
+
+    z_contact_f: (F, E) complex [ohm m^2]; ki_tables: (F, T)
+    omega*eps0*epsr per frequency; kr_tables: (F, T) Re(kappa),
+    defaulting to the static sigma table at every frequency.
+
+    Returns dict: Z (F, E, E) complex128, drives, phi (F, D, 2, N)
+    stacked lead fields, U (F, D, 2, E), iterations / residual /
+    converged per (f, drive).
+    """
+    E = Wg.shape[0]
+    drives = np.array([e for e in range(E) if e != ground])
+    patterns = np.eye(E)[drives]
+    zf = np.asarray(z_contact_f, np.complex128)
+    F = zf.shape[0]
+    z2f = jnp.asarray(np.stack([zf.real, zf.imag], axis=1))  # (F, 2, E)
+    ki = jnp.asarray(ki_tables, jnp.float64)
+    if kr_tables is None:
+        kr = jnp.tile(scase.sigma_table.astype(jnp.float64)[None],
+                      (F, 1))
+    else:
+        kr = jnp.asarray(kr_tables, jnp.float64)
+
+    out = _stencil_cem_eqs_transfer_batch(
+        scase, hier, Wg, present, z2f, jnp.asarray(patterns), kr, ki,
+        ground=ground, tol=tol, inner_tol=inner_tol, maxiter=maxiter,
+        nu=nu, coarse_iters=coarse_iters,
+        max_refinements=max_refinements)
+    U = np.asarray(out.U)                     # (F, D, 2, E)
+    residual = np.asarray(out.residual)
+    Z = np.zeros((F, E, E), np.complex128)
+    Z[:, drives] = U[:, :, 0] + 1j * U[:, :, 1]
+    return {
+        "Z": Z,
+        "drives": drives,
+        "phi": out.phi,                       # (F, D, 2, N) lead fields
+        "U": U,
+        "I": np.asarray(out.I),
+        "iterations": np.asarray(out.iterations),
+        "residual": residual,
+        "converged": residual <= tol,         # host-derived (axon bools)
+    }

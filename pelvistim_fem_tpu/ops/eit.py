@@ -46,7 +46,8 @@ from pelvistim_fem_tpu.ops.cem import cem_transfer_matrix
 
 __all__ = ["eit_jacobians", "eit_recover", "eit_sensitivity_cells",
            "eit_difference_image", "stencil_eit_jacobians",
-           "eit_recover_stencil"]
+           "eit_recover_stencil", "stencil_eit_jacobians_eqs",
+           "eit_recover_spectral"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -363,3 +364,284 @@ def eit_recover_stencil(scase, hier, Wg, present, measurements, *,
     return eit_recover(scase, None, measurements, bodies=bodies,
                        z0=z0, tol=tol, forward_fn=fwd,
                        jacobian_fn=jac, **kw)
+
+
+# ── spectral (multifrequency) EIT ────────────────────────────────────────────
+#
+# Single-frequency EIT carries an exact degeneracy: a near-uniform deep
+# layer and the contact impedance BEHIND it enter every measurement
+# only through the series sum d/sigma_layer + z_back (eit_recover's
+# identifiability caveat).  FREQUENCY breaks it: a CPE contact moves as
+# z(w) ~ w^-alpha while a resistive layer does not move at all, and a
+# dispersive (Cole-Cole) tissue moves with its own signature.  Fitting
+# the complex (F, D, D) transfer tensor therefore identifies parameter
+# sets a single-frequency protocol cannot — this is fd-EIT /
+# bioimpedance spectroscopy on the CEM, run entirely on the stencil
+# fast path (ops/cem.py solve_stencil_cem_eqs_refined).
+#
+# The complex CEM bilinear form is COMPLEX-SYMMETRIC (no conjugation),
+# so the same first-order perturbation identities hold verbatim with
+# complex products:
+#
+#     dZ[l,k]/dkappa_b = - phi_l^T K_b phi_k          (K_b real)
+#     dZ[l,k]/dz_m     = (1/z_m^2) sum_n W[m,n]
+#                         (phi_l - U_l,m)(phi_k - U_k,m)
+#
+# and model parameters (Cole-Cole sigma_s/d_eps/tau per body; CPE
+# z_ser/q per contact) chain through dkappa/dp(w), dz/dp(w) — tiny
+# host-side complex scalars per frequency.
+
+
+@jax.jit
+def _eqs_jac_core(coeff, pg, W2, z2f):
+    """Stacked-real device einsums behind stencil_eit_jacobians_eqs.
+
+    coeff (B, 27, X, Y, Z) real stencil stacks; pg (F, D, 2, X, Y, Z)
+    gridded complex lead fields; W2 (E, G) flat surface weights;
+    z2f (F, 2, E).  Returns the raw contractions (J_kappa re/im and the
+    T, Q surface moments); the cheap complex assembly happens on host.
+    """
+    from pelvistim_fem_tpu.ops.stencil import stencil_spmv
+    r, i = pg[:, :, 0], pg[:, :, 1]                 # (F, D, X, Y, Z)
+    spmv_all = jax.vmap(jax.vmap(jax.vmap(stencil_spmv, (0, None)),
+                                 (0, None)), (None, 0))
+    Kr = spmv_all(r, coeff)                          # (B, F, D, grid)
+    Ki = spmv_all(i, coeff)
+    Jr = -(jnp.einsum("flxyz,bfkxyz->flkb", r, Kr, precision=_HP)
+           - jnp.einsum("flxyz,bfkxyz->flkb", i, Ki, precision=_HP))
+    Ji = -(jnp.einsum("flxyz,bfkxyz->flkb", r, Ki, precision=_HP)
+           + jnp.einsum("flxyz,bfkxyz->flkb", i, Kr, precision=_HP))
+    F, D = pg.shape[:2]
+    G = W2.shape[1]
+    rf = r.reshape(F, D, G)
+    if_ = i.reshape(F, D, G)
+    Tr = jnp.einsum("mg,flg->flm", W2, rf, precision=_HP)
+    Ti = jnp.einsum("mg,flg->flm", W2, if_, precision=_HP)
+    Qr = (jnp.einsum("mg,flg,fkg->flkm", W2, rf, rf, precision=_HP)
+          - jnp.einsum("mg,flg,fkg->flkm", W2, if_, if_, precision=_HP))
+    Qi = (jnp.einsum("mg,flg,fkg->flkm", W2, rf, if_, precision=_HP)
+          + jnp.einsum("mg,flg,fkg->flkm", W2, if_, rf, precision=_HP))
+    return Jr, Ji, Tr, Ti, Qr, Qi
+
+
+def stencil_eit_jacobians_eqs(scase, Wg, z_contact_f, out):
+    """Analytic COMPLEX Jacobians of the multifrequency floating block.
+
+    out: stencil_cem_eqs_transfer_matrix(...) result; z_contact_f:
+    (F, E) complex.  Returns (J_kappa (F, D, D, B + 1) complex128 —
+    dZ/dkappa_b aligned to sigma_table slots, slot 0 zero — and
+    J_z (F, D, D, E) complex128 — dZ/dz_m).  The volume term is one
+    REAL 27-point stencil apply per body per component per lead field
+    (the operator is kappa-factored: K(kappa) = sum_b kappa_b K_b);
+    no per-element gradients at any scale.
+    """
+    phi = jnp.asarray(out["phi"], jnp.float64)       # (F, D, 2, N)
+    E, X, Y, Z = Wg.shape
+    G = X * Y * Z
+    F, D = phi.shape[:2]
+    pg = jnp.zeros((F, D, 2, G), jnp.float64) \
+        .at[:, :, :, scase.grid_index].set(phi) \
+        .reshape(F, D, 2, X, Y, Z)
+    zf = np.asarray(z_contact_f, np.complex128)      # (F, E)
+    z2f = jnp.asarray(np.stack([zf.real, zf.imag], 1))
+    Jr, Ji, Tr, Ti, Qr, Qi = _eqs_jac_core(
+        scase.coeff.astype(jnp.float64), pg,
+        Wg.reshape(E, G).astype(jnp.float64), z2f)
+
+    Jb = np.asarray(Jr) + 1j * np.asarray(Ji)        # (F, D, D, B)
+    J_kappa = np.concatenate(
+        [np.zeros((F, D, D, 1), np.complex128), Jb], axis=3)
+
+    T = np.asarray(Tr) + 1j * np.asarray(Ti)         # (F, D, E)
+    Q = np.asarray(Qr) + 1j * np.asarray(Qi)         # (F, D, D, E)
+    U = out["U"][:, :, 0] + 1j * out["U"][:, :, 1]   # (F, D, E)
+    area = np.asarray(jnp.sum(Wg, axis=(1, 2, 3)))
+    S = (Q - U[:, None, :, :] * T[:, :, None, :]
+         - U[:, :, None, :] * T[:, None, :, :]
+         + U[:, :, None, :] * U[:, None, :, :]
+         * area[None, None, None, :])
+    J_z = S / (zf * zf)[:, None, None, :]
+    return J_kappa, J_z
+
+
+def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
+                         *, body_models, z_ser, q_cpe, alpha_cpe=0.8,
+                         fit_q=True, ground=0, tol=1e-9, max_nfev=80,
+                         verbose=False):
+    """Multifrequency (spectral / fd-) EIT on the stencil fast path:
+    fit per-body Cole-Cole dispersion parameters AND per-contact CPE
+    magnitudes to the measured complex transfer tensor.
+
+    measured: (F, D, D) complex floating blocks of
+    stencil_cem_eqs_transfer_matrix at freqs_hz (F,), ground matching
+    the one pinned into `hier` by stencil_cem_setup.
+
+    body_models: {body_id: dict(sigma_s, d_eps=0.0, tau=..,
+    eps_inf=0.0, alpha=0.0)} — STARTING values; every listed body's
+    sigma_s is fitted, and (d_eps, tau) too when d_eps > 0 (a single
+    Cole-Cole pole per body; eps_inf and the pole alpha are held —
+    they are rarely identifiable jointly with tau over a narrow band).
+    Bodies not listed stay purely resistive at scase.sigma_table[b].
+
+    Contacts are series-R + CPE: z_m(w) = z_ser[m] + 1/(q_cpe[m]
+    (i w)^alpha_cpe).  z_ser (E,) and alpha_cpe are held; q_cpe is
+    fitted on log scale for the electrodes in fit_q (True = all,
+    False = none, or an index sequence).
+
+    Every residual/Jacobian evaluation is ONE jitted (F x (E-1)) batch
+    of certified complex CEM solves plus the analytic kappa-factored
+    einsums (stencil_eit_jacobians_eqs); MINPACK-LM drives log
+    parameters host-side.  WHY frequency: the static series degeneracy
+    d/sigma_deep + z_back (eit_recover's caveat) is broken because the
+    CPE moves ~w^-alpha while a resistive layer does not — the pad
+    contact that single-frequency EIT must hold can be FITTED here
+    (pinned by test).
+
+    Returns dict: body_models (fitted copies), q_cpe (E,),
+    sigma_table (static limits written into the fitted bodies' slots),
+    params (ordered (kind, index) list), loss_history, n_forward,
+    converged, log_std, residual_rms.
+    """
+    from scipy.optimize import least_squares
+
+    from pelvistim_fem_tpu.ops.cem import stencil_cem_eqs_transfer_matrix
+    from pelvistim_fem_tpu.ops.eqs import EPS0, cole_cole_kappa
+
+    freqs = np.asarray(freqs_hz, np.float64)
+    w = 2 * np.pi * freqs
+    F = freqs.shape[0]
+    M = np.asarray(measured, np.complex128)
+    base = np.asarray(scase.sigma_table, np.float64)
+    E = Wg.shape[0]
+    zs = np.asarray(z_ser, np.float64)
+    q0 = np.asarray(q_cpe, np.float64)
+    models = {b: dict(m) for b, m in body_models.items()}
+    for m in models.values():
+        m.setdefault("d_eps", 0.0)
+        m.setdefault("tau", 1e-5)
+        m.setdefault("eps_inf", 0.0)
+        m.setdefault("alpha", 0.0)
+
+    params = []                       # ordered (kind, id)
+    for b in sorted(models):
+        params.append(("sigma_s", b))
+        if models[b]["d_eps"] > 0:
+            params.append(("d_eps", b))
+            params.append(("tau", b))
+    if fit_q is True:
+        qidx = list(range(E))
+    elif fit_q is False:
+        qidx = []
+    else:
+        qidx = list(fit_q)
+    params += [("q", m) for m in qidx]
+
+    def unpack(p):
+        mods = {b: dict(m) for b, m in models.items()}
+        q = q0.copy()
+        # clip: LM trial steps can wander far enough to overflow exp;
+        # the unconverged-solve guard then steers the trust region back
+        for v, (kind, idx) in zip(np.exp(np.clip(p, -60, 60)), params):
+            if kind == "q":
+                q[idx] = v
+            else:
+                mods[idx][kind] = v
+        return mods, q
+
+    def tables(mods, q):
+        kr = np.tile(base, (F, 1))
+        ki = np.zeros_like(kr)
+        for b, m in mods.items():
+            poles = ([(m["d_eps"], m["tau"], m["alpha"])]
+                     if m["d_eps"] > 0 else [])
+            kap = cole_cole_kappa(freqs, m["sigma_s"], m["eps_inf"],
+                                  poles)
+            kr[:, b], ki[:, b] = kap.real, kap.imag
+        zf = zs[None, :] + 1.0 / (q[None, :]
+                                  * (1j * w[:, None]) ** alpha_cpe)
+        return kr, ki, zf
+
+    denom = float(np.sum(M.real ** 2) + np.sum(M.imag ** 2))
+    state = {"n_forward": 0, "bad": False, "history": []}
+    cache = {}
+
+    def forward(p):
+        key = p.tobytes()
+        if key not in cache:
+            mods, q = unpack(p)
+            kr, ki, zf = tables(mods, q)
+            out = stencil_cem_eqs_transfer_matrix(
+                scase, hier, Wg, present, zf, ki_tables=ki,
+                kr_tables=kr, ground=ground, tol=tol)
+            state["n_forward"] += F
+            cache.clear()             # keep exactly the current iterate
+            cache[key] = out
+        return cache[key]
+
+    def _blocks(out):
+        d = out["drives"]
+        return out["Z"][:, d][:, :, d]            # (F, D, D)
+
+    def resid(p):
+        out = forward(p)
+        if not out["converged"].all():
+            state["bad"] = True
+            return np.full(2 * M.size, 10.0 * np.sqrt(denom))
+        r = (_blocks(out) - M).ravel()
+        rr = np.concatenate([r.real, r.imag])
+        loss = float(rr @ rr) / denom
+        state["history"].append(loss)
+        if verbose:
+            print(f"  [eit-f] eval {state['n_forward'] // F:3d} "
+                  f"loss {loss:.3e}")
+        return rr
+
+    def jac(p):
+        out = forward(p)
+        mods, q = unpack(p)
+        _, _, zf = tables(mods, q)
+        J_kap, J_z = stencil_eit_jacobians_eqs(scase, Wg, zf, out)
+        cols = []
+        for kind, idx in params:
+            if kind == "q":
+                # dz/dlog q = -(z - z_ser) = -1/(q (i w)^alpha)
+                dz = -(zf[:, idx] - zs[idx])          # (F,)
+                cols.append(J_z[:, :, :, idx] * dz[:, None, None])
+                continue
+            m = mods[idx]
+            s = (1j * w * m["tau"]) ** (1.0 - m["alpha"])
+            if kind == "sigma_s":
+                c = np.full(F, m["sigma_s"], np.complex128)
+            elif kind == "d_eps":
+                c = 1j * w * EPS0 * m["d_eps"] / (1.0 + s)
+            else:                                     # tau
+                c = (-1j * w * EPS0 * m["d_eps"]
+                     * (1.0 - m["alpha"]) * s / (1.0 + s) ** 2)
+            cols.append(J_kap[:, :, :, idx] * c[:, None, None])
+        Jc = np.stack([c.ravel() for c in cols], axis=1)  # (FDD, P)
+        return np.concatenate([Jc.real, Jc.imag])
+
+    p0 = np.log(np.array(
+        [q0[i] if k == "q" else models[i][k] for k, i in params]))
+    res = least_squares(resid, p0, jac=jac, method="lm",
+                        xtol=1e-15, ftol=1e-15, gtol=1e-14,
+                        max_nfev=max_nfev)
+    Jf = jac(res.x)
+    rms = np.sqrt(2.0 * res.cost / max(Jf.shape[0], 1))
+    try:
+        cov = np.linalg.inv(Jf.T @ Jf)
+        log_std = rms * np.sqrt(np.maximum(np.diag(cov), 0.0))
+    except np.linalg.LinAlgError:
+        log_std = np.full(Jf.shape[1], np.inf)
+    mods, q = unpack(res.x)
+    tab = base.copy()
+    for b, m in mods.items():
+        tab[b] = m["sigma_s"]
+    final_loss = 2.0 * res.cost / denom
+    state["history"].append(final_loss)
+    converged = bool(res.status > 0) and not state["bad"] or \
+        final_loss <= 1e-14
+    return {"body_models": mods, "q_cpe": q, "sigma_table": tab,
+            "params": params, "loss_history": state["history"],
+            "n_forward": state["n_forward"], "converged": converged,
+            "log_std": log_std, "residual_rms": float(rms)}
