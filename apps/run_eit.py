@@ -24,9 +24,13 @@ series degeneracy, so the return pad's contact state — which the
 static session must characterize separately and HOLD — is fitted
 jointly with the tissue parameters.
 
+--element runs the --spectral session through the ELEMENT path
+(ops/eit.py eit_recover_spectral_case) — the backend an imported
+.msh/Elmer-DB/VTU mesh uses, where no stencil exists.
+
 Usage: python apps/run_eit.py [--full] [--noise R] [--seed S]
                               [--svd] [--plot] [--spectral]
-                              [--outdir DIR]
+                              [--element] [--outdir DIR]
 """
 
 import argparse
@@ -91,13 +95,16 @@ def build_eit_case(full=False):
 
 def run_spectral(args):
     """Multifrequency fd-EIT session: dispersive skin + CPE contacts,
-    jointly fitted — pad included — on the stencil fast path."""
+    jointly fitted — pad included — on the stencil fast path (default)
+    or, with --element, on the element path any imported mesh runs."""
     import jax.numpy as jnp
 
-    from pelvistim_fem_tpu.ops.cem import (cem_weights_from_bcids,
+    from pelvistim_fem_tpu.ops.cem import (cem_eqs_transfer_matrix,
+                                           cem_weights_from_bcids,
                                            stencil_cem_eqs_transfer_matrix,
                                            stencil_cem_setup)
-    from pelvistim_fem_tpu.ops.eit import eit_recover_spectral
+    from pelvistim_fem_tpu.ops.eit import (eit_recover_spectral,
+                                           eit_recover_spectral_case)
     from pelvistim_fem_tpu.ops.eqs import cole_cole_kappa
     from pelvistim_fem_tpu.ops.stencil import (build_stencil_case,
                                                stencil_host_data)
@@ -108,11 +115,15 @@ def run_spectral(args):
     mesh, case = build_eit_case(full=args.full)
     W = cem_weights_from_bcids(case, bcids=BCIDS)
     ground = len(BCIDS) - 1
-    hd = stencil_host_data(case, mesh)
-    sc = build_stencil_case(case, mesh, dtype=jnp.float64,
-                            host_data=hd)
-    Wg, present, hier = stencil_cem_setup(hd, W, ground=ground)
-    print(f"mesh: {case.n_nodes} nodes (stencil fast path), "
+    if args.element:
+        path = "element path (imported-mesh backend)"
+    else:
+        hd = stencil_host_data(case, mesh)
+        sc = build_stencil_case(case, mesh, dtype=jnp.float64,
+                                host_data=hd)
+        Wg, present, hier = stencil_cem_setup(hd, W, ground=ground)
+        path = "stencil fast path"
+    print(f"mesh: {case.n_nodes} nodes ({path}), "
           f"{len(BCIDS)} electrodes ({time.perf_counter() - t0:.1f} s)")
 
     freqs = np.logspace(3, 5, 5)                 # 1-100 kHz
@@ -137,9 +148,14 @@ def run_spectral(args):
                                  * (1j * w[:, None]) ** alpha)
 
     t1 = time.perf_counter()
-    meas = stencil_cem_eqs_transfer_matrix(
-        sc, hier, Wg, present, zf, ki_tables=ki, kr_tables=kr,
-        ground=ground, tol=1e-10)
+    if args.element:
+        meas = cem_eqs_transfer_matrix(case, W, zf, ki_tables=ki,
+                                       kr_tables=kr, ground=ground,
+                                       tol=1e-10)
+    else:
+        meas = stencil_cem_eqs_transfer_matrix(
+            sc, hier, Wg, present, zf, ki_tables=ki, kr_tables=kr,
+            ground=ground, tol=1e-10)
     assert meas["converged"].all()
     dr = meas["drives"]
     M = meas["Z"][:, dr][:, :, dr]
@@ -152,13 +168,17 @@ def run_spectral(args):
         print(f"added {args.noise:.1%} amplitude + phase noise")
 
     t2 = time.perf_counter()
-    rec = eit_recover_spectral(
-        sc, hier, Wg, present, freqs, M,
+    fit_kw = dict(
         body_models={3: dict(sigma_s=lit[3], d_eps=1e4, tau=4e-6),
                      2: dict(sigma_s=lit[2])},
         z_ser=z_ser, q_cpe=np.full(len(BCIDS), 1.2e-2),
         alpha_cpe=alpha, fit_q=True, ground=ground, tol=1e-10,
         verbose=True)
+    if args.element:
+        rec = eit_recover_spectral_case(case, W, freqs, M, **fit_kw)
+    else:
+        rec = eit_recover_spectral(sc, hier, Wg, present, freqs, M,
+                                   **fit_kw)
     dt = time.perf_counter() - t2
     print(f"recovered in {rec['n_forward']} complex solve batches, "
           f"{dt:.1f} s, final loss {rec['loss_history'][-1]:.2e}, "
@@ -261,6 +281,9 @@ def main():
                     help="print the identifiability spectrum")
     ap.add_argument("--spectral", action="store_true",
                     help="multifrequency (fd-EIT) session instead")
+    ap.add_argument("--element", action="store_true",
+                    help="run --spectral on the element path (the "
+                    "imported-mesh backend) instead of the stencil")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--outdir", default="results_eit")
     args = ap.parse_args()

@@ -55,7 +55,8 @@ __all__ = ["CEMResult", "electrode_surface_weights",
            "stencil_cem_setup", "solve_stencil_cem_refined",
            "stencil_cem_transfer_matrix", "cpe_contact_impedance",
            "solve_stencil_cem_eqs_refined",
-           "stencil_cem_eqs_transfer_matrix"]
+           "stencil_cem_eqs_transfer_matrix",
+           "solve_case_cem_eqs_refined", "cem_eqs_transfer_matrix"]
 
 
 @jax.tree_util.register_dataclass
@@ -674,6 +675,244 @@ def stencil_cem_eqs_transfer_matrix(scase, hier, Wg, present,
         nu=nu, coarse_iters=coarse_iters,
         max_refinements=max_refinements)
     U = np.asarray(out.U)                     # (F, D, 2, E)
+    residual = np.asarray(out.residual)
+    Z = np.zeros((F, E, E), np.complex128)
+    Z[:, drives] = U[:, :, 0] + 1j * U[:, :, 1]
+    return {
+        "Z": Z,
+        "drives": drives,
+        "phi": out.phi,                       # (F, D, 2, N) lead fields
+        "U": U,
+        "I": np.asarray(out.I),
+        "iterations": np.asarray(out.iterations),
+        "residual": residual,
+        "converged": residual <= tol,         # host-derived (axon bools)
+    }
+
+
+def _case_cem_eqs_operator(case, kr_table, ki_table, W, z2, areas, flt):
+    """Element-path complex CEM operator on stacked (2, N) fields:
+    complex stiffness spmv + complex Robin diagonal + complex
+    symmetric rank-1 per floating electrode.  No BC masks — the CEM
+    replaces them (every node free, non-electrode boundary natural)."""
+    from pelvistim_fem_tpu.ops.eqs import _cdiv
+    n = case.free_mask.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    def _sigvol(table):
+        s = table[case.tet_body]
+        if s.ndim == 3:
+            return s * case.vol[:, None, None]
+        return s * case.vol
+
+    sig_r, sig_i = _sigvol(kr_table), _sigvol(ki_table)
+    zmag2 = z2[0] ** 2 + z2[1] ** 2
+    inv_z = jnp.stack([z2[0] / zmag2, -z2[1] / zmag2])       # (2, E)
+    robin = jnp.einsum("ce,en->cn", inv_z, W, precision=hp)  # (2, N)
+
+    def op(x2):
+        def mv(x, sv):
+            return assembly.spmv(x, case.tets, case.grads, sv,
+                                 case.scatter_perm,
+                                 case.scatter_segids, n)
+        xr, xi = x2[0], x2[1]
+        kx = jnp.stack([mv(xr, sig_r) - mv(xi, sig_i),
+                        mv(xr, sig_i) + mv(xi, sig_r)])
+        wx = jnp.einsum("en,cn->ce", W, x2, precision=hp)
+        r1 = _cdiv(wx, jnp.stack([z2[0] * areas, z2[1] * areas]))
+        r1 = jnp.where(flt[None], r1, 0.0)
+        rob = jnp.stack([robin[0] * xr - robin[1] * xi,
+                         robin[0] * xi + robin[1] * xr])
+        return kx + rob - jnp.einsum("ce,en->cn", r1, W, precision=hp)
+
+    return op
+
+
+@partial(jax.jit, static_argnames=("ground", "tol", "inner_tol",
+                                   "maxiter", "nu", "omega",
+                                   "coarse_iters", "max_refinements"))
+def solve_case_cem_eqs_refined(case, weights, z2, I_elec, *, ki_table,
+                               kr_table=None, ground=0, amg=None,
+                               tol=1e-8, inner_tol=3e-4, maxiter=5_000,
+                               nu=2, omega=0.85, coarse_iters=24,
+                               max_refinements=8) -> CEMResult:
+    """Complex CEM on the ELEMENT path — frequency-dependent contact
+    impedance + complex tissue admittivity on any imported mesh,
+    under the certified f32-COCG-inner / f64-correction contract
+    (the imported-mesh twin of solve_stencil_cem_eqs_refined).
+
+    z2: (2, E) stacked complex contact impedances [ohm m^2];
+    ki_table: (T,) omega*eps0*epsr (or (T, 3, 3) tensor — both tables
+    dispatch on rank like the EQS element path); kr_table defaults to
+    case.sigma_table.  Pass `amg` (build_cem_amg on the REAL sigma)
+    for hard-contrast meshes; preconditioning is per component —
+    complex-symmetric COCG tolerates the real-part-only M.
+    """
+    from jax import lax
+
+    from pelvistim_fem_tpu.ops.eqs import _cdiv, _cocg, _hnorm
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("solve_case_cem_eqs_refined")
+    kr = case.sigma_table if kr_table is None else kr_table
+    to = lambda a, dt: jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, a)
+    case64, case32 = to(case, jnp.float64), to(case, jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+
+    n = case.free_mask.shape[0]
+    W64 = jnp.asarray(weights, jnp.float64)
+    z64 = jnp.asarray(z2, jnp.float64)
+    I_in = jnp.asarray(I_elec, jnp.float64)
+    E = W64.shape[0]
+    flt = jnp.arange(E) != ground
+    areas = W64.sum(axis=1)
+
+    op64 = _case_cem_eqs_operator(
+        case64, kr.astype(jnp.float64), ki_table.astype(jnp.float64),
+        W64, z64, areas, flt)
+    op32 = _case_cem_eqs_operator(
+        case32, kr.astype(jnp.float32), ki_table.astype(jnp.float32),
+        W64.astype(jnp.float32), z64.astype(jnp.float32),
+        areas.astype(jnp.float32), flt)
+    breal = jnp.einsum("e,en->n", jnp.where(flt, I_in / areas, 0.0),
+                       W64, precision=hp)
+    b64 = jnp.stack([breal, jnp.zeros_like(breal)])
+
+    # real-part preconditioner: Jacobi on diag(K(Re kappa)) + Re robin,
+    # or the ground-pinned AMG V-cycle of the REAL CEM operator
+    kr32 = kr.astype(jnp.float32)
+    sig_r32 = kr32[case.tet_body]
+    sig_r32 = (sig_r32 * case32.vol if sig_r32.ndim == 1
+               else sig_r32 * case32.vol[:, None, None])
+    diag_k = assembly.stiffness_diagonal(
+        case32.tets, case32.grads, sig_r32, case32.scatter_perm,
+        case32.scatter_segids, n)
+    zmag2 = (z64[0] ** 2 + z64[1] ** 2).astype(jnp.float32)
+    re_invz = (z64[0].astype(jnp.float32)) / zmag2
+    robin_r = jnp.einsum("e,en->n", re_invz,
+                         W64.astype(jnp.float32), precision=hp)
+    minv = 1.0 / (diag_k + robin_r)
+    if amg is None:
+        M32 = lambda r: minv * r
+    else:
+        from pelvistim_fem_tpu.ops.amg import make_amg_preconditioner
+        amg32 = to(amg, jnp.float32)
+        fidx = amg32.free_idx
+        mask = jnp.zeros(n, bool).at[fidx].set(True)
+        # real CEM operator with z_eff = 1/Re(1/z): SPD on the
+        # ground-pinned subspace, the real part of the complex op
+        W32 = W64.astype(jnp.float32)
+
+        def op_r(x):
+            kx = assembly.spmv(x, case32.tets, case32.grads, sig_r32,
+                               case32.scatter_perm,
+                               case32.scatter_segids, n)
+            wx = jnp.einsum("en,n->e", W32, x, precision=hp)
+            r1 = jnp.where(flt, wx * re_invz / areas.astype(jnp.float32),
+                           0.0)
+            return kx + robin_r * x - jnp.einsum("e,en->n", r1, W32,
+                                                 precision=hp)
+
+        def fine_op(xf):
+            xfull = jnp.zeros(n, jnp.float32).at[fidx].set(xf)
+            return op_r(xfull)[fidx]
+
+        Mf = make_amg_preconditioner(amg32, fine_op, nu=nu, omega=omega,
+                                     coarse_iters=coarse_iters)
+
+        def M32(r):
+            zv = jnp.zeros_like(r).at[fidx].set(Mf(r[fidx]))
+            return jnp.where(mask, zv, minv * r)
+
+    def Mp(r2):
+        return jnp.stack([M32(r2[0]), M32(r2[1])])
+
+    bnorm = _hnorm(b64)
+    x = jnp.zeros_like(b64)
+
+    def refine(carry):
+        x, rel_old, total_it, k = carry
+        done = rel_old <= tol
+        r64 = b64 - op64(x)
+        tol_k = jnp.clip(0.25 * tol / jnp.minimum(rel_old, 1.0),
+                         inner_tol, 0.05)
+        dx, it, _ = _cocg(op32, r64.astype(jnp.float32), Mp,
+                          jnp.zeros_like(r64, jnp.float32),
+                          tol=tol_k, maxiter=maxiter)
+        x_n = x + dx.astype(jnp.float64)
+        rel_n = _hnorm(b64 - op64(x_n)) / jnp.where(bnorm > 0, bnorm,
+                                                    1.0)
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(x_n, x), sel(rel_n, rel_old),
+                sel(total_it + it, total_it), k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = lax.while_loop(
+        cond, refine, (x, jnp.float64(jnp.inf), jnp.int32(0),
+                       jnp.int32(0)))
+
+    wphi = jnp.einsum("en,cn->ce", W64, x, precision=hp)     # (2, E)
+    zI = jnp.stack([z64[0] * I_in, z64[1] * I_in])
+    U = jnp.where(flt[None], (zI + wphi) / areas[None], 0.0)
+    I_out = _cdiv(U * areas[None] - wphi, z64)
+    return CEMResult(phi=x, U=U, I=I_out, iterations=total_it,
+                     residual=rel, converged=rel <= tol)
+
+
+@partial(jax.jit, static_argnames=("ground", "tol", "inner_tol",
+                                   "maxiter", "nu", "omega",
+                                   "coarse_iters", "max_refinements"))
+def _cem_eqs_transfer_batch(case, weights, z2f, patterns, kr_tables,
+                            ki_tables, amg, *, ground, tol, inner_tol,
+                            maxiter, nu, omega, coarse_iters,
+                            max_refinements):
+    def one(z2, krt, kit, Iv):
+        return solve_case_cem_eqs_refined(
+            case, weights, z2, Iv, kr_table=krt, ki_table=kit,
+            ground=ground, amg=amg, tol=tol, inner_tol=inner_tol,
+            maxiter=maxiter, nu=nu, omega=omega,
+            coarse_iters=coarse_iters,
+            max_refinements=max_refinements)
+
+    def per_freq(z2, krt, kit):
+        return jax.vmap(lambda Iv: one(z2, krt, kit, Iv))(patterns)
+
+    return jax.vmap(per_freq)(z2f, kr_tables, ki_tables)
+
+
+def cem_eqs_transfer_matrix(case, weights, z_contact_f, *, ki_tables,
+                            kr_tables=None, ground=0, amg=None,
+                            tol=1e-8, inner_tol=3e-4, maxiter=5_000,
+                            nu=2, omega=0.85, coarse_iters=24,
+                            max_refinements=8):
+    """stencil_cem_eqs_transfer_matrix on the ELEMENT path: the
+    multifrequency complex measurement tensor for IMPORTED meshes —
+    one jitted (F x (E-1)) batch of certified complex CEM solves.
+    Same return contract (Z (F, E, E) complex128, stacked phi/U)."""
+    W = np.asarray(weights)
+    E = W.shape[0]
+    drives = np.array([e for e in range(E) if e != ground])
+    patterns = np.eye(E)[drives]
+    zf = np.asarray(z_contact_f, np.complex128)
+    F = zf.shape[0]
+    z2f = jnp.asarray(np.stack([zf.real, zf.imag], axis=1))
+    ki = jnp.asarray(ki_tables, jnp.float64)
+    if kr_tables is None:
+        kr = jnp.tile(case.sigma_table.astype(jnp.float64)[None],
+                      (F, 1))
+    else:
+        kr = jnp.asarray(kr_tables, jnp.float64)
+
+    out = _cem_eqs_transfer_batch(
+        case, jnp.asarray(weights), z2f, jnp.asarray(patterns), kr, ki,
+        amg, ground=ground, tol=tol, inner_tol=inner_tol,
+        maxiter=maxiter, nu=nu, omega=omega, coarse_iters=coarse_iters,
+        max_refinements=max_refinements)
+    U = np.asarray(out.U)
     residual = np.asarray(out.residual)
     Z = np.zeros((F, E, E), np.complex128)
     Z[:, drives] = U[:, :, 0] + 1j * U[:, :, 1]

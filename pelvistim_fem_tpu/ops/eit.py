@@ -47,7 +47,8 @@ from pelvistim_fem_tpu.ops.cem import cem_transfer_matrix
 __all__ = ["eit_jacobians", "eit_recover", "eit_sensitivity_cells",
            "eit_difference_image", "stencil_eit_jacobians",
            "eit_recover_stencil", "stencil_eit_jacobians_eqs",
-           "eit_recover_spectral"]
+           "eit_recover_spectral", "eit_jacobians_eqs",
+           "eit_recover_spectral_case"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -393,14 +394,11 @@ def eit_recover_stencil(scase, hier, Wg, present, measurements, *,
 
 
 @jax.jit
-def _eqs_jac_core(coeff, pg, W2, z2f):
-    """Stacked-real device einsums behind stencil_eit_jacobians_eqs.
-
-    coeff (B, 27, X, Y, Z) real stencil stacks; pg (F, D, 2, X, Y, Z)
-    gridded complex lead fields; W2 (E, G) flat surface weights;
-    z2f (F, 2, E).  Returns the raw contractions (J_kappa re/im and the
-    T, Q surface moments); the cheap complex assembly happens on host.
-    """
+def _eqs_stencil_vol_core(coeff, pg):
+    """Volume term behind stencil_eit_jacobians_eqs: one REAL stencil
+    apply per body per component per lead field, then the complex
+    bilinear contraction in stacked-real einsums.  coeff
+    (B, 27, X, Y, Z); pg (F, D, 2, X, Y, Z)."""
     from pelvistim_fem_tpu.ops.stencil import stencil_spmv
     r, i = pg[:, :, 0], pg[:, :, 1]                 # (F, D, X, Y, Z)
     spmv_all = jax.vmap(jax.vmap(jax.vmap(stencil_spmv, (0, None)),
@@ -411,17 +409,37 @@ def _eqs_jac_core(coeff, pg, W2, z2f):
            - jnp.einsum("flxyz,bfkxyz->flkb", i, Ki, precision=_HP))
     Ji = -(jnp.einsum("flxyz,bfkxyz->flkb", r, Ki, precision=_HP)
            + jnp.einsum("flxyz,bfkxyz->flkb", i, Kr, precision=_HP))
-    F, D = pg.shape[:2]
-    G = W2.shape[1]
-    rf = r.reshape(F, D, G)
-    if_ = i.reshape(F, D, G)
+    return Jr, Ji
+
+
+@jax.jit
+def _eqs_surface_core(W2, rf, if_):
+    """Surface moments of the complex lead fields (shared by the
+    stencil and element paths): W2 (E, n) lumped weights on any
+    indexing, rf/if_ (F, D, n) field components.  Returns the T
+    (first) and Q (second, complex-bilinear) moments, stacked-real."""
     Tr = jnp.einsum("mg,flg->flm", W2, rf, precision=_HP)
     Ti = jnp.einsum("mg,flg->flm", W2, if_, precision=_HP)
     Qr = (jnp.einsum("mg,flg,fkg->flkm", W2, rf, rf, precision=_HP)
           - jnp.einsum("mg,flg,fkg->flkm", W2, if_, if_, precision=_HP))
     Qi = (jnp.einsum("mg,flg,fkg->flkm", W2, rf, if_, precision=_HP)
           + jnp.einsum("mg,flg,fkg->flkm", W2, if_, rf, precision=_HP))
-    return Jr, Ji, Tr, Ti, Qr, Qi
+    return Tr, Ti, Qr, Qi
+
+
+def _contact_jacobian_complex(W2, rf, if_, U_c, zf):
+    """dZ/dz_m (F, D, D, E) complex from the surface moments: the
+    complex-bilinear expansion of (1/z^2) sum_n W (phi_l - U_l)
+    (phi_k - U_k)."""
+    Tr, Ti, Qr, Qi = _eqs_surface_core(W2, rf, if_)
+    T = np.asarray(Tr) + 1j * np.asarray(Ti)         # (F, D, E)
+    Q = np.asarray(Qr) + 1j * np.asarray(Qi)         # (F, D, D, E)
+    area = np.asarray(jnp.sum(W2, axis=1))
+    S = (Q - U_c[:, None, :, :] * T[:, :, None, :]
+         - U_c[:, :, None, :] * T[:, None, :, :]
+         + U_c[:, :, None, :] * U_c[:, None, :, :]
+         * area[None, None, None, :])
+    return S / (zf * zf)[:, None, None, :]
 
 
 def stencil_eit_jacobians_eqs(scase, Wg, z_contact_f, out):
@@ -443,31 +461,69 @@ def stencil_eit_jacobians_eqs(scase, Wg, z_contact_f, out):
         .at[:, :, :, scase.grid_index].set(phi) \
         .reshape(F, D, 2, X, Y, Z)
     zf = np.asarray(z_contact_f, np.complex128)      # (F, E)
-    z2f = jnp.asarray(np.stack([zf.real, zf.imag], 1))
-    Jr, Ji, Tr, Ti, Qr, Qi = _eqs_jac_core(
-        scase.coeff.astype(jnp.float64), pg,
-        Wg.reshape(E, G).astype(jnp.float64), z2f)
+    Jr, Ji = _eqs_stencil_vol_core(scase.coeff.astype(jnp.float64), pg)
 
     Jb = np.asarray(Jr) + 1j * np.asarray(Ji)        # (F, D, D, B)
     J_kappa = np.concatenate(
         [np.zeros((F, D, D, 1), np.complex128), Jb], axis=3)
 
-    T = np.asarray(Tr) + 1j * np.asarray(Ti)         # (F, D, E)
-    Q = np.asarray(Qr) + 1j * np.asarray(Qi)         # (F, D, D, E)
     U = out["U"][:, :, 0] + 1j * out["U"][:, :, 1]   # (F, D, E)
-    area = np.asarray(jnp.sum(Wg, axis=(1, 2, 3)))
-    S = (Q - U[:, None, :, :] * T[:, :, None, :]
-         - U[:, :, None, :] * T[:, None, :, :]
-         + U[:, :, None, :] * U[:, None, :, :]
-         * area[None, None, None, :])
-    J_z = S / (zf * zf)[:, None, None, :]
+    pf = pg.reshape(F, D, 2, G)
+    J_z = _contact_jacobian_complex(
+        Wg.reshape(E, G).astype(jnp.float64), pf[:, :, 0], pf[:, :, 1],
+        U, zf)
+    return J_kappa, J_z
+
+
+@jax.jit
+def _eqs_case_vol_core(tets, grads, vol, onehot, phi):
+    """Element-path volume term: complex-bilinear grad-grad integrals
+    per body in stacked-real einsums.  phi (F, D, 2, N)."""
+    G = jnp.einsum("mkc,fdmk->fdmc", grads, phi[:, :, 0][:, :, tets],
+                   precision=_HP)                    # (F, D, M, 3)
+    H = jnp.einsum("mkc,fdmk->fdmc", grads, phi[:, :, 1][:, :, tets],
+                   precision=_HP)
+    gv = vol.astype(jnp.float64)
+    w = onehot.astype(jnp.float64)
+    Jr = -(jnp.einsum("flmc,fkmc,m,mb->flkb", G, G, gv, w,
+                      precision=_HP)
+           - jnp.einsum("flmc,fkmc,m,mb->flkb", H, H, gv, w,
+                        precision=_HP))
+    Ji = -(jnp.einsum("flmc,fkmc,m,mb->flkb", G, H, gv, w,
+                      precision=_HP)
+           + jnp.einsum("flmc,fkmc,m,mb->flkb", H, G, gv, w,
+                        precision=_HP))
+    return Jr, Ji
+
+
+def eit_jacobians_eqs(case, weights, z_contact_f, out, *,
+                      n_bodies=None):
+    """stencil_eit_jacobians_eqs on the ELEMENT path (imported
+    meshes): complex dZ/dkappa_b from per-element gradient bilinears,
+    complex dZ/dz_m from the shared surface moments.  out:
+    cem_eqs_transfer_matrix(...) result."""
+    phi = jnp.asarray(out["phi"], jnp.float64)       # (F, D, 2, N)
+    if n_bodies is None:
+        n_bodies = int(case.sigma_table.shape[0])
+    onehot = (case.tet_body[:, None]
+              == jnp.arange(n_bodies)[None, :])      # (M, B)
+    Jr, Ji = _eqs_case_vol_core(case.tets, case.grads, case.vol,
+                                onehot, phi)
+    J_kappa = np.asarray(Jr) + 1j * np.asarray(Ji)   # (F, D, D, B)
+
+    zf = np.asarray(z_contact_f, np.complex128)
+    U = out["U"][:, :, 0] + 1j * out["U"][:, :, 1]
+    W = jnp.asarray(weights, jnp.float64)
+    J_z = _contact_jacobian_complex(W, phi[:, :, 0], phi[:, :, 1], U,
+                                    zf)
     return J_kappa, J_z
 
 
 def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
                          *, body_models, z_ser, q_cpe, alpha_cpe=0.8,
                          fit_q=True, ground=0, tol=1e-9, max_nfev=80,
-                         verbose=False):
+                         n_tau_starts=1, verbose=False,
+                         forward_fn=None, jacobian_fn=None):
     """Multifrequency (spectral / fd-) EIT on the stencil fast path:
     fit per-body Cole-Cole dispersion parameters AND per-contact CPE
     magnitudes to the measured complex transfer tensor.
@@ -497,6 +553,21 @@ def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
     contact that single-frequency EIT must hold can be FITTED here
     (pinned by test).
 
+    forward_fn(kr, ki, zf) -> transfer dict and jacobian_fn(zf, out) ->
+    (J_kappa, J_z) inject a different discretization backend
+    (eit_recover_spectral_case wires the element path for imported
+    meshes); defaults are the stencil fast path.
+
+    n_tau_starts: the tau axis is the MULTIMODAL one (classic
+    Cole-Cole fitting pathology: from a start far off in tau, LM can
+    kill the dispersion entirely — d_eps -> 0 with sigma_s and the
+    CPEs absorbing the signal to a ~1e-6 plateau; measured on this
+    very problem, where the truth point evaluates to 4e-29).  When
+    > 1, the full LM reruns from tau starts scaled by log-spaced
+    multipliers over +-1 decade (all dispersive bodies together) and
+    the best final loss wins; a start that reaches the noiseless
+    floor short-circuits the rest.
+
     Returns dict: body_models (fitted copies), q_cpe (E,),
     sigma_table (static limits written into the fitted bodies' slots),
     params (ordered (kind, index) list), loss_history, n_forward,
@@ -506,6 +577,15 @@ def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
 
     from pelvistim_fem_tpu.ops.cem import stencil_cem_eqs_transfer_matrix
     from pelvistim_fem_tpu.ops.eqs import EPS0, cole_cole_kappa
+
+    if forward_fn is None:
+        def forward_fn(kr, ki, zf):
+            return stencil_cem_eqs_transfer_matrix(
+                scase, hier, Wg, present, zf, ki_tables=ki,
+                kr_tables=kr, ground=ground, tol=tol)
+    if jacobian_fn is None:
+        def jacobian_fn(zf, out):
+            return stencil_eit_jacobians_eqs(scase, Wg, zf, out)
 
     freqs = np.asarray(freqs_hz, np.float64)
     w = 2 * np.pi * freqs
@@ -570,9 +650,7 @@ def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
         if key not in cache:
             mods, q = unpack(p)
             kr, ki, zf = tables(mods, q)
-            out = stencil_cem_eqs_transfer_matrix(
-                scase, hier, Wg, present, zf, ki_tables=ki,
-                kr_tables=kr, ground=ground, tol=tol)
+            out = forward_fn(kr, ki, zf)
             state["n_forward"] += F
             cache.clear()             # keep exactly the current iterate
             cache[key] = out
@@ -600,7 +678,7 @@ def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
         out = forward(p)
         mods, q = unpack(p)
         _, _, zf = tables(mods, q)
-        J_kap, J_z = stencil_eit_jacobians_eqs(scase, Wg, zf, out)
+        J_kap, J_z = jacobian_fn(zf, out)
         cols = []
         for kind, idx in params:
             if kind == "q":
@@ -623,9 +701,22 @@ def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
 
     p0 = np.log(np.array(
         [q0[i] if k == "q" else models[i][k] for k, i in params]))
-    res = least_squares(resid, p0, jac=jac, method="lm",
-                        xtol=1e-15, ftol=1e-15, gtol=1e-14,
-                        max_nfev=max_nfev)
+    tau_slots = np.array([k == "tau" for k, _ in params])
+    mults = (np.logspace(-1.0, 1.0, n_tau_starts)
+             if n_tau_starts > 1 and tau_slots.any() else np.ones(1))
+    mults = mults[np.argsort(np.abs(np.log(mults)))]  # caller's start 1st
+    res, res_bad = None, False
+    for mult in mults:
+        pk = p0 + np.log(mult) * tau_slots
+        state["bad"] = False
+        rk = least_squares(resid, pk, jac=jac, method="lm",
+                           xtol=1e-15, ftol=1e-15, gtol=1e-14,
+                           max_nfev=max_nfev)
+        if res is None or rk.cost < res.cost:
+            res, res_bad = rk, state["bad"]
+        if 2.0 * res.cost / denom <= 1e-14:
+            break
+    state["bad"] = res_bad
     Jf = jac(res.x)
     rms = np.sqrt(2.0 * res.cost / max(Jf.shape[0], 1))
     try:
@@ -645,3 +736,27 @@ def eit_recover_spectral(scase, hier, Wg, present, freqs_hz, measured,
             "params": params, "loss_history": state["history"],
             "n_forward": state["n_forward"], "converged": converged,
             "log_std": log_std, "residual_rms": float(rms)}
+
+
+def eit_recover_spectral_case(case, weights, freqs_hz, measured, *,
+                              amg=None, ground=0, tol=1e-9, **kw):
+    """eit_recover_spectral on the ELEMENT path: spectral EIT for
+    imported .msh/Elmer-DB/VTU meshes — every forward one jitted
+    (F x (E-1)) batch of certified complex element-path CEM solves
+    (cem.cem_eqs_transfer_matrix, optional build_cem_amg
+    preconditioner) and Jacobians from the per-element gradient
+    bilinears (eit_jacobians_eqs)."""
+    from pelvistim_fem_tpu.ops.cem import cem_eqs_transfer_matrix
+
+    def fwd(kr, ki, zf):
+        return cem_eqs_transfer_matrix(
+            case, weights, zf, ki_tables=ki, kr_tables=kr,
+            ground=ground, amg=amg, tol=tol)
+
+    def jac(zf, out):
+        return eit_jacobians_eqs(case, weights, zf, out)
+
+    return eit_recover_spectral(case, None, np.asarray(weights), None,
+                                freqs_hz, measured, ground=ground,
+                                tol=tol, forward_fn=fwd,
+                                jacobian_fn=jac, **kw)

@@ -185,3 +185,71 @@ def test_eit_recover_spectral_roundtrip_fits_pad():
     # the posterior agrees this is now identifiable: every fitted log
     # parameter, pad q included, carries a finite, small error bar
     assert np.all(np.isfinite(rec["log_std"]))
+
+
+def test_eqs_cem_element_path_matches_stencil():
+    """The element-path complex CEM (imported-mesh twin) must
+    reproduce the stencil fast path: same discrete system, so the
+    complex transfer tensor, lead fields, and BOTH analytic Jacobians
+    agree to solver tolerance; and a short element-path spectral fit
+    recovers a perturbed skin dispersion."""
+    from pelvistim_fem_tpu.ops.cem import (cem_eqs_transfer_matrix,
+                                           cem_weights_from_bcids)
+    from pelvistim_fem_tpu.ops.eit import (eit_jacobians_eqs,
+                                           eit_recover_spectral_case)
+
+    mesh, case = _four_electrode_case()
+    sc, hier, W, Wg, present = _stencil_setup(case, mesh, GROUND)
+    T = int(np.asarray(sc.sigma_table).shape[0])
+    freqs = FREQS[::2]
+    F = len(freqs)
+    kr = np.tile(np.asarray(sc.sigma_table, np.float64), (F, 1))
+    ki = np.zeros((F, T))
+    kap = cole_cole_kappa(freqs, kr[0, 1], 0.0, [(3e4, 1.2e-5, 0.0)])
+    kr[:, 1], ki[:, 1] = kap.real, kap.imag
+    zf = _cpe_z(freqs, [0.004] * 4, [8e-3, 1.1e-2, 6e-3, 2.5e-2], 0.8)
+
+    ref = stencil_cem_eqs_transfer_matrix(sc, hier, Wg, present, zf,
+                                          ki_tables=ki, kr_tables=kr,
+                                          ground=GROUND, tol=1e-11)
+    out = cem_eqs_transfer_matrix(case, W, zf, ki_tables=ki,
+                                  kr_tables=kr, ground=GROUND,
+                                  tol=1e-10)
+    assert out["converged"].all()
+    np.testing.assert_allclose(out["Z"], ref["Z"], rtol=1e-7,
+                               atol=1e-11)
+
+    J_ks, J_zs = stencil_eit_jacobians_eqs(sc, Wg, zf, ref)
+    J_ke, J_ze = eit_jacobians_eqs(case, W, zf, out)
+    np.testing.assert_allclose(J_ke, J_ks[:, :, :, :J_ke.shape[3]],
+                               atol=1e-6 * np.abs(J_ks).max())
+    np.testing.assert_allclose(J_ze, J_zs,
+                               atol=1e-6 * np.abs(J_zs).max())
+
+    # the AMG-preconditioned branch must reach the same certified
+    # answer (real-part ground-pinned V-cycle per component)
+    from pelvistim_fem_tpu.ops.cem import build_cem_amg
+    amg = build_cem_amg(case, W, ground=GROUND, mesh=mesh)
+    out_amg = cem_eqs_transfer_matrix(case, W, zf[:1],
+                                      ki_tables=ki[:1],
+                                      kr_tables=kr[:1], ground=GROUND,
+                                      amg=amg, tol=1e-10)
+    assert out_amg["converged"].all()
+    np.testing.assert_allclose(out_amg["Z"][0], ref["Z"][0], rtol=1e-7,
+                               atol=1e-11)
+
+    # short element-path spectral fit: skin (sigma_s, d_eps) + one
+    # patch q from 1.5x-off starts (tau held at truth to keep the
+    # suite fast; the full joint fit is the stencil round-trip above)
+    d = ref["drives"]
+    M = ref["Z"][:, d][:, :, d]
+    rec = eit_recover_spectral_case(
+        case, W, freqs, M,
+        body_models={1: dict(sigma_s=0.3, d_eps=3e4, tau=1.2e-5)},
+        z_ser=np.array([0.004] * 4),
+        q_cpe=np.array([8e-3 * 1.5, 1.1e-2, 6e-3, 2.5e-2]),
+        alpha_cpe=0.8, fit_q=(0,), ground=GROUND, tol=1e-10)
+    assert rec["converged"]
+    np.testing.assert_allclose(rec["body_models"][1]["sigma_s"], 0.2,
+                               rtol=1e-3)
+    np.testing.assert_allclose(rec["q_cpe"][0], 8e-3, rtol=1e-3)
