@@ -153,6 +153,23 @@ def cmd_solve(args):
     else:
         case, res, row, mesh = solve_imported(args.input, params,
                                               tol=args.tol)
+        if args.estimate:
+            # ZZ a-posteriori error: the mesh-accuracy number the
+            # reference's flux banner cannot provide (ops/estimate.py)
+            from pelvistim_fem_tpu.ops.estimate import (
+                zz_error_indicators, zz_global_error)
+            eta = np.asarray(zz_error_indicators(case, res.phi))
+            eta_g, rel = (float(v) for v in
+                          zz_global_error(case, res.phi))
+            body = np.asarray(case.tet_body)
+            per = np.sqrt(np.bincount(body, weights=eta ** 2))
+            row["zz_error_energy"] = eta_g
+            row["zz_error_rel"] = rel
+            row["zz_error_per_body"] = per.tolist()
+            print(f"ZZ estimated energy error {eta_g:.3e} "
+                  f"({rel:.2%} of solution energy norm); per body: "
+                  + ", ".join(f"b{b}={v:.2e}"
+                              for b, v in enumerate(per) if v > 0))
     out = Path(args.out or ".")
     out.mkdir(parents=True, exist_ok=True)
     clean = {k: (None if isinstance(v, float) and not np.isfinite(v)
@@ -183,6 +200,9 @@ def main():
     c.add_argument("--tol", type=float, default=1e-8)
     c.add_argument("--vtu", action="store_true",
                    help="also write solution.vtu")
+    c.add_argument("--estimate", action="store_true",
+                   help="ZZ a-posteriori energy-error estimate "
+                   "(global + per body) on the solved field")
     c.add_argument("--cem", default=None, metavar="Z_ACT,Z_RET",
                    help="solve the complete electrode model with these "
                         "contact impedances [ohm m^2] on the detected "

@@ -1,0 +1,196 @@
+"""A-posteriori error estimation + adaptive lattice regrading.
+
+The reference has NO error estimation: mesh resolution is a hand-chosen
+characteristic length (lc_global / lc_electrode / lc_skin_min — step03
+params.yaml:67-70) and the only quality signal is the 2% flux-balance
+banner (run_layered_sweep.py:883-891), which certifies conservation,
+not accuracy.  This module closes that loop with the Zienkiewicz-Zhu
+(ZZ) recovered-gradient estimator: any P1 solve yields per-element
+energy-norm error indicators at the cost of ONE volume-weighted nodal
+averaging plus one quadrature contraction — zero extra solves, all
+device-side, vmappable across sweep lanes like every other metric.
+
+For tensor-product lattices (every generated mesh in this framework)
+the indicators drive 1-D knot equidistribution: project the element
+indicators onto each axis, rebuild the knot vector so equal error mass
+falls in each interval, and re-mesh.  Locked knots (layer boundaries,
+electrode footprint edges — the features `graded_axis` pins) are
+preserved, so adapted meshes stay geometry-conforming.
+
+Math: with g_h = grad phi_h constant per tet and G* the volume-weighted
+nodal recovery (fields.nodal_average — superconvergent on mesh-pattern
+interiors), d = G*|_e - g_h is LINEAR on each tet, so the energy-norm
+indicator integrates exactly via int lambda_i lambda_j = V(1+delta_ij)/20:
+
+    eta_e^2 = int_e d^T sigma d dV
+            = V/20 * [ s(sum_i d_i, sum_i d_i) + sum_i s(d_i, d_i) ],
+
+s(a, b) = a^T sigma b (scalar or 3x3 per-body sigma, like cell_J).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.ops.fields import cell_gradient, nodal_average
+
+__all__ = ["zz_recovered_gradient", "zz_error_indicators",
+           "zz_global_error", "adapt_axis", "lattice_axis_weights"]
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+def zz_recovered_gradient(case, phi):
+    """(N, 3) ZZ-recovered nodal gradient: the volume-weighted average
+    of the incident tets' constant P1 gradients."""
+    return nodal_average(case, cell_gradient(case, phi))
+
+
+def _sigma_bilinear(sig_e, a, b):
+    """s(a, b) = a^T sigma b per element; sig_e (M,) or (M, 3, 3),
+    a/b (M, ..., 3) with matching leading axes."""
+    if sig_e.ndim == 3:
+        sb = jnp.einsum("mde,m...e->m...d", sig_e, b, precision=_HP)
+    else:
+        sb = sig_e.reshape(sig_e.shape + (1,) * (b.ndim - 1)) * b
+    return jnp.sum(a * sb, axis=-1)
+
+
+@jax.jit
+def zz_error_indicators(case, phi, sigma_table=None):
+    """Per-element ZZ energy-norm error indicators eta_e, shape (M,).
+
+    eta_e^2 approximates int_e |grad(phi - phi_h)|_sigma^2; the exact
+    quadrature of the linear recovery mismatch is in the module
+    docstring.  sigma_table (T,) or (T, 3, 3) overrides
+    case.sigma_table (zero-re-assembly sweeps)."""
+    tab = case.sigma_table if sigma_table is None else sigma_table
+    g = cell_gradient(case, phi)                       # (M, 3)
+    Gs = nodal_average(case, g)                        # (N, 3)
+    d = Gs[case.tets] - g[:, None, :]                  # (M, 4, 3)
+    sig_e = tab[case.tet_body]
+    diag = jnp.sum(_sigma_bilinear(sig_e, d, d), axis=1)     # (M,)
+    ds = jnp.sum(d, axis=1)                            # (M, 3)
+    tot = _sigma_bilinear(sig_e, ds, ds)               # (M,)
+    eta2 = case.vol / 20.0 * (tot + diag)
+    return jnp.sqrt(jnp.maximum(eta2, 0.0))
+
+
+@jax.jit
+def zz_global_error(case, phi, sigma_table=None):
+    """(eta, rel): global estimated energy error sqrt(sum eta_e^2) and
+    the same relative to the solution's energy norm
+    sqrt(sum_e V_e g^T sigma g) — the number a mesh-acceptance gate
+    wants (reference analogue: none; its banner checks flux balance,
+    not discretization error)."""
+    tab = case.sigma_table if sigma_table is None else sigma_table
+    eta = zz_error_indicators(case, phi, sigma_table)
+    g = cell_gradient(case, phi)
+    en2 = jnp.sum(case.vol * _sigma_bilinear(tab[case.tet_body], g, g))
+    eta_g = jnp.sqrt(jnp.sum(eta * eta))
+    return eta_g, eta_g / jnp.sqrt(jnp.maximum(en2, 1e-300))
+
+
+def lattice_axis_weights(case, mesh, knots_xyz, eta):
+    """Project per-tet indicators onto the three lattice axes.
+
+    Host-side (adaptation runs once per cycle, not per solve): each
+    tet's eta^2 is binned by its centroid's knot interval on each axis
+    — robust to carved lattices (layered_slab removes cells outside
+    the footprint polygon), unlike tet-index arithmetic.
+
+    Returns [wx, wy, wz]: per-interval error mass (len(knots)-1,) each.
+    """
+    eta2 = np.asarray(eta, np.float64) ** 2
+    cc = np.asarray(mesh.nodes)[np.asarray(case.tets)].mean(axis=1)
+    out = []
+    for ax, knots in enumerate(knots_xyz):
+        k = np.asarray(knots, np.float64)
+        idx = np.clip(np.searchsorted(k, cc[:, ax]) - 1, 0, len(k) - 2)
+        out.append(np.bincount(idx, weights=eta2, minlength=len(k) - 1))
+    return out
+
+
+def adapt_axis(knots, w_cell, n_cells, *, keep=(), floor=0.02,
+               h_min=None):
+    """New monotone knot vector equidistributing error mass.
+
+    knots (K+1,) current axis; w_cell (K,) nonnegative per-interval
+    error mass (lattice_axis_weights output); n_cells: interval count
+    of the ADAPTED axis.  keep: coordinates that must remain exact
+    knots (layer boundaries, electrode footprint edges — the same
+    features graded_axis pins); cells are allocated to kept segments
+    proportional to their error mass (>= 1 each).  floor: every
+    interval keeps at least floor * max(w)/len density so zero-error
+    regions still get coverage (and the density never vanishes).
+    h_min caps refinement (conditioning guard, like _fill_segment's
+    sliver merge).
+
+    Equidistribution density rho_i = w_i^(1/3) / len_i: with local
+    energy-error mass per length m(x) = C(x)^2 h(x)^2 (P1: eta ~ h|u''|
+    per cell), minimizing total err^2 = int C^2 h^2 dx subject to
+    int dx/h = n_cells gives h ~ C^(-2/3), i.e. knot density
+    n(x) ~ C^(2/3) = (m / h_old^2)^(1/3) = (w_i / len_i^3)^(1/3).
+    Equidistributing the raw mass w_i/len_i instead over-concentrates
+    cubically (measured: it made the sin*sinh test case WORSE —
+    dev/estimate_measure.py).
+    """
+    k = np.asarray(knots, np.float64)
+    w = np.asarray(w_cell, np.float64)
+    if len(k) != len(w) + 1:
+        raise ValueError(f"knots ({len(k)}) must be w_cell ({len(w)})+1")
+    lo, hi = k[0], k[-1]
+    kept = np.unique(np.concatenate(
+        [[lo, hi], np.asarray(list(keep), np.float64)]))
+    kept = kept[(kept >= lo - 1e-12) & (kept <= hi + 1e-12)]
+    seg_edges = kept
+    n_seg = len(seg_edges) - 1
+    if n_cells < n_seg:
+        raise ValueError(f"n_cells={n_cells} < {n_seg} kept segments")
+
+    lens = np.diff(k)
+    rho = np.cbrt(w) / np.maximum(lens, 1e-300)
+    rho = np.maximum(rho, floor * rho.max() if rho.max() > 0 else 1.0)
+    # cumulative error mass F (piecewise linear, strictly increasing)
+    F = np.concatenate([[0.0], np.cumsum(rho * lens)])
+
+    def mass(a, b):
+        return np.interp(b, k, F) - np.interp(a, k, F)
+
+    seg_mass = np.array([mass(seg_edges[s], seg_edges[s + 1])
+                         for s in range(n_seg)])
+    # proportional cell allocation, >= 1 per segment, exact total
+    alloc = np.maximum(1, np.floor(
+        n_cells * seg_mass / seg_mass.sum()).astype(int))
+    while alloc.sum() > n_cells:
+        alloc[np.argmax(alloc)] -= 1
+    while alloc.sum() < n_cells:
+        # largest mass-per-cell gets the spare
+        alloc[np.argmax(seg_mass / alloc)] += 1
+
+    new = [lo]
+    for s in range(n_seg):
+        a, b = seg_edges[s], seg_edges[s + 1]
+        m = alloc[s]
+        Fa, Fb = np.interp(a, k, F), np.interp(b, k, F)
+        levels = Fa + (Fb - Fa) * np.arange(1, m) / m
+        # invert the monotone piecewise-linear F on [a, b]
+        xs = np.interp(levels, F, k)
+        seg_knots = np.concatenate([xs, [b]])
+        if h_min is not None:
+            # enforce minimum spacing left-to-right (and against the
+            # fixed segment end b, which must survive verbatim)
+            prev = a
+            out = []
+            for x in seg_knots[:-1]:
+                if x - prev >= h_min and b - x >= h_min:
+                    out.append(x)
+                    prev = x
+            seg_knots = np.concatenate([out, [b]])
+        new.extend(seg_knots.tolist())
+    arr = np.array(new)
+    # dedupe (kept points can coincide with equidistribution points)
+    return arr[np.concatenate([[True], np.diff(arr) > 1e-12])]

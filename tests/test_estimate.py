@@ -1,0 +1,210 @@
+"""ZZ a-posteriori error estimation + adaptive lattice regrading.
+
+The reference has no error estimation (resolution is a hand-picked
+characteristic length, step03 params.yaml:67-70; its only mesh-quality
+signal is the 2% flux-balance banner, run_layered_sweep.py:883-891).
+These tests certify the capability the framework adds:
+
+1. EFFECTIVITY: on a smooth manufactured harmonic (the
+   test_convergence.py solution), the global ZZ estimate must track
+   the TRUE energy error |u - u_h|_E to a few percent (measured
+   1.010-1.016 across n=8..24, dev/estimate_measure.py) and converge
+   at the P1 energy rate O(h).  The "true" error uses a degree-2
+   quadrature of the exact continuous gradient — NOT the
+   superconvergent discrete-nodal e^T K e, which is O(h^2) and 30-90x
+   smaller (the first thing this test suite got wrong).
+2. ADAPTIVITY: equidistributing the indicators (density
+   (w/len^3)^(1/3) — the exponent matters, see adapt_axis docstring)
+   beats a uniform axis AT THE SAME CELL COUNT on both energy and L2
+   error.
+3. LOCALIZATION: on an electrode problem the error mass sits at the
+   patch rim (the field singularity), not the far field.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh.generate import build_mesh_from_lattice
+from pelvistim_fem_tpu.models.case import build_case
+from pelvistim_fem_tpu.ops.estimate import (adapt_axis,
+                                            lattice_axis_weights,
+                                            zz_error_indicators,
+                                            zz_global_error)
+from pelvistim_fem_tpu.ops.solve import solve_case
+
+L = 1.0
+K = np.pi / L
+
+
+def _exact(nodes):
+    return np.sin(K * nodes[:, 0]) * np.sinh(K * nodes[:, 2])
+
+
+def _exact_grad(p):
+    return np.stack(
+        [K * np.cos(K * p[..., 0]) * np.sinh(K * p[..., 2]),
+         np.zeros(p.shape[:-1]),
+         K * np.sin(K * p[..., 0]) * np.cosh(K * p[..., 2])], axis=-1)
+
+
+def _mesh(xs, ys, zs):
+    body = lambda cx, cy, cz: np.ones(cx.shape, np.int32)
+    bcid = lambda fx, fy, fz, nx, ny, nz: np.full(fx.shape, 3, np.int32)
+    return build_mesh_from_lattice(xs, ys, zs, body, bcid)
+
+
+def _dirichlet_solve(mesh):
+    case = build_case(mesh, {1: 1.0}, mode="voltage", dtype=jnp.float64)
+    exact = _exact(np.asarray(mesh.nodes))
+    bn = np.unique(np.asarray(mesh.faces))
+    free = np.ones(mesh.n_nodes, bool)
+    free[bn] = False
+    dir_ = np.zeros(mesh.n_nodes)
+    dir_[bn] = exact[bn]
+    case = dataclasses.replace(
+        case, free_mask=jnp.asarray(free),
+        dirichlet_vals=jnp.asarray(dir_, jnp.float64),
+        b_neumann=jnp.zeros(mesh.n_nodes, jnp.float64))
+    res = solve_case(case, tol=1e-11, maxiter=40_000)
+    assert bool(np.asarray(res.converged))
+    return case, np.asarray(res.phi), exact
+
+
+def _true_energy_error(case, mesh, phi):
+    from pelvistim_fem_tpu.ops.fields import cell_gradient
+    gh = np.asarray(cell_gradient(case, jnp.asarray(phi)))
+    verts = np.asarray(mesh.nodes)[np.asarray(case.tets)]
+    a, b = 0.5854101966249685, 0.13819660112501053
+    lam = np.full((4, 4), b)
+    np.fill_diagonal(lam, a)
+    pts = np.einsum("qi,mid->mqd", lam, verts)
+    d = _exact_grad(pts) - gh[:, None, :]
+    vol = np.asarray(case.vol)
+    return float(np.sqrt(np.sum(vol[:, None] / 4.0
+                                * np.sum(d * d, axis=-1))))
+
+
+def test_zz_effectivity_and_rate():
+    """Effectivity within a few percent of 1 at both mesh sizes and
+    O(h) convergence of the estimate (measured 1.016/1.013, rate
+    0.995 — any recovery/quadrature bug lands far outside)."""
+    etas, errs = [], []
+    for n in (8, 16):
+        xs = np.linspace(0, L, n + 1)
+        mesh = _mesh(xs, xs, xs)
+        case, phi, _ = _dirichlet_solve(mesh)
+        eta_g, rel = (float(v) for v in
+                      zz_global_error(case, jnp.asarray(phi)))
+        err = _true_energy_error(case, mesh, phi)
+        etas.append(eta_g)
+        errs.append(err)
+        assert 0.90 < eta_g / err < 1.12, (n, eta_g, err)
+        assert 0 < rel < 1
+    rate = np.log(etas[0] / etas[1]) / np.log(2.0)
+    true_rate = np.log(errs[0] / errs[1]) / np.log(2.0)
+    assert rate > 0.9, rate
+    assert abs(rate - true_rate) < 0.1, (rate, true_rate)
+
+
+def test_adapt_axis_beats_uniform_at_same_cost():
+    """One estimate->equidistribute cycle on the z-axis must beat the
+    uniform mesh at the SAME cell count on both error norms (measured
+    1.16x energy, 3.0x nodal-L2)."""
+    n = 12
+    xs = np.linspace(0, L, n + 1)
+    mesh0 = _mesh(xs, xs, xs)
+    case0, phi0, ex0 = _dirichlet_solve(mesh0)
+    eta0 = zz_error_indicators(case0, jnp.asarray(phi0))
+    _, _, wz = lattice_axis_weights(case0, mesh0, (xs, xs, xs), eta0)
+    # error mass must increase toward z = L (sinh curvature)
+    assert np.all(np.diff(wz) > 0)
+
+    zs = adapt_axis(xs, wz, n)
+    assert len(zs) == n + 1                       # same cell count
+    meshA = _mesh(xs, xs, zs)
+    caseA, phiA, exA = _dirichlet_solve(meshA)
+
+    eU = _true_energy_error(case0, mesh0, phi0)
+    eA = _true_energy_error(caseA, meshA, phiA)
+    l2U = np.linalg.norm(phi0 - ex0) / np.linalg.norm(ex0)
+    l2A = np.linalg.norm(phiA - exA) / np.linalg.norm(exA)
+    assert eA < 0.93 * eU, (eA, eU)
+    assert l2A < 0.5 * l2U, (l2A, l2U)
+    # and the estimator agrees with the true improvement direction
+    etaA = float(zz_global_error(caseA, jnp.asarray(phiA))[0])
+    eta0g = float(zz_global_error(case0, jnp.asarray(phi0))[0])
+    assert etaA < eta0g
+
+
+def test_adapt_axis_contract():
+    """Kept knots survive verbatim, cell count is exact, knots are
+    strictly monotone, h_min is honored."""
+    xs = np.linspace(0, 1, 11)
+    w = np.linspace(0.1, 2.0, 10) ** 2
+    out = adapt_axis(xs, w, 14, keep=(0.3, 0.7))
+    assert len(out) == 15
+    assert np.all(np.diff(out) > 0)
+    for kp in (0.0, 0.3, 0.7, 1.0):
+        assert np.any(np.abs(out - kp) < 1e-12), kp
+    out2 = adapt_axis(xs, w, 14, h_min=0.04)
+    assert np.diff(out2).min() >= 0.04 - 1e-12
+    with pytest.raises(ValueError):
+        adapt_axis(xs, w[:-1], 14)
+    with pytest.raises(ValueError):
+        adapt_axis(xs, w, 1, keep=(0.3, 0.7))
+
+
+def test_indicators_localize_at_electrode_rim():
+    """Current injected through a small top patch: the flux-corner
+    singularity at the patch rim must carry far more estimated error
+    per volume than the far field."""
+    n = 12
+    xs = np.linspace(0, L, n + 1)
+    mesh = _mesh(xs, xs, xs)
+
+    def bcid(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, 3, np.int32)
+        top = (nz > 0.5) & (np.abs(fz - L) < 1e-9)
+        out[top & (np.abs(fx - 0.5) <= 0.17)
+            & (np.abs(fy - 0.5) <= 0.17)] = 1
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = 2
+        return out
+
+    body = lambda cx, cy, cz: np.ones(cx.shape, np.int32)
+    mesh = build_mesh_from_lattice(xs, xs, xs, body, bcid)
+    case = build_case(mesh, {1: 1.0}, mode="current",
+                      injected_current_A=1e-3, dtype=jnp.float64)
+    res = solve_case(case, tol=1e-10, maxiter=40_000)
+    assert bool(np.asarray(res.converged))
+    eta = np.asarray(zz_error_indicators(case, res.phi))
+    vol = np.asarray(case.vol)
+    cc = np.asarray(mesh.nodes)[np.asarray(case.tets)].mean(axis=1)
+    r_rim = np.sqrt(np.maximum(np.abs(cc[:, 0] - 0.5) - 0.17, 0) ** 2
+                    + np.maximum(np.abs(cc[:, 1] - 0.5) - 0.17, 0) ** 2
+                    + (cc[:, 2] - L) ** 2)
+    near = r_rim < 0.18
+    far = cc[:, 2] < 0.4
+    dens_near = (eta[near] ** 2).sum() / vol[near].sum()
+    dens_far = (eta[far] ** 2).sum() / vol[far].sum()
+    assert dens_near > 30 * dens_far, (dens_near, dens_far)
+
+
+def test_zz_vmaps_over_sweep_lanes():
+    """The indicator is a metric: it must vmap over a material sweep
+    (zero re-assembly) and match per-lane serial evaluation."""
+    import jax
+
+    xs = np.linspace(0, L, 7)
+    mesh = _mesh(xs, xs, xs)
+    case, phi, _ = _dirichlet_solve(mesh)
+    phis = jnp.stack([jnp.asarray(phi), 2.0 * jnp.asarray(phi)])
+    batched = jax.vmap(lambda p: zz_error_indicators(case, p))(phis)
+    one = zz_error_indicators(case, jnp.asarray(phi))
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(one),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(batched[1]),
+                               2.0 * np.asarray(one), rtol=1e-12)
