@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from pelvistim_fem_tpu.ops.fields import cell_gradient, nodal_average
 
 __all__ = ["zz_recovered_gradient", "zz_error_indicators",
-           "zz_global_error", "adapt_axis", "lattice_axis_weights"]
+           "zz_global_error", "adapt_axis", "lattice_axis_weights",
+           "goal_dual_case", "zz_goal_indicators", "zz_goal_bound"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -94,17 +95,66 @@ def zz_global_error(case, phi, sigma_table=None):
     return eta_g, eta_g / jnp.sqrt(jnp.maximum(en2, 1e-300))
 
 
-def lattice_axis_weights(case, mesh, knots_xyz, eta):
+def goal_dual_case(case, q):
+    """The dual (adjoint) problem of a linear goal J(phi) = q^T phi:
+    K psi = q with HOMOGENEOUS Dirichlet data on the primal's
+    constrained nodes (K is symmetric, so the adjoint operator is the
+    primal operator; only the data changes).  Solve with any of the
+    case solvers — same operator, same preconditioner class.
+
+    q (N,): the goal's nodal weights (e.g. membership/vol weights of
+    ROI nodes for a mean-potential goal).  Entries on Dirichlet nodes
+    are irrelevant (masked by the solver)."""
+    import dataclasses
+
+    qv = jnp.asarray(q)
+    return dataclasses.replace(
+        case, dirichlet_vals=jnp.zeros_like(case.dirichlet_vals),
+        b_neumann=qv.astype(case.dirichlet_vals.dtype))
+
+
+def zz_goal_indicators(case, phi, psi, sigma_table=None):
+    """Dual-weighted (goal-oriented / DWR) element indicators
+    w_e = eta_e(phi) * eta_e(psi).
+
+    From Galerkin orthogonality, the error of a linear goal J = q^T phi
+    satisfies |J(u) - J(u_h)| = |a(u - u_h, z - z_h)|
+    <= sum_e |u - u_h|_{E,e} |z - z_h|_{E,e} — each factor estimated
+    by the ZZ indicator of the respective solution.  Adapting on w_e
+    targets the GOAL's accuracy, refining only where primal error and
+    dual influence coincide (e.g. an ROI metric ignores electrode-rim
+    error on the far electrode, which energy-driven adaptation would
+    chase)."""
+    return (zz_error_indicators(case, phi, sigma_table)
+            * zz_error_indicators(case, psi, sigma_table))
+
+
+def zz_goal_bound(case, phi, psi, sigma_table=None):
+    """Estimated upper bound on |J(u) - J(u_h)| for the linear goal
+    whose dual solution is psi: sum_e eta_e(phi) eta_e(psi).
+    Cauchy-Schwarz per element — typically overestimates the true goal
+    error by a modest factor (cancellation between elements is
+    ignored), which is the honest side to err on."""
+    return jnp.sum(zz_goal_indicators(case, phi, psi, sigma_table))
+
+
+def lattice_axis_weights(case, mesh, knots_xyz, eta, *, power=2):
     """Project per-tet indicators onto the three lattice axes.
 
     Host-side (adaptation runs once per cycle, not per solve): each
-    tet's eta^2 is binned by its centroid's knot interval on each axis
-    — robust to carved lattices (layered_slab removes cells outside
-    the footprint polygon), unlike tet-index arithmetic.
+    tet's eta^power is binned by its centroid's knot interval on each
+    axis — robust to carved lattices (layered_slab removes cells
+    outside the footprint polygon), unlike tet-index arithmetic.
+
+    power=2 (default) for energy indicators (mass = eta_e^2, whose sum
+    is the squared global estimate); power=1 for GOAL indicators from
+    zz_goal_indicators, which are already the per-element bound
+    contributions (both scale as h^2 per cell, so adapt_axis's
+    cube-root density law applies unchanged).
 
     Returns [wx, wy, wz]: per-interval error mass (len(knots)-1,) each.
     """
-    eta2 = np.asarray(eta, np.float64) ** 2
+    eta2 = np.asarray(eta, np.float64) ** power
     cc = np.asarray(mesh.nodes)[np.asarray(case.tets)].mean(axis=1)
     out = []
     for ax, knots in enumerate(knots_xyz):

@@ -208,3 +208,92 @@ def test_zz_vmaps_over_sweep_lanes():
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(batched[1]),
                                2.0 * np.asarray(one), rtol=1e-12)
+
+
+# ── goal-oriented (dual-weighted residual) estimation ─────────────────────
+
+BOX = ((0.25, 0.75), (0.25, 0.75), (0.0, 0.25))
+
+
+def _goal_weights(case, mesh):
+    """q = dJ/dphi for J = int_box phi dV — exact for P1 when the box
+    faces lie on knot planes: vol_e/4 scattered to box tets' verts."""
+    cc = np.asarray(mesh.nodes)[np.asarray(case.tets)].mean(axis=1)
+    inbox = np.ones(len(cc), bool)
+    for d, (lo, hi) in enumerate(BOX):
+        inbox &= (cc[:, d] > lo) & (cc[:, d] < hi)
+    q = np.zeros(mesh.n_nodes)
+    tets = np.asarray(case.tets)[inbox]
+    w = np.asarray(case.vol)[inbox] / 4.0
+    np.add.at(q, tets.ravel(), np.repeat(w, 4))
+    return q
+
+
+def _J_exact():
+    ix = (np.cos(K * BOX[0][0]) - np.cos(K * BOX[0][1])) / K
+    iy = BOX[1][1] - BOX[1][0]
+    iz = (np.cosh(K * BOX[2][1]) - np.cosh(K * BOX[2][0])) / K
+    return ix * iy * iz
+
+
+def _goal_run(xs, zs):
+    from pelvistim_fem_tpu.ops.estimate import (goal_dual_case,
+                                                zz_goal_bound,
+                                                zz_goal_indicators)
+    mesh = _mesh(xs, xs, zs)
+    case, phi, _ = _dirichlet_solve(mesh)
+    q = _goal_weights(case, mesh)
+    err = abs(_J_exact() - float(q @ phi))
+    dual = goal_dual_case(case, q)
+    resz = solve_case(dual, tol=1e-11, maxiter=40_000)
+    assert bool(np.asarray(resz.converged))
+    psi = jnp.asarray(np.asarray(resz.phi))
+    w_goal = np.asarray(zz_goal_indicators(case, jnp.asarray(phi), psi))
+    bound = float(zz_goal_bound(case, jnp.asarray(phi), psi))
+    return case, mesh, phi, w_goal, err, bound
+
+
+def test_goal_dwr_bound_and_goal_aware_adaptation():
+    """DWR machinery on a goal (int of phi over a BOTTOM box) that
+    disagrees with the energy error (which lives at the TOP, sinh
+    curvature).  Pinned claims (measured in dev/goal_measure.py):
+
+    1. the Cauchy-Schwarz DWR bound covers the TRUE goal error with a
+       modest overestimate (measured 8.7-11.2x) on all three meshes;
+    2. goal-BLIND energy adaptation actively HURTS the goal (it moves
+       cells to the top where this functional doesn't look: measured
+       1.44x worse than uniform);
+    3. goal-AWARE adaptation beats goal-blind on both the true goal
+       error and the bound it optimizes.
+    """
+    from pelvistim_fem_tpu.ops.estimate import zz_error_indicators as zzei
+
+    n = 12
+    xs = np.linspace(0, L, n + 1)
+    case0, mesh0, phi0, w_goal0, err_u, bound_u = _goal_run(xs, xs)
+    assert 2.0 < bound_u / err_u < 40.0, (bound_u, err_u)
+
+    eta0 = zzei(case0, jnp.asarray(phi0))
+    _, _, wzE = lattice_axis_weights(case0, mesh0, (xs, xs, xs), eta0)
+    zsE = adapt_axis(xs, wzE, n, keep=(0.25,))
+    *_, errE, boundE = _goal_run(xs, zsE)
+    assert 2.0 < boundE / errE < 40.0
+
+    _, _, wzG = lattice_axis_weights(case0, mesh0, (xs, xs, xs),
+                                     w_goal0, power=1)
+    zsG = adapt_axis(xs, wzG, n, keep=(0.25,))
+    assert np.any(np.abs(zsG - 0.25) < 1e-12)      # box face locked
+    *_, errG, boundG = _goal_run(xs, zsG)
+    assert 2.0 < boundG / errG < 40.0
+
+    # energy adaptation chases the top; the goal pays for it
+    assert errE > 1.1 * err_u, (errE, err_u)
+    # goal-aware beats goal-blind on the truth AND on its own bound
+    assert errG < 0.95 * errE, (errG, errE)
+    assert boundG < 0.95 * boundE, (boundG, boundE)
+
+    # mechanism: the two weight profiles genuinely disagree — energy
+    # mass is top-heavy, goal mass keeps the bottom (box) half alive
+    wzEn, wzGn = wzE / wzE.sum(), wzG / wzG.sum()
+    bottom = slice(0, n // 2)
+    assert wzGn[bottom].sum() > 1.5 * wzEn[bottom].sum()
