@@ -26,6 +26,78 @@ jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def run_adapt(args):
+    """ZZ-driven mesh adaptation on the step03 anchor case.
+
+    The reference picks characteristic lengths by hand (params.yaml:
+    67-70) and has no way to know what accuracy they buy.  This mode
+    closes the loop: solve -> per-element ZZ indicators (per-body
+    recovery — naive recovery is O(1) wrong at the 7000x tissue
+    interfaces, pinned in tests/test_estimate.py) -> equidistribute
+    every lattice axis at the SAME cell count (layer-interface z-knots
+    locked) -> re-solve.  Reports the estimated relative energy error
+    and the geometric flux_err per cycle; exit 1 if adaptation ever
+    makes the estimate >10% worse (the hand grading being already
+    near-optimal is a PASS — the estimator then certifies it)."""
+    import time
+
+    import numpy as np
+
+    from pelvistim_fem_tpu.mesh.generate import layered_slab_recipe
+    from pelvistim_fem_tpu.models.ankle import layered_model_inputs
+    from pelvistim_fem_tpu.models.case import build_case
+    from pelvistim_fem_tpu.ops.estimate import (adapt_recipe,
+                                                zz_error_indicators,
+                                                zz_global_error)
+    from pelvistim_fem_tpu.ops.metrics import extract_results
+    from pelvistim_fem_tpu.runner import solve_auto
+    from pelvistim_fem_tpu.utils.config import default_params, load_params
+
+    p = (load_params(args.params) if args.params
+         else default_params("step03_ankle_layers"))
+    (Lx, Ly, Lz), rk, sigma_by_body, bc_kwargs, meta_extra, p = \
+        layered_model_inputs(p, coarse=args.smoke)
+    recipe = layered_slab_recipe(Lx, Ly, Lz, **rk)
+    # locked z-knots: every layer interface (+ contact top) — bodies
+    # classify by centroid, so these must stay exact grid planes
+    keep_z = [0.0]
+    for _b, t, _h in rk["layers"]:
+        keep_z.append(keep_z[-1] + t)
+    if rk.get("contact_t", 0.0) > 0:
+        keep_z.append(Lz + rk["contact_t"])
+
+    rel_hist = []
+    for cycle in range(args.adapt + 1):
+        t0 = time.perf_counter()
+        mesh = recipe.mesh()
+        case = build_case(mesh, sigma_by_body, meta_extra=meta_extra,
+                          **bc_kwargs)
+        res = solve_auto(case, mesh, tol=1e-8)
+        assert bool(np.asarray(res.converged))
+        eta = zz_error_indicators(case, res.phi)
+        _, rel = (float(v) for v in zz_global_error(case, res.phi))
+        row = extract_results(case, res.phi, p, verbose=False)
+        rel_hist.append(rel)
+        print(f"cycle {cycle}: {mesh.n_tets:,} tets "
+              f"({len(recipe.xs)}x{len(recipe.ys)}x{len(recipe.zs)} "
+              f"knots)  est rel energy err {rel:.3%}  "
+              f"flux_err {row['flux_err']:.2%}  "
+              f"({time.perf_counter() - t0:.1f} s)")
+        if cycle < args.adapt:
+            recipe = adapt_recipe(recipe, case, mesh, eta,
+                                  keep_z=keep_z)
+    best = min(rel_hist[1:], default=rel_hist[0])
+    if best > 1.10 * rel_hist[0]:
+        print(f"FAIL: adaptation degraded the estimate "
+              f"({rel_hist[0]:.3%} -> {best:.3%})")
+        return 1
+    verdict = ("improved" if best < 0.98 * rel_hist[0]
+               else "certified near-optimal")
+    print(f"PASS: hand grading {verdict} "
+          f"({rel_hist[0]:.3%} -> {best:.3%} at equal cell count)")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser(description="Ankle layered slab sweep")
     ap.add_argument("--smoke", action="store_true",
@@ -52,7 +124,14 @@ def main():
                          "vmapped batch on a shared lattice "
                          "(parallel/geometry_sweep.py) instead of the "
                          "serial per-case loop")
+    ap.add_argument("--adapt", type=int, default=0, metavar="N",
+                    help="run N ZZ estimate->regrade cycles on the "
+                         "anchor case at EQUAL cell count instead of "
+                         "the sweep (ops/estimate.py)")
     args = ap.parse_args()
+
+    if args.adapt:
+        return run_adapt(args)
 
     from pelvistim_fem_tpu.models.ankle import build_layered_case
     from pelvistim_fem_tpu.ops.metrics import extract_results

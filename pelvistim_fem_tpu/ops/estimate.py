@@ -30,6 +30,8 @@ s(a, b) = a^T sigma b (scalar or 3x3 per-body sigma, like cell_J).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -39,7 +41,8 @@ from pelvistim_fem_tpu.ops.fields import cell_gradient, nodal_average
 
 __all__ = ["zz_recovered_gradient", "zz_error_indicators",
            "zz_global_error", "adapt_axis", "lattice_axis_weights",
-           "goal_dual_case", "zz_goal_indicators", "zz_goal_bound"]
+           "goal_dual_case", "zz_goal_indicators", "zz_goal_bound",
+           "adapt_recipe"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -48,6 +51,33 @@ def zz_recovered_gradient(case, phi):
     """(N, 3) ZZ-recovered nodal gradient: the volume-weighted average
     of the incident tets' constant P1 gradients."""
     return nodal_average(case, cell_gradient(case, phi))
+
+
+def _recovered_by_body(case, g, n_bodies):
+    """(B, N, 3) per-body recovered gradients: body b's recovery
+    averages ONLY over body-b tets.  At a material interface the true
+    gradient is DISCONTINUOUS (flux continuity divides it by the sigma
+    jump), so a global average there is wrong by O(1) regardless of h
+    — at this problem family's 7000x contrasts the naive indicator
+    saturates at the interfaces and never converges.  Per-body patches
+    restore the smooth-field recovery on each side (the standard
+    discontinuous-coefficient ZZ fix).  Nodes a body never touches get
+    a guarded 0/eps entry that no element of that body reads."""
+    from pelvistim_fem_tpu.ops import assembly
+    n = case.nodes.shape[0]
+    ones4 = jnp.ones((1, 4), g.dtype)
+    outs = []
+    for b in range(n_bodies):
+        w = case.vol * (case.tet_body == b)
+        den = assembly.scatter_to_nodes(
+            w[:, None] * ones4, case.scatter_perm,
+            case.scatter_segids, n)
+        num = [assembly.scatter_to_nodes(
+            (w * g[:, k])[:, None] * ones4, case.scatter_perm,
+            case.scatter_segids, n) for k in range(3)]
+        outs.append(jnp.stack(num, axis=1)
+                    / jnp.maximum(den, 1e-300)[:, None])
+    return jnp.stack(outs)
 
 
 def _sigma_bilinear(sig_e, a, b):
@@ -60,18 +90,30 @@ def _sigma_bilinear(sig_e, a, b):
     return jnp.sum(a * sb, axis=-1)
 
 
-@jax.jit
-def zz_error_indicators(case, phi, sigma_table=None):
+@partial(jax.jit, static_argnames=("by_body",))
+def zz_error_indicators(case, phi, sigma_table=None, *, by_body=True):
     """Per-element ZZ energy-norm error indicators eta_e, shape (M,).
 
     eta_e^2 approximates int_e |grad(phi - phi_h)|_sigma^2; the exact
     quadrature of the linear recovery mismatch is in the module
     docstring.  sigma_table (T,) or (T, 3, 3) overrides
-    case.sigma_table (zero-re-assembly sweeps)."""
+    case.sigma_table (zero-re-assembly sweeps).
+
+    by_body=True (default) recovers gradients within each body
+    separately — REQUIRED for layered tissue: across a sigma jump the
+    true gradient is discontinuous and the global average is O(1)
+    wrong there (pinned by the P1-exact two-layer test, where the
+    naive indicator reports large spurious interface error on an
+    exactly-resolved solution).  by_body=False is the textbook
+    single-material form."""
     tab = case.sigma_table if sigma_table is None else sigma_table
     g = cell_gradient(case, phi)                       # (M, 3)
-    Gs = nodal_average(case, g)                        # (N, 3)
-    d = Gs[case.tets] - g[:, None, :]                  # (M, 4, 3)
+    if by_body and int(tab.shape[0]) > 1:
+        Gb = _recovered_by_body(case, g, int(tab.shape[0]))
+        Gs_e = Gb[case.tet_body[:, None], case.tets]   # (M, 4, 3)
+    else:
+        Gs_e = nodal_average(case, g)[case.tets]
+    d = Gs_e - g[:, None, :]                           # (M, 4, 3)
     sig_e = tab[case.tet_body]
     diag = jnp.sum(_sigma_bilinear(sig_e, d, d), axis=1)     # (M,)
     ds = jnp.sum(d, axis=1)                            # (M, 3)
@@ -244,3 +286,31 @@ def adapt_axis(knots, w_cell, n_cells, *, keep=(), floor=0.02,
     arr = np.array(new)
     # dedupe (kept points can coincide with equidistribution points)
     return arr[np.concatenate([[True], np.diff(arr) > 1e-12])]
+
+
+def adapt_recipe(recipe, case, mesh, eta, *, keep_x=(), keep_y=(),
+                 keep_z=(), n_cells_xyz=None, power=2, h_min=None):
+    """One estimate->regrade cycle on a LatticeRecipe: equidistribute
+    the projected error mass on each axis and return a NEW recipe with
+    the same classifier callbacks (mesh/generate.LatticeRecipe is the
+    single source of truth, so the regraded mesh keeps the exact
+    geometry/BC semantics).
+
+    keep_z MUST include the layer-interface z knots (bodies are
+    classified by cell centroid: a knot drifting across an interface
+    would change the effective layer thickness); electrode footprint
+    circles are carved by centroid test and need no locked x/y knots
+    — the indicators re-discover the rim refinement on their own.
+    n_cells_xyz: target interval counts (defaults to the current
+    counts — pure redistribution at equal cost).  power=1 for goal
+    indicators (see lattice_axis_weights)."""
+    import dataclasses
+
+    knots = (recipe.xs, recipe.ys, recipe.zs)
+    w = lattice_axis_weights(case, mesh, knots, eta, power=power)
+    if n_cells_xyz is None:
+        n_cells_xyz = tuple(len(k) - 1 for k in knots)
+    keeps = (keep_x, keep_y, keep_z)
+    new = [adapt_axis(k, wk, n, keep=kp, h_min=h_min)
+           for k, wk, n, kp in zip(knots, w, n_cells_xyz, keeps)]
+    return dataclasses.replace(recipe, xs=new[0], ys=new[1], zs=new[2])

@@ -297,3 +297,54 @@ def test_goal_dwr_bound_and_goal_aware_adaptation():
     wzEn, wzGn = wzE / wzE.sum(), wzG / wzG.sum()
     bottom = slice(0, n // 2)
     assert wzGn[bottom].sum() > 1.5 * wzEn[bottom].sum()
+
+
+def test_by_body_recovery_kills_spurious_interface_error():
+    """Two-layer slab with a 10x sigma jump and a piecewise-LINEAR
+    exact solution (1-D series divider): P1 reproduces it exactly, so
+    any honest indicator must report ~zero error.  The naive global
+    recovery averages the discontinuous gradient across the interface
+    and reports O(1) spurious error there; the per-body recovery
+    (default) does not — THE correctness requirement for adapting
+    layered tissue meshes, where naive ZZ would pour cells into every
+    exactly-resolved material interface forever."""
+    from pelvistim_fem_tpu.ops.estimate import zz_global_error
+
+    n = 8
+    xs = np.linspace(0, 1, n + 1)
+
+    def body(cx, cy, cz):
+        return np.where(cz < 0.5, 1, 2).astype(np.int32)
+
+    def bcid(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, 3, np.int32)
+        out[(nz > 0.5) & (np.abs(fz - 1) < 1e-9)] = 1
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = 2
+        return out
+
+    mesh = build_mesh_from_lattice(xs, xs, xs, body, bcid)
+    case = build_case(mesh, {1: 1.0, 2: 10.0}, mode="voltage",
+                      dtype=jnp.float64)
+    res = solve_case(case, tol=1e-12, maxiter=40_000)
+    assert bool(np.asarray(res.converged))
+    phi = np.asarray(res.phi)
+
+    # P1-exactness of the series divider
+    z = np.asarray(mesh.nodes)[:, 2]
+    J = 1.0 / (0.5 / 1.0 + 0.5 / 10.0)
+    exact = np.where(z < 0.5, J * z, J * 0.5 + J * (z - 0.5) / 10.0)
+    np.testing.assert_allclose(phi, exact, atol=1e-9)
+
+    _, rel_body = (float(v) for v in
+                   zz_global_error(case, jnp.asarray(phi)))
+    eta_naive = np.asarray(zz_error_indicators(
+        case, jnp.asarray(phi), by_body=False))
+    from pelvistim_fem_tpu.ops.fields import cell_gradient
+    g = np.asarray(cell_gradient(case, jnp.asarray(phi)))
+    sig = np.asarray(case.sigma_table)[np.asarray(case.tet_body)]
+    en = np.sqrt(np.sum(np.asarray(case.vol) * sig
+                        * np.sum(g * g, axis=1)))
+    rel_naive = np.sqrt((eta_naive ** 2).sum()) / en
+
+    assert rel_body < 1e-8, rel_body          # honest: exact is exact
+    assert rel_naive > 1e-2, rel_naive        # naive: spurious O(1)
