@@ -270,6 +270,9 @@ def main():
                          "(Fourier-synthesized EQS), Lapicque membrane-"
                          "integrated threshold vs the static Weiss one")
     ap.add_argument("--pulse-harmonics", type=int, default=128)
+    ap.add_argument("--estimate", action="store_true",
+                    help="report the ZZ a-posteriori error (grid-"
+                    "native on --megatet: no tet materialization)")
     args = ap.parse_args()
 
     if args.sweep:
@@ -342,6 +345,29 @@ def main():
              if args.megatet else "")
     print(f"  solve: {t_solve:.2f} s, {it} iters, converged "
           f"{bool(np.asarray(res.converged))}{extra}")
+
+    if args.estimate:
+        t0 = time.perf_counter()
+        if args.megatet:
+            # grid-native by-body ZZ on the spec — the estimator for
+            # meshes whose (M, 4) tet array never exists on host
+            from pelvistim_fem_tpu.ops.stencil_estimate import (
+                lattice_axis_weights_from_cells, lattice_zz_error)
+            est = lattice_zz_error(spec, res.phi)
+            rel = float(est["rel"])
+            wx, wy, wz = lattice_axis_weights_from_cells(
+                est["eta2_cells"])
+            fr = [w.max() / max(w.sum(), 1e-300) for w in (wx, wy, wz)]
+            print(f"  ZZ error (grid-native): {rel:.2%} of energy "
+                  f"norm; peak interval mass x/y/z "
+                  f"{fr[0]:.1%}/{fr[1]:.1%}/{fr[2]:.1%} "
+                  f"({time.perf_counter() - t0:.2f} s)")
+        else:
+            from pelvistim_fem_tpu.ops.estimate import zz_global_error
+            _, rel = (float(v) for v in
+                      zz_global_error(case, res.phi))
+            print(f"  ZZ error: {rel:.2%} of energy norm "
+                  f"({time.perf_counter() - t0:.2f} s)")
 
     cur = injected_currents(case, res.phi)
     cv = compliance_voltage(case, res.phi)

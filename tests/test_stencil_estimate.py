@@ -1,0 +1,107 @@
+"""Grid-native ZZ estimation (ops/stencil_estimate.py) parity.
+
+The lattice-spec estimator must reproduce the element path EXACTLY —
+same recovery, same quadrature — per CELL (the 6 Kuhn tets of a cube
+summed), on the hardest generated geometry: the deformed, carved,
+5-body ankle lattice with contact volumes.  phi is an arbitrary smooth
+analytic field (no solve needed — estimator parity is a property of
+the discretization, not of a solution), so any mismatch in gradients,
+recovery weights, volumes or body masking shows up at full magnitude.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.mesh import core
+from pelvistim_fem_tpu.mesh.generate import layered_slab_recipe
+from pelvistim_fem_tpu.mesh.spec import build_lattice_spec
+from pelvistim_fem_tpu.models.ankle import ankle_outline_pts, ankle_z_top
+from pelvistim_fem_tpu.models.case import build_case
+from pelvistim_fem_tpu.ops.estimate import zz_error_indicators
+from pelvistim_fem_tpu.ops.stencil_estimate import (
+    lattice_axis_weights_from_cells, lattice_zz_error)
+
+SIG5 = {1: 0.35, 2: 0.04, 3: 1e-3, 4: 5e-3, 5: 5e-3}
+
+
+def _ankle_recipe():
+    Lx, Ly, Lz = 0.08, 0.06, 0.04
+    return layered_slab_recipe(
+        Lx, Ly, Lz,
+        layers=[(core.BODY_MUSCLE, 0.0335, 0.012),
+                (core.BODY_FAT, 0.005, 0.005),
+                (core.BODY_SKIN, 0.0015, 0.0015)],
+        electrodes=[(0.015, 0.045, 0.01), (0.065, 0.045, 0.01)],
+        contact_t=0.0005, contact_h_z=0.0005,
+        h_fine=0.006, h_coarse=0.012,
+        cross_section="ankle",
+        ankle_z_top_fn=lambda x, y: ankle_z_top(x, y, Lx, Ly, Lz),
+        outline_polygon=ankle_outline_pts(Lx, Ly))
+
+
+def _smooth_phi(nodes):
+    x, y, z = nodes[:, 0], nodes[:, 1], nodes[:, 2]
+    return np.sin(40 * x) * np.cosh(25 * z) + 30 * y * y * z
+
+
+def test_grid_zz_matches_element_path_on_deformed_ankle():
+    recipe = _ankle_recipe()
+    spec = build_lattice_spec(recipe, SIG5, mode="current",
+                              injected_current_A=5e-3)
+    mesh = recipe.mesh()
+    case = build_case(mesh, SIG5, mode="current",
+                      injected_current_A=5e-3, dtype=jnp.float64,
+                      to_device=False)
+    assert mesh.n_nodes == len(spec.grid_index)
+    phi = _smooth_phi(np.asarray(mesh.nodes))
+
+    # element path, summed per lattice cell via the keep-order
+    # provenance: lattice_tets emits (cell x-major, class-minor) and
+    # carving preserves order, so kept tet r maps to the r-th body>0
+    # slot of body6 transposed to (cell, class)
+    eta_e = np.asarray(zz_error_indicators(case, jnp.asarray(phi)))
+    keep = np.asarray(spec.body6).transpose(1, 2, 3, 0).reshape(-1) > 0
+    assert keep.sum() == mesh.n_tets
+    cell_of_slot = np.repeat(np.arange(keep.size // 6), 6)
+    cell_of_tet = cell_of_slot[keep]
+    nx, ny, nz = (len(recipe.xs) - 1, len(recipe.ys) - 1,
+                  len(recipe.zs) - 1)
+    eta2_ref = np.bincount(cell_of_tet, weights=eta_e ** 2,
+                           minlength=nx * ny * nz).reshape(nx, ny, nz)
+
+    out = lattice_zz_error(spec, phi)
+    eta2 = np.asarray(out["eta2_cells"])
+    scale = eta2_ref.max()
+    np.testing.assert_allclose(eta2, eta2_ref, atol=1e-10 * scale)
+    np.testing.assert_allclose(float(out["eta"]),
+                               np.sqrt(eta2_ref.sum()), rtol=1e-12)
+
+    # axis projections are plain cell sums
+    wx, wy, wz = lattice_axis_weights_from_cells(out["eta2_cells"])
+    np.testing.assert_allclose(wx, eta2_ref.sum(axis=(1, 2)),
+                               rtol=1e-10)
+    np.testing.assert_allclose(wz, eta2_ref.sum(axis=(0, 1)),
+                               rtol=1e-10)
+
+
+def test_grid_zz_vanishes_on_p1_exact_divider():
+    """Two-layer rect slab, piecewise-linear series-divider field set
+    analytically at the nodes: P1-exact, so the grid estimator (which
+    is by-body by construction) must report ~zero relative error."""
+    Lx, Ly, Lz = 0.04, 0.04, 0.04
+    recipe = layered_slab_recipe(
+        Lx, Ly, Lz,
+        layers=[(core.BODY_MUSCLE, 0.02, 0.008),
+                (core.BODY_FAT, 0.02, 0.008)],
+        electrodes=[(0.02, 0.02, 0.012), (0.02, 0.02, 0.012)],
+        contact_t=0.0, h_fine=0.008, h_coarse=0.008)
+    spec = build_lattice_spec(recipe, {1: 1.0, 2: 10.0},
+                              mode="voltage")
+    mesh = recipe.mesh()
+    z = np.asarray(mesh.nodes)[:, 2]
+    J = 1.0 / (0.02 / 1.0 + 0.02 / 10.0)
+    phi = np.where(z < 0.02, J * z, J * 0.02 + J * (z - 0.02) / 10.0)
+    out = lattice_zz_error(spec, phi)
+    assert float(out["rel"]) < 1e-12, float(out["rel"])
+    assert float(out["eta"]) < 1e-12 * J
