@@ -249,6 +249,85 @@ def run_sweep(args, n_cases):
         print(f"  figure -> {fp}")
 
 
+def run_adapt_mode(args):
+    """Grid-native adaptive regrading of the pelvis lattice — the
+    WHOLE loop (assemble, certified solve, ZZ estimate, axis
+    equidistribution) runs on the spec fast path: no (M, 4) tet array
+    exists at any cycle, so this scales to the 6.8M-tet megatet
+    configuration unchanged.  Layer-interface z-knots stay locked
+    (bodies classify by cell centroid); the sacrum/organ features are
+    implicit super-ellipsoids and need no locked knots — the
+    indicators re-discover their boundaries.  Exit 1 if adaptation
+    ever degrades the estimate >10% (near-optimal hand grading PASSes
+    as 'certified')."""
+    import dataclasses
+
+    from pelvistim_fem_tpu.models.pelvis import (build_pelvis_spec,
+                                                 pelvis_recipe)
+    from pelvistim_fem_tpu.ops.estimate import adapt_axis
+    from pelvistim_fem_tpu.ops.lattice_assembly import \
+        solve_lattice_mg_refined
+    from pelvistim_fem_tpu.ops.stencil_estimate import (
+        lattice_axis_weights_from_cells, lattice_zz_error)
+
+    scale = 0.42 if args.megatet else 1.0
+    recipe, sigma_by_body, params = pelvis_recipe(
+        coarse=args.smoke, resolution_scale=scale)
+    g, ls = params["geometry"], params["layers"]
+    Lz = g["Lz"]
+    t_core = Lz - ls["t_skin"] - ls["t_fat"] - ls["t_muscle"]
+    keep_z = [0.0, t_core, t_core + ls["t_muscle"],
+              t_core + ls["t_muscle"] + ls["t_fat"], Lz,
+              float(np.max(recipe.zs))]
+
+    rel_hist = []
+    for cycle in range(args.adapt + 1):
+        t0 = time.perf_counter()
+        spec, _ = build_pelvis_spec(params, recipe=recipe,
+                                    sigma_by_body=sigma_by_body)
+        n_tets = int((np.asarray(spec.body6) > 0).sum())
+        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000)
+        assert bool(np.asarray(res.converged))
+        est = lattice_zz_error(spec, np.asarray(res.phi))
+        rel = float(est["rel"])
+        rel_hist.append(rel)
+        print(f"cycle {cycle}: {n_tets:,} tets (grid "
+              f"{spec.used.shape})  est rel energy err {rel:.3%}  "
+              f"{int(np.asarray(res.iterations))} iters  "
+              f"({time.perf_counter() - t0:.1f} s)")
+        if cycle < args.adapt:
+            wx, wy, wz = lattice_axis_weights_from_cells(
+                est["eta2_cells"])
+            # floor/h_min bound the knot-density contrast: unbounded
+            # equidistribution makes high-aspect cells that defeat the
+            # point-smoothed geometric V-cycle (measured: 52 -> 275
+            # iters after one unconstrained cycle, divergence after
+            # two — the estimate still improved, the solver died)
+            kw = dict(floor=0.15)
+            recipe = dataclasses.replace(
+                recipe,
+                xs=adapt_axis(recipe.xs, wx, len(recipe.xs) - 1,
+                              h_min=0.35 * np.diff(recipe.xs).min(),
+                              **kw),
+                ys=adapt_axis(recipe.ys, wy, len(recipe.ys) - 1,
+                              h_min=0.35 * np.diff(recipe.ys).min(),
+                              **kw),
+                zs=adapt_axis(recipe.zs, wz, len(recipe.zs) - 1,
+                              keep=keep_z,
+                              h_min=0.35 * np.diff(recipe.zs).min(),
+                              **kw))
+    best = min(rel_hist[1:], default=rel_hist[0])
+    if best > 1.10 * rel_hist[0]:
+        print(f"FAIL: adaptation degraded the estimate "
+              f"({rel_hist[0]:.3%} -> {best:.3%})")
+        return 1
+    verdict = ("improved" if best < 0.98 * rel_hist[0]
+               else "certified near-optimal")
+    print(f"PASS: hand grading {verdict} "
+          f"({rel_hist[0]:.3%} -> {best:.3%} at equal cell count)")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="coarse mesh")
@@ -273,7 +352,14 @@ def main():
     ap.add_argument("--estimate", action="store_true",
                     help="report the ZZ a-posteriori error (grid-"
                     "native on --megatet: no tet materialization)")
+    ap.add_argument("--adapt", type=int, default=0, metavar="N",
+                    help="N grid-native estimate->regrade cycles on "
+                         "the SPEC path at equal cell count (no tets "
+                         "anywhere in the loop)")
     args = ap.parse_args()
+
+    if args.adapt:
+        return run_adapt_mode(args)
 
     if args.sweep:
         run_sweep(args, args.sweep)
