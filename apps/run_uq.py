@@ -225,6 +225,24 @@ def main():
         print(f"  {k:<20} {p5:>10.4g} {p50:>10.4g} {p95:>10.4g} "
               f"{v.mean():>10.4g}")
 
+    # discretization-vs-parameter honesty: the ZZ estimated relative
+    # discretization error per posterior sample (one vmapped pass,
+    # zero extra solves — the indicator is a metric like any other).
+    # Metric spreads at or below this relative scale are mesh
+    # artifacts, not tissue-parameter physics.
+    from pelvistim_fem_tpu.ops.estimate import zz_global_error
+    t0 = time.perf_counter()
+    rels = np.asarray(jax.vmap(
+        lambda ph, sg: zz_global_error(case, ph, sg)[1])(
+            out.phi.astype(jnp.float32), tables.astype(jnp.float32)))
+    t_zz = time.perf_counter() - t0
+    stats["zz_rel_discretization_error"] = {
+        "p50": float(np.median(rels)), "max": float(rels.max())}
+    print(f"\n  ZZ discretization error (energy norm): median "
+          f"{np.median(rels):.2%}, max {rels.max():.2%} across samples "
+          f"({t_zz:.2f} s) — treat metric spreads at or below this "
+          f"relative scale as mesh, not physics")
+
     # adjoint elasticities of the ROI dose at the nominal table:
     # ONE forward + ONE adjoint solve for ALL tissues at once
     r_cfg = params["roi"]
