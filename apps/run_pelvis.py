@@ -290,14 +290,65 @@ def run_adapt_mode(args):
         assert bool(np.asarray(res.converged))
         est = lattice_zz_error(spec, np.asarray(res.phi))
         rel = float(est["rel"])
+        if args.goal_af:
+            # goal = the peak-|AF| sample on the S3 path: AF is the
+            # quadratic-window fit's curvature — LINEAR in phi, so
+            # the exact goal vector is the LSQ row's weights pushed
+            # through the trilinear path-interp rows, and the dual is
+            # one more certified solve on the SAME spec machinery
+            from pelvistim_fem_tpu.models.pelvis import nerve_path
+            from pelvistim_fem_tpu.ops.nerve import (af_from_profile,
+                                                     path_interp_plan)
+            from pelvistim_fem_tpu.ops.stencil_estimate import (
+                lattice_dual_spec, lattice_goal_weights)
+            pts = nerve_path(params)
+            ids, wts = path_interp_plan(spec.axes, spec.grid_index,
+                                        spec.used.shape, pts)
+            ds = float(np.linalg.norm(np.diff(pts, axis=0),
+                                      axis=1).mean())
+            phi_h = np.asarray(res.phi)
+            v = (phi_h[ids] * wts).sum(-1)
+            if cycle == 0:
+                # The goal is FROZEN at cycle 0: peak sample AND fit
+                # window — AF's window tracks the mesh's h_max, so
+                # re-deriving either per cycle silently redefines the
+                # functional the bound certifies (letting the window
+                # grow even emptied the slice: NaN goal, zero dual).
+                h_max = max(float(np.diff(a).max())
+                            for a in spec.axes)
+                window0 = 3.0 * h_max
+                af0 = af_from_profile(v, ds, window0)["af"]
+                i0 = int(np.nanargmax(np.abs(af0)))
+                half = max(2, int(round(window0 / 2 / ds)))
+                lo, hi = i0 - half, i0 + half + 1
+                assert 0 <= lo and hi <= len(v)
+                x = (np.arange(len(v)) * ds)[lo:hi] - i0 * ds
+                lsq_row = 2.0 * np.linalg.pinv(np.vander(x, 3))[0]
+            J_af = float(lsq_row @ v[lo:hi])
+            q = np.zeros(len(phi_h))
+            np.add.at(q, ids[lo:hi].ravel(),
+                      (lsq_row[:, None] * wts[lo:hi]).ravel())
+            dual = lattice_dual_spec(spec, q)
+            resz = solve_lattice_mg_refined(dual, tol=1e-8,
+                                            maxiter=2000)
+            assert bool(np.asarray(resz.converged))
+            est_z = lattice_zz_error(dual, np.asarray(resz.phi))
+            wg = lattice_goal_weights(est, est_z)
+            bound = float(np.asarray(wg).sum())
+            rel = bound / max(abs(J_af), 1e-300)
+            print(f"cycle {cycle}: {n_tets:,} tets  AF@goal "
+                  f"{J_af:+.4g} V/m^2 (s={i0 * ds * 1e3:.0f} mm)  "
+                  f"DWR bound {bound:.3g} ({rel:.1%} of goal)  "
+                  f"({time.perf_counter() - t0:.1f} s)")
+        else:
+            print(f"cycle {cycle}: {n_tets:,} tets (grid "
+                  f"{spec.used.shape})  est rel energy err {rel:.3%}  "
+                  f"{int(np.asarray(res.iterations))} iters  "
+                  f"({time.perf_counter() - t0:.1f} s)")
         rel_hist.append(rel)
-        print(f"cycle {cycle}: {n_tets:,} tets (grid "
-              f"{spec.used.shape})  est rel energy err {rel:.3%}  "
-              f"{int(np.asarray(res.iterations))} iters  "
-              f"({time.perf_counter() - t0:.1f} s)")
         if cycle < args.adapt:
-            wx, wy, wz = lattice_axis_weights_from_cells(
-                est["eta2_cells"])
+            cells = wg if args.goal_af else est["eta2_cells"]
+            wx, wy, wz = lattice_axis_weights_from_cells(cells)
             # floor/h_min bound the knot-density contrast: unbounded
             # equidistribution makes high-aspect cells that defeat the
             # point-smoothed geometric V-cycle (measured: 52 -> 275
@@ -356,6 +407,11 @@ def main():
                     help="N grid-native estimate->regrade cycles on "
                          "the SPEC path at equal cell count (no tets "
                          "anywhere in the loop)")
+    ap.add_argument("--goal-af", action="store_true",
+                    help="with --adapt: refine for the S3-path peak "
+                         "ACTIVATING FUNCTION (dual-weighted residual "
+                         "— one extra certified dual solve per cycle) "
+                         "instead of the global energy error")
     args = ap.parse_args()
 
     if args.adapt:

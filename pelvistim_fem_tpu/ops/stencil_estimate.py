@@ -34,7 +34,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lattice_zz_error", "lattice_axis_weights_from_cells"]
+__all__ = ["lattice_zz_error", "lattice_axis_weights_from_cells",
+           "lattice_dual_spec", "lattice_goal_weights"]
 
 # class order MUST match mesh/generate._KUHN (itertools.permutations);
 # orientation swaps there reorder vertices, not the corner SET, and the
@@ -79,7 +80,7 @@ def _lattice_zz_core(phi_g, coords, body6, sigma_table, *, n_bodies):
         Vs.append(jnp.abs(det) / 6.0)                  # (cells,)
         cns.append(cs)
 
-    eta2 = jnp.zeros((cx, cy, cz), phi_g.dtype)
+    eta2 = jnp.zeros((6, cx, cy, cz), phi_g.dtype)
     en2 = jnp.zeros((), phi_g.dtype)
     for b in range(1, n_bodies + 1):
         # per-body volume-weighted recovery (8 slice-adds per class)
@@ -104,7 +105,7 @@ def _lattice_zz_core(phi_g, coords, body6, sigma_table, *, n_bodies):
             quad = jnp.sum(sumd * sumd, axis=0)
             for d in ds:
                 quad = quad + jnp.sum(d * d, axis=0)
-            eta2 = eta2 + ws[t] / 20.0 * sig * quad
+            eta2 = eta2.at[t].add(ws[t] / 20.0 * sig * quad)
             en2 = en2 + jnp.sum(ws[t] * sig
                                 * jnp.sum(gs[t] * gs[t], axis=0))
     return eta2, en2
@@ -131,12 +132,46 @@ def lattice_zz_error(spec, phi, sigma_table=None, dtype=jnp.float64):
     kz = np.broadcast_to(np.asarray(zs)[None, None, :], (X, Y, Z))
     coords = jnp.asarray(
         np.stack([kx, ky, kz]) + np.asarray(spec.coords_dev), dtype)
-    eta2, en2 = _lattice_zz_core(
+    eta2_class, en2 = _lattice_zz_core(
         phi_g, coords, jnp.asarray(spec.body6),
         jnp.asarray(tab, dtype), n_bodies=int(spec.n_bodies))
+    eta2 = jnp.sum(eta2_class, axis=0)
     eta = jnp.sqrt(jnp.sum(eta2))
-    return {"eta2_cells": eta2, "eta": eta,
+    return {"eta2_cells": eta2, "eta2_class": eta2_class, "eta": eta,
             "rel": eta / jnp.sqrt(jnp.maximum(en2, 1e-300))}
+
+
+def lattice_dual_spec(spec, q_nodes):
+    """The dual (adjoint) spec of a linear goal J = q^T phi on the
+    lattice fast path: the spec BAKES its electrode load into
+    b_neumann at build time (mesh/spec.py:207-226), so the dual is a
+    pure field swap — homogeneous Dirichlet data, b_neumann = q
+    embedded on the grid.  Same operator, same hierarchy, same
+    certified solver (estimate.goal_dual_case's spec-path twin).
+
+    For pure-Neumann (current-mode) specs the goal must be
+    compatible (sum q = 0) — automatically true for AF-type goals,
+    whose second-difference weights annihilate constants."""
+    import dataclasses
+
+    X, Y, Z = spec.used.shape
+    qg = np.zeros(X * Y * Z, np.float64)
+    qg[np.asarray(spec.grid_index)] = np.asarray(q_nodes, np.float64)
+    return dataclasses.replace(
+        spec, dirichlet=np.zeros_like(spec.dirichlet),
+        b_neumann=qg.reshape(X, Y, Z))
+
+
+def lattice_goal_weights(est_u, est_z):
+    """Per-cell DWR goal weights sum_t eta_u,t * eta_z,t from two
+    lattice_zz_error results (primal and dual) — the PER-TET
+    Cauchy-Schwarz contributions summed per cell, NOT
+    sqrt(cell_u2 * cell_z2), which would re-mix the 6 Kuhn classes
+    and overestimate.  Feed to adapt_axis via axis sums with power=1;
+    the total is the estimated goal-error bound |J(u) - J(u_h)|."""
+    wu = jnp.sqrt(jnp.maximum(est_u["eta2_class"], 0.0))
+    wz = jnp.sqrt(jnp.maximum(est_z["eta2_class"], 0.0))
+    return jnp.sum(wu * wz, axis=0)
 
 
 def lattice_axis_weights_from_cells(eta2_cells):

@@ -105,3 +105,39 @@ def test_grid_zz_vanishes_on_p1_exact_divider():
     out = lattice_zz_error(spec, phi)
     assert float(out["rel"]) < 1e-12, float(out["rel"])
     assert float(out["eta"]) < 1e-12 * J
+
+
+def test_grid_goal_weights_match_element_path():
+    """lattice_goal_weights (per-class DWR products summed per cell)
+    must equal the element path's zz_goal_indicators summed over the
+    cube's 6 tets — same deformed carved ankle fixture, two arbitrary
+    smooth fields standing in for primal and dual."""
+    from pelvistim_fem_tpu.ops.estimate import zz_goal_indicators
+    from pelvistim_fem_tpu.ops.stencil_estimate import \
+        lattice_goal_weights
+
+    recipe = _ankle_recipe()
+    spec = build_lattice_spec(recipe, SIG5, mode="current",
+                              injected_current_A=5e-3)
+    mesh = recipe.mesh()
+    case = build_case(mesh, SIG5, mode="current",
+                      injected_current_A=5e-3, dtype=jnp.float64,
+                      to_device=False)
+    nodes = np.asarray(mesh.nodes)
+    phi = _smooth_phi(nodes)
+    psi = np.cos(30 * nodes[:, 1]) * nodes[:, 2] \
+        + 5 * nodes[:, 0] ** 2
+
+    w_e = np.asarray(zz_goal_indicators(case, jnp.asarray(phi),
+                                        jnp.asarray(psi)))
+    keep = np.asarray(spec.body6).transpose(1, 2, 3, 0).reshape(-1) > 0
+    cell_of_tet = np.repeat(np.arange(keep.size // 6), 6)[keep]
+    nx, ny, nz = (len(recipe.xs) - 1, len(recipe.ys) - 1,
+                  len(recipe.zs) - 1)
+    ref = np.bincount(cell_of_tet, weights=w_e,
+                      minlength=nx * ny * nz).reshape(nx, ny, nz)
+
+    est_u = lattice_zz_error(spec, phi)
+    est_z = lattice_zz_error(spec, psi)
+    w = np.asarray(lattice_goal_weights(est_u, est_z))
+    np.testing.assert_allclose(w, ref, atol=1e-10 * ref.max())
