@@ -66,7 +66,7 @@ def run_adapt(args):
     if rk.get("contact_t", 0.0) > 0:
         keep_z.append(Lz + rk["contact_t"])
 
-    rel_hist = []
+    rel_hist, trace = [], []
     for cycle in range(args.adapt + 1):
         t0 = time.perf_counter()
         mesh = recipe.mesh()
@@ -78,6 +78,11 @@ def run_adapt(args):
         _, rel = (float(v) for v in zz_global_error(case, res.phi))
         row = extract_results(case, res.phi, p, verbose=False)
         rel_hist.append(rel)
+        from pelvistim_fem_tpu.ops.estimate import \
+            lattice_axis_weights as _law
+        knots = (recipe.xs, recipe.ys, recipe.zs)
+        trace.append((knots, _law(case, mesh, knots, eta),
+                      float(row["flux_err"])))
         print(f"cycle {cycle}: {mesh.n_tets:,} tets "
               f"({len(recipe.xs)}x{len(recipe.ys)}x{len(recipe.zs)} "
               f"knots)  est rel energy err {rel:.3%}  "
@@ -86,6 +91,47 @@ def run_adapt(args):
         if cycle < args.adapt:
             recipe = adapt_recipe(recipe, case, mesh, eta,
                                   keep_z=keep_z)
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+        ax = axes[0]
+        ax.plot(range(len(rel_hist)), [100 * r for r in rel_hist],
+                "o-", color="0.25", label="est energy err")
+        ax.plot(range(len(trace)), [100 * t[2] for t in trace],
+                "s--", color="tab:red", label="flux_err")
+        ax.set_xlabel("adaptation cycle")
+        ax.set_ylabel("%")
+        ax.set_title("ZZ estimate + flux parity per cycle")
+        ax.legend()
+        ax.grid(alpha=0.3)
+
+        for ax, axis_i, nm in ((axes[1], 0, "x"), (axes[2], 2, "z")):
+            for k, (knots, w, _) in enumerate(
+                    [trace[0], trace[-1]] if len(trace) > 1
+                    else [trace[0]]):
+                kk = np.asarray(knots[axis_i])
+                dens = np.sqrt(w[axis_i]) / np.diff(kk)
+                lbl = "initial" if k == 0 else "adapted"
+                ax.stairs(dens / max(dens.max(), 1e-300), kk * 1e3,
+                          label=f"{lbl} error density")
+                ax.eventplot(kk * 1e3, lineoffsets=-0.08 - 0.1 * k,
+                             linelengths=0.08,
+                             color=f"C{k}")
+            ax.set_xlabel(f"{nm} (mm)")
+            ax.set_title(f"{nm}-axis error density + knots")
+            ax.legend(fontsize=8)
+            ax.grid(alpha=0.3)
+        fig.suptitle("ZZ-driven lattice adaptation (step03 anchor)")
+        fig.tight_layout()
+        out = Path(args.outdir)
+        out.mkdir(parents=True, exist_ok=True)
+        fp = out / "adapt_summary.png"
+        fig.savefig(fp, dpi=150, bbox_inches="tight")
+        print(f"  figure -> {fp}")
     best = min(rel_hist[1:], default=rel_hist[0])
     if best > 1.10 * rel_hist[0]:
         print(f"FAIL: adaptation degraded the estimate "

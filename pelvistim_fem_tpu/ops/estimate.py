@@ -42,7 +42,8 @@ from pelvistim_fem_tpu.ops.fields import cell_gradient, nodal_average
 __all__ = ["zz_recovered_gradient", "zz_error_indicators",
            "zz_global_error", "adapt_axis", "lattice_axis_weights",
            "goal_dual_case", "zz_goal_indicators", "zz_goal_bound",
-           "adapt_recipe"]
+           "adapt_recipe", "zz_error_indicators_eqs",
+           "zz_global_error_eqs"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -135,6 +136,42 @@ def zz_global_error(case, phi, sigma_table=None):
     en2 = jnp.sum(case.vol * _sigma_bilinear(tab[case.tet_body], g, g))
     eta_g = jnp.sqrt(jnp.sum(eta * eta))
     return eta_g, eta_g / jnp.sqrt(jnp.maximum(en2, 1e-300))
+
+
+def zz_error_indicators_eqs(case, phi2, kr_table, ki_table, *,
+                            by_body=True):
+    """ZZ indicators for a complex (EQS) field in the stacked-real
+    (2, N) layout every ops/eqs solver uses: the recovery is linear,
+    so it applies to Re and Im components independently; the energy
+    weight is the admittivity MODULUS |kappa| per body (the natural
+    norm for the complex-symmetric form — phase carries no error
+    magnitude).  Scalar tables only (the tensor-EQS path keeps its
+    own norm choices).  Returns (M,) eta_e = sqrt(eta_re^2 +
+    eta_im^2)."""
+    kr = jnp.asarray(kr_table)
+    ki = jnp.asarray(ki_table)
+    if kr.ndim != 1 or ki.ndim != 1:
+        raise ValueError("zz_error_indicators_eqs: scalar kappa "
+                         "tables only")
+    kmag = jnp.sqrt(kr * kr + ki * ki)
+    er = zz_error_indicators(case, phi2[0], kmag, by_body=by_body)
+    ei = zz_error_indicators(case, phi2[1], kmag, by_body=by_body)
+    return jnp.sqrt(er * er + ei * ei)
+
+
+def zz_global_error_eqs(case, phi2, kr_table, ki_table):
+    """(eta, rel) for a stacked-real complex field — rel against the
+    |kappa|-weighted energy norm of the complex gradient."""
+    eta_e = zz_error_indicators_eqs(case, phi2, kr_table, ki_table)
+    eta = jnp.sqrt(jnp.sum(eta_e * eta_e))
+    kmag = jnp.sqrt(jnp.asarray(kr_table) ** 2
+                    + jnp.asarray(ki_table) ** 2)[case.tet_body]
+    gr = cell_gradient(case, phi2[0])
+    gi = cell_gradient(case, phi2[1])
+    en2 = jnp.sum(case.vol * kmag
+                  * (jnp.sum(gr * gr, axis=1)
+                     + jnp.sum(gi * gi, axis=1)))
+    return eta, eta / jnp.sqrt(jnp.maximum(en2, 1e-300))
 
 
 def goal_dual_case(case, q):

@@ -348,3 +348,50 @@ def test_by_body_recovery_kills_spurious_interface_error():
 
     assert rel_body < 1e-8, rel_body          # honest: exact is exact
     assert rel_naive > 1e-2, rel_naive        # naive: spurious O(1)
+
+
+def test_eqs_indicators_vanish_on_complex_divider():
+    """Complex (EQS) ZZ: the two-layer complex series divider is
+    P1-exact in BOTH components, so the stacked-real indicator must
+    vanish with by-body recovery and report spurious interface error
+    without it — the complex twin of the real divider pin."""
+    from pelvistim_fem_tpu.ops.estimate import (zz_error_indicators_eqs,
+                                                zz_global_error_eqs)
+
+    EPS0 = 8.8541878128e-12
+    sig = np.array([0.0, 0.02, 0.35])
+    epsr = np.array([0.0, 8.0e5, 1.0e4])
+    omega = 2 * np.pi * 5.0e4
+    da = db = 0.5
+    n = 8
+    xs = np.linspace(0, 1, n + 1)
+
+    def body(cx, cy, cz):
+        return np.where(cz < da, 1, 2).astype(np.int32)
+
+    def bcid(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, 3, np.int32)
+        out[(nz > 0.5) & (np.abs(fz - 1) < 1e-9)] = 1
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = 2
+        return out
+
+    mesh = build_mesh_from_lattice(xs, xs, xs, body, bcid)
+    case = build_case(mesh, {1: sig[1], 2: sig[2]}, mode="voltage",
+                      dtype=jnp.float64)
+    kap = sig + 1j * omega * EPS0 * epsr
+    vi = (kap[2] / db) / (kap[1] / da + kap[2] / db)
+    assert abs(vi.imag) > 1e-3
+    z = np.asarray(mesh.nodes)[:, 2]
+    exact = np.where(z <= da + 1e-12, vi * z / da,
+                     vi + (1 - vi) * (z - da) / db)
+    phi2 = jnp.asarray(np.stack([exact.real, exact.imag]))
+    kr = jnp.asarray(kap.real)
+    ki = jnp.asarray(kap.imag)
+
+    _, rel = (float(v) for v in
+              zz_global_error_eqs(case, phi2, kr, ki))
+    assert rel < 1e-12, rel
+    eta_naive = np.asarray(zz_error_indicators_eqs(
+        case, phi2, kr, ki, by_body=False))
+    # spurious O(1) interface error without per-body recovery
+    assert np.sqrt((eta_naive ** 2).sum()) > 1e-3 * abs(vi)
