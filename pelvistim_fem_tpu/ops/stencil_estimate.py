@@ -34,8 +34,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["lattice_zz_error", "lattice_axis_weights_from_cells",
-           "lattice_dual_spec", "lattice_goal_weights"]
+__all__ = ["lattice_zz_error", "lattice_zz_error_eqs",
+           "lattice_axis_weights_from_cells", "lattice_dual_spec",
+           "lattice_goal_weights"]
 
 # class order MUST match mesh/generate._KUHN (itertools.permutations);
 # orientation swaps there reorder vertices, not the corner SET, and the
@@ -138,7 +139,29 @@ def lattice_zz_error(spec, phi, sigma_table=None, dtype=jnp.float64):
     eta2 = jnp.sum(eta2_class, axis=0)
     eta = jnp.sqrt(jnp.sum(eta2))
     return {"eta2_cells": eta2, "eta2_class": eta2_class, "eta": eta,
+            "en2": en2,
             "rel": eta / jnp.sqrt(jnp.maximum(en2, 1e-300))}
+
+
+def lattice_zz_error_eqs(spec, phi2, kr_table, ki_table,
+                         dtype=jnp.float64):
+    """lattice_zz_error for a stacked-real complex (EQS) field:
+    component-wise recovery weighted by the admittivity modulus
+    (estimate.zz_error_indicators_eqs's grid-native twin).  phi2
+    (2, N) in the layout every stencil EQS solver returns."""
+    kr = np.asarray(kr_table, np.float64)
+    ki = np.asarray(ki_table, np.float64)
+    kmag = np.sqrt(kr * kr + ki * ki)
+    out_r = lattice_zz_error(spec, np.asarray(phi2)[0],
+                             sigma_table=kmag, dtype=dtype)
+    out_i = lattice_zz_error(spec, np.asarray(phi2)[1],
+                             sigma_table=kmag, dtype=dtype)
+    eta2 = out_r["eta2_cells"] + out_i["eta2_cells"]
+    eta2_class = out_r["eta2_class"] + out_i["eta2_class"]
+    eta = jnp.sqrt(jnp.sum(eta2))
+    en2 = float(out_r["en2"]) + float(out_i["en2"])
+    return {"eta2_cells": eta2, "eta2_class": eta2_class, "eta": eta,
+            "rel": float(eta) / np.sqrt(max(en2, 1e-300))}
 
 
 def lattice_dual_spec(spec, q_nodes):

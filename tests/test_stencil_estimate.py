@@ -141,3 +141,34 @@ def test_grid_goal_weights_match_element_path():
     est_z = lattice_zz_error(spec, psi)
     w = np.asarray(lattice_goal_weights(est_u, est_z))
     np.testing.assert_allclose(w, ref, atol=1e-10 * ref.max())
+
+
+def test_grid_eqs_vanishes_on_complex_divider():
+    """Grid-native complex ZZ: the P1-exact complex series divider
+    must report ~zero error in BOTH components on the spec path."""
+    from pelvistim_fem_tpu.ops.stencil_estimate import \
+        lattice_zz_error_eqs
+
+    EPS0 = 8.8541878128e-12
+    sig = np.array([0.0, 0.02, 0.35])
+    epsr = np.array([0.0, 8.0e5, 1.0e4])
+    omega = 2 * np.pi * 5.0e4
+    da = db = 0.02
+    recipe = layered_slab_recipe(
+        0.04, 0.04, 0.04,
+        layers=[(core.BODY_MUSCLE, da, 0.008),
+                (core.BODY_FAT, db, 0.008)],
+        electrodes=[(0.02, 0.02, 0.012), (0.02, 0.02, 0.012)],
+        contact_t=0.0, h_fine=0.008, h_coarse=0.008)
+    spec = build_lattice_spec(recipe, {1: sig[1], 2: sig[2]},
+                              mode="voltage")
+    mesh = recipe.mesh()
+    kap = sig + 1j * omega * EPS0 * epsr
+    vi = (kap[2] / db) / (kap[1] / da + kap[2] / db)
+    assert abs(vi.imag) > 1e-3
+    z = np.asarray(mesh.nodes)[:, 2]
+    exact = np.where(z <= da + 1e-12, vi * z / da,
+                     vi + (1 - vi) * (z - da) / db)
+    phi2 = np.stack([exact.real, exact.imag])
+    out = lattice_zz_error_eqs(spec, phi2, kap.real, kap.imag)
+    assert float(out["rel"]) < 1e-12, float(out["rel"])
