@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["lattice_zz_error", "lattice_zz_error_eqs",
+           "lattice_zz_error_sharded",
            "lattice_axis_weights_from_cells", "lattice_dual_spec",
            "lattice_goal_weights"]
 
@@ -137,6 +138,50 @@ def lattice_zz_error(spec, phi, sigma_table=None, dtype=jnp.float64):
         phi_g, coords, jnp.asarray(spec.body6),
         jnp.asarray(tab, dtype), n_bodies=int(spec.n_bodies))
     eta2 = jnp.sum(eta2_class, axis=0)
+    eta = jnp.sqrt(jnp.sum(eta2))
+    return {"eta2_cells": eta2, "eta2_class": eta2_class, "eta": eta,
+            "en2": en2,
+            "rel": eta / jnp.sqrt(jnp.maximum(en2, 1e-300))}
+
+
+def lattice_zz_error_sharded(spec, phi, mesh, *, axis="x",
+                             sigma_table=None, dtype=jnp.float64):
+    """lattice_zz_error under GSPMD x-slab sharding: the core is pure
+    shifted-slice work — exactly the pattern XLA's SPMD partitioner
+    turns into local compute + 1-plane halo exchanges (the same
+    contract as lattice_assembly.assemble_lattice_sharded, whose
+    padded-spec layout this reuses) — so a case too large for one
+    chip's HBM gets error estimation without any device holding the
+    full grid.  Returns the same dict with padded planes stripped
+    (they carry body 0 and contribute exactly zero)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pelvistim_fem_tpu.ops.lattice_assembly import _pad_spec_x
+
+    X0 = spec.used.shape[0]
+    spec_p = _pad_spec_x(spec, mesh.shape[axis])
+    X, Y, Z = spec_p.used.shape
+    xs, ys, zs = spec_p.axes
+    tab = (np.asarray(spec_p.sigma_table, np.float64)
+           if sigma_table is None else np.asarray(sigma_table))
+    phi_g = np.zeros(X * Y * Z, np.float64)
+    phi_g[np.asarray(spec_p.grid_index)] = np.asarray(phi, np.float64)
+    kx = np.broadcast_to(np.asarray(xs)[:, None, None], (X, Y, Z))
+    ky = np.broadcast_to(np.asarray(ys)[None, :, None], (X, Y, Z))
+    kz = np.broadcast_to(np.asarray(zs)[None, None, :], (X, Y, Z))
+    coords = np.stack([kx, ky, kz]) + np.asarray(spec_p.coords_dev)
+
+    ns = lambda *s: NamedSharding(mesh, P(*s))
+    phi_d = jax.device_put(phi_g.reshape(X, Y, Z).astype(dtype),
+                           ns(axis))
+    coords_d = jax.device_put(coords.astype(dtype), ns(None, axis))
+    body_d = jax.device_put(np.asarray(spec_p.body6), ns())
+    tab_d = jax.device_put(tab.astype(dtype), ns())
+    eta2_class, en2 = _lattice_zz_core(
+        phi_d, coords_d, body_d, tab_d,
+        n_bodies=int(spec_p.n_bodies))
+    eta2 = jnp.sum(eta2_class, axis=0)[:X0 - 1]
+    eta2_class = eta2_class[:, :X0 - 1]
     eta = jnp.sqrt(jnp.sum(eta2))
     return {"eta2_cells": eta2, "eta2_class": eta2_class, "eta": eta,
             "en2": en2,

@@ -172,3 +172,40 @@ def test_grid_eqs_vanishes_on_complex_divider():
     phi2 = np.stack([exact.real, exact.imag])
     out = lattice_zz_error_eqs(spec, phi2, kap.real, kap.imag)
     assert float(out["rel"]) < 1e-12, float(out["rel"])
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n_dev", [5, 8])
+def test_grid_zz_sharded_matches_unsharded(n_dev):
+    """GSPMD x-slab-sharded estimation must match the single-device
+    result exactly — padded planes carry body 0 and contribute zero.
+    n_dev=5 divides X=25 exactly; n_dev=8 pads to 32."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pelvistim_fem_tpu.models.pressure import build_pressure_spec
+    from pelvistim_fem_tpu.ops.stencil_estimate import \
+        lattice_zz_error_sharded
+
+    spec, _ = build_pressure_spec(coarse=True)
+    nodes = np.asarray(spec.grid_index)
+    # synthetic smooth field in mesh-node order via the grid coords
+    X, Y, Z = spec.used.shape
+    xs, ys, zs = spec.axes
+    kx = np.broadcast_to(np.asarray(xs)[:, None, None], (X, Y, Z))
+    kz = np.broadcast_to(np.asarray(zs)[None, None, :], (X, Y, Z))
+    g = (np.sin(80 * kx) * np.exp(30 * kz)).reshape(-1)
+    phi = g[nodes]
+
+    ref = lattice_zz_error(spec, phi)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("x",))
+    out = lattice_zz_error_sharded(spec, phi, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out["eta2_cells"]), np.asarray(ref["eta2_cells"]),
+        atol=1e-12 * float(ref["eta2_cells"].max()))
+    np.testing.assert_allclose(float(out["eta"]), float(ref["eta"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(out["rel"]), float(ref["rel"]),
+                               rtol=1e-12)
