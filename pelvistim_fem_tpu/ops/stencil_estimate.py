@@ -126,6 +126,10 @@ def lattice_zz_error(spec, phi, sigma_table=None, dtype=jnp.float64):
     xs, ys, zs = spec.axes
     tab = (np.asarray(spec.sigma_table, np.float64)
            if sigma_table is None else np.asarray(sigma_table))
+    if tab.ndim != 1:
+        raise ValueError("lattice_zz_error: scalar sigma tables only "
+                         "(tensor bodies: use the element path's "
+                         "zz_error_indicators)")
     phi_g = jnp.zeros(X * Y * Z, dtype).at[
         jnp.asarray(spec.grid_index)].set(jnp.asarray(phi, dtype))
     phi_g = phi_g.reshape(X, Y, Z)

@@ -395,3 +395,23 @@ def test_eqs_indicators_vanish_on_complex_divider():
         case, phi2, kr, ki, by_body=False))
     # spurious O(1) interface error without per-body recovery
     assert np.sqrt((eta_naive ** 2).sum()) > 1e-3 * abs(vi)
+
+
+def test_tensor_sigma_indicators_reduce_to_scalar():
+    """Anisotropic tensor tables flow through the estimator: with
+    tensor = sigma * I the indicators must equal the scalar form
+    exactly, and a genuinely anisotropic table must differ."""
+    xs = np.linspace(0, L, 9)
+    mesh = _mesh(xs, xs, xs)
+    case, phi, _ = _dirichlet_solve(mesh)
+    tab = np.asarray(case.sigma_table, np.float64)
+    iso = np.einsum("t,ij->tij", tab, np.eye(3))
+    e_scalar = np.asarray(zz_error_indicators(case, jnp.asarray(phi)))
+    e_iso = np.asarray(zz_error_indicators(case, jnp.asarray(phi),
+                                           jnp.asarray(iso)))
+    np.testing.assert_allclose(e_iso, e_scalar, rtol=1e-12)
+    aniso = iso.copy()
+    aniso[:, 2, 2] *= 4.0
+    e_a = np.asarray(zz_error_indicators(case, jnp.asarray(phi),
+                                         jnp.asarray(aniso)))
+    assert np.abs(e_a - e_scalar).max() > 0.1 * e_scalar.max()
