@@ -415,3 +415,59 @@ def test_tensor_sigma_indicators_reduce_to_scalar():
     e_a = np.asarray(zz_error_indicators(case, jnp.asarray(phi),
                                          jnp.asarray(aniso)))
     assert np.abs(e_a - e_scalar).max() > 0.1 * e_scalar.max()
+
+
+def test_waveform_bound_composition():
+    """Waveform triangle bound: (a) exact harmonic fields (the complex
+    divider per harmonic) give bound == 0; (b) in the resistive limit
+    all harmonics share one field, so the bound is EXACTLY
+    sum|c_k| * eta_dc."""
+    from pelvistim_fem_tpu.ops.estimate import (waveform_zz_bound,
+                                                zz_global_error)
+
+    EPS0 = 8.8541878128e-12
+    sig = np.array([0.0, 0.02, 0.35])
+    epsr = np.array([0.0, 8.0e5, 1.0e4])
+    freqs = np.array([1e3, 3e3, 5e3])
+    coeffs = np.array([1.0 - 0.5j, 0.3j, 0.1 + 0.1j])
+    da = db = 0.5
+    n = 6
+    xs = np.linspace(0, 1, n + 1)
+
+    def body(cx, cy, cz):
+        return np.where(cz < da, 1, 2).astype(np.int32)
+
+    def bcid(fx, fy, fz, nx, ny, nz):
+        out = np.full(fx.shape, 3, np.int32)
+        out[(nz > 0.5) & (np.abs(fz - 1) < 1e-9)] = 1
+        out[(nz < -0.5) & (np.abs(fz) < 1e-9)] = 2
+        return out
+
+    mesh = build_mesh_from_lattice(xs, xs, xs, body, bcid)
+    case = build_case(mesh, {1: sig[1], 2: sig[2]}, mode="voltage",
+                      dtype=jnp.float64)
+    z = np.asarray(mesh.nodes)[:, 2]
+
+    # (a) exact complex divider per harmonic -> bound vanishes
+    kr = np.tile(sig, (3, 1))
+    ki = 2 * np.pi * freqs[:, None] * EPS0 * epsr[None, :]
+    ph = []
+    for k in range(3):
+        kap = kr[k] + 1j * ki[k]
+        vi = (kap[2] / db) / (kap[1] / da + kap[2] / db)
+        ex = np.where(z <= da + 1e-12, vi * z / da,
+                      vi + (1 - vi) * (z - da) / db)
+        ph.append(np.stack([ex.real, ex.imag]))
+    out = waveform_zz_bound(case, np.stack(ph), coeffs, kr, ki)
+    assert out["bound"] < 1e-12, out["bound"]
+
+    # (b) resistive limit: one shared NON-exact field -> bound is
+    # exactly sum|c| * eta_dc
+    phi_dc = np.sin(3 * np.asarray(mesh.nodes)[:, 0]) * z ** 2
+    ph_r = np.tile(np.stack([phi_dc, np.zeros_like(phi_dc)]),
+                   (3, 1, 1))
+    out_r = waveform_zz_bound(case, ph_r, coeffs, kr, 0.0 * ki)
+    eta_dc = float(zz_global_error(case, jnp.asarray(phi_dc))[0])
+    np.testing.assert_allclose(
+        out_r["bound"], np.abs(coeffs).sum() * eta_dc, rtol=1e-12)
+    assert 0 < out_r["rel"] < 1
