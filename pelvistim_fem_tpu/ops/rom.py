@@ -1,0 +1,252 @@
+"""Certified reduced-order material sweeps (reduced basis).
+
+The material factoring the whole framework is built on — K(sigma) =
+sum_b sigma_b C_b (ops/stencil.combine_coeffs), with the load affine in
+sigma too through the Dirichlet lift — is the textbook AFFINE
+reduced-basis setting: project the system once onto a small basis of
+full certified solutions, and every further sigma evaluation is an
+r x r dense solve.  The reduced answer is then CERTIFIED exactly like
+the refined solvers: its TRUE residual against the FULL operator is
+one (B, r, G) contraction (computed as an explicit N-vector — the
+algebraic expansion ||b||^2 - 2 b^T K V y + ... cancels catastrophically
+at the 1e-8 level and cannot certify anything), with the same
+relative-residual definition solve_stencil_mg uses (denominator
+includes the Dirichlet slots).
+
+Where it pays: sweeps/UQ with MANY sigma evaluations on one geometry.
+A greedy loop (rom_sweep_refined) evaluates the whole table batch
+reduced, full-solves only the worst offender, and repeats.  Measured
+on the step04 contact family: the residual decays ~0.5 decades per
+snapshot, so a 3-decade sweep at 1e-8 needs ~16 snapshots — and then
+certifies ANY number of lanes in that range from those 16 solves.
+The reference re-runs its solver binary per sweep point
+(run_pressure_sweep.py:709-738); it has no counterpart.
+
+TPU shape discipline: the basis lives in a FIXED-capacity padded
+buffer (rows >= rank are zero; the reduced system gets an identity
+diagonal on padded slots so their components solve to exactly 0).
+Every jitted piece therefore compiles ONCE for the whole greedy loop —
+a growing-shape basis would retrace per snapshot, and each retrace is
+a ~30 s remote recompile on axon.
+
+Memory: the per-body applied basis W (B, cap, G) dominates — fine at
+sweep scale (step04 ~33k nodes), deliberate overkill at megatet
+(3.5M * 7 * cap doubles); this module targets the (many sigma) x
+(moderate grid) regime the apps' sweeps and UQ live in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.ops.stencil import StencilCase, stencil_spmv
+
+__all__ = ["StencilROM", "build_stencil_rom", "rom_extend", "rom_solve",
+           "rom_reconstruct", "rom_sweep_refined"]
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StencilROM:
+    """Fixed-capacity reduced basis + precomputed affine blocks.
+
+    All arrays device f64; rows/cols >= rank are zero padding."""
+    V: jax.Array          # (cap, G) orthonormal free-masked basis
+    W: jax.Array          # (B, cap, G) masked per-body applies C_b v
+    VtW: jax.Array        # (B, cap, cap) reduced per-body operators
+    b0: jax.Array         # (G,) free-masked Neumann load
+    bb: jax.Array         # (B, G) per-body Dirichlet-lift loads
+    r0: jax.Array         # (cap,)  V b0
+    rb: jax.Array         # (B, cap) V bb
+    dir2: jax.Array       # () ||dirichlet slots||^2 (denominator part)
+    rank: jax.Array       # () int32 number of live basis rows
+
+    @property
+    def capacity(self):
+        return self.V.shape[0]
+
+
+def _free_parts(scase: StencilCase):
+    free = scase.free
+    phi_d = jnp.where(free, 0.0, scase.dirichlet).astype(jnp.float64)
+    b0 = jnp.where(free, scase.b_neumann, 0.0).astype(jnp.float64) \
+        .reshape(-1)
+    coeff = scase.coeff.astype(jnp.float64)
+    B = coeff.shape[0]
+    bb = jnp.stack([
+        -jnp.where(free, stencil_spmv(phi_d, coeff[b]), 0.0).reshape(-1)
+        for b in range(B)])
+    dir2 = jnp.sum(jnp.where(free, 0.0, scase.dirichlet
+                             .astype(jnp.float64)) ** 2)
+    return b0, bb, dir2
+
+
+def build_stencil_rom(scase: StencilCase, capacity: int = 40):
+    """Empty rank-0 ROM with the affine load blocks precomputed."""
+    G = int(np.prod(scase.free.shape))
+    B = scase.coeff.shape[0]
+    b0, bb, dir2 = _free_parts(scase)
+    cap = int(capacity)
+    z = jnp.zeros
+    return StencilROM(
+        V=z((cap, G), jnp.float64), W=z((B, cap, G), jnp.float64),
+        VtW=z((B, cap, cap), jnp.float64), b0=b0, bb=bb,
+        r0=z((cap,), jnp.float64), rb=z((B, cap), jnp.float64),
+        dir2=dir2, rank=jnp.int32(0))
+
+
+@jax.jit
+def _apply_bodies(scase: StencilCase, v_flat):
+    """(B, G) masked per-body stencil applies of one basis vector."""
+    free = scase.free
+    vg = v_flat.reshape(free.shape)
+    coeff = scase.coeff.astype(jnp.float64)
+    return jnp.stack([
+        jnp.where(free, stencil_spmv(vg, coeff[b]), 0.0).reshape(-1)
+        for b in range(coeff.shape[0])])
+
+
+def _snapshot_vector(scase: StencilCase, phi_nodes):
+    """Free-masked grid vector of a full solve (mesh-node ordering in,
+    the basis representation out)."""
+    G = int(np.prod(scase.free.shape))
+    xg = jnp.zeros(G, jnp.float64).at[scase.grid_index].set(
+        jnp.asarray(phi_nodes, jnp.float64))
+    return jnp.where(scase.free.reshape(-1), xg, 0.0)
+
+
+@jax.jit
+def _insert_row(rom: StencilROM, v, w):
+    """Write (v, w) into row `rank`; rank+1.  One compiled shape."""
+    k = rom.rank
+    V = rom.V.at[k].set(v)
+    W = rom.W.at[:, k].set(w)
+    # padded V/W rows are zero, so the full einsum already carries
+    # zeros on padded rows/cols — no masking needed here
+    VtW = jnp.einsum("rg,bsg->brs", V, W, precision=_HP)
+    return dataclasses.replace(
+        rom, V=V, W=W, VtW=VtW, r0=V @ rom.b0,
+        rb=jnp.einsum("bg,rg->br", rom.bb, V, precision=_HP),
+        rank=k + 1)
+
+
+def rom_extend(rom: StencilROM, scase: StencilCase, v_flat):
+    """Orthonormalize v against the live basis (2-pass MGS, host) and
+    append; returns rom unchanged if v is already in the span or the
+    capacity is full."""
+    k = int(rom.rank)
+    if k >= rom.capacity:
+        return rom
+    v = np.asarray(v_flat, np.float64)
+    Vh = np.asarray(rom.V[:k]) if k else None
+    if k:
+        for _ in range(2):
+            v = v - Vh.T @ (Vh @ v)
+    nv = float(np.linalg.norm(v))
+    if nv < 1e-12 * max(1.0, float(np.linalg.norm(np.asarray(v_flat)))):
+        return rom                      # snapshot already in the span
+    v = jnp.asarray(v / nv)
+    return _insert_row(rom, v, _apply_bodies(scase, v))
+
+
+@jax.jit
+def _rom_eval(rom: StencilROM, tables):
+    s = jnp.asarray(tables, jnp.float64)[:, 1:]       # (L, B)
+    pad = (jnp.arange(rom.capacity) >= rom.rank)
+    # padded rows of VtW/r0/rb are zero; identity on the padded
+    # diagonal makes those components solve to exactly 0
+    A = (jnp.einsum("lb,brs->lrs", s, rom.VtW, precision=_HP)
+         + jnp.diag(pad.astype(jnp.float64))[None])
+    rhs = rom.r0[None] + jnp.einsum("lb,br->lr", s, rom.rb,
+                                    precision=_HP)
+    y = jnp.linalg.solve(A, rhs[..., None])[..., 0]   # (L, cap)
+    bfull = rom.b0[None] + jnp.einsum("lb,bg->lg", s, rom.bb,
+                                      precision=_HP)
+    t = jnp.einsum("lb,lr->lbr", s, y, precision=_HP)
+    rvec = bfull - jnp.einsum("lbr,brg->lg", t, rom.W, precision=_HP)
+    num = jnp.sqrt(jnp.sum(rvec * rvec, axis=1))
+    den = jnp.sqrt(jnp.sum(bfull * bfull, axis=1) + rom.dir2)
+    return y, num / jnp.maximum(den, 1e-300)
+
+
+def rom_solve(rom: StencilROM, tables):
+    """Batched reduced solves: (y (L, cap), TRUE rel residual (L,)).
+
+    The residual is the full-operator N-vector residual under the
+    refined solvers' relative definition — a lane whose value is
+    <= tol is certified at exactly the contract a full
+    solve_stencil_mg_refined run would report."""
+    return _rom_eval(rom, jnp.atleast_2d(jnp.asarray(tables)))
+
+
+@jax.jit
+def _reconstruct(rom: StencilROM, scase: StencilCase, y):
+    free = scase.free.reshape(-1)
+    xg = jnp.where(free,
+                   jnp.einsum("lr,rg->lg", y, rom.V, precision=_HP),
+                   jnp.where(scase.free, 0.0, scase.dirichlet)
+                   .astype(jnp.float64).reshape(-1)[None])
+    return xg[:, scase.grid_index]                    # (L, N) mesh order
+
+
+def rom_reconstruct(rom: StencilROM, scase: StencilCase, y):
+    """(L, N) full fields in mesh-node ordering (drop-in for the
+    batched solvers' phi, e.g. into extract_results_batched)."""
+    return _reconstruct(rom, scase, jnp.atleast_2d(jnp.asarray(y)))
+
+
+def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
+                      max_snapshots=40, seed_tables=None,
+                      verbose=False):
+    """Greedy certified sweep: reduced-evaluate every lane, full-solve
+    only the worst uncertified one, extend the basis, repeat.
+
+    Returns dict: phi (L, N) mesh-order fields, residual (L,) TRUE
+    rel residuals (all <= tol on success), y, rom, n_full (full
+    certified solves spent), converged.
+    """
+    from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg_refined
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("rom_sweep_refined")
+    tabs = jnp.asarray(np.atleast_2d(np.asarray(tables, np.float64)))
+
+    rom, n_full = build_stencil_rom(scase, max_snapshots), 0
+    seeds = ([np.asarray(t, np.float64) for t in seed_tables]
+             if seed_tables is not None
+             else [np.asarray(tabs[0])])
+    for t in seeds:
+        res = solve_stencil_mg_refined(scase, hier, jnp.asarray(t),
+                                       tol=tol)
+        n_full += 1
+        assert bool(np.asarray(res.converged))
+        rom = rom_extend(rom, scase, _snapshot_vector(scase, res.phi))
+
+    while True:
+        y, rel = rom_solve(rom, tabs)
+        rel_h = np.asarray(rel)
+        worst = int(np.argmax(rel_h))
+        if verbose:
+            print(f"  [rom] rank {int(rom.rank)}: certified "
+                  f"{(rel_h <= tol).sum()}/{len(rel_h)} lanes, "
+                  f"worst {rel_h[worst]:.2e}")
+        if rel_h[worst] <= tol or int(rom.rank) >= max_snapshots:
+            break
+        res = solve_stencil_mg_refined(scase, hier, tabs[worst],
+                                       tol=tol)
+        n_full += 1
+        assert bool(np.asarray(res.converged))
+        rank_before = int(rom.rank)
+        rom = rom_extend(rom, scase, _snapshot_vector(scase, res.phi))
+        if int(rom.rank) == rank_before:    # span stalled: cannot improve
+            break
+
+    phi = rom_reconstruct(rom, scase, y)
+    return {"phi": phi, "y": y, "residual": rel_h, "rom": rom,
+            "n_full": n_full, "converged": bool((rel_h <= tol).all())}
