@@ -47,7 +47,9 @@ import jax.numpy as jnp
 from pelvistim_fem_tpu.ops.stencil import StencilCase, stencil_spmv
 
 __all__ = ["StencilROM", "build_stencil_rom", "rom_extend", "rom_solve",
-           "rom_reconstruct", "rom_sweep_refined"]
+           "rom_reconstruct", "rom_sweep_refined", "rom_solve_eqs",
+           "rom_reconstruct_eqs", "rom_spectrum_refined",
+           "rom_impedance_spectrum_tables"]
 
 _HP = jax.lax.Precision.HIGHEST
 
@@ -250,3 +252,171 @@ def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
     phi = rom_reconstruct(rom, scase, y)
     return {"phi": phi, "y": y, "residual": rel_h, "rom": rom,
             "n_full": n_full, "converged": bool((rel_h <= tol).all())}
+
+
+# ── spectral (EQS) ROM ───────────────────────────────────────────────────────
+#
+# The complex operator K(omega) = sum_b kappa_b(omega) C_b is affine in
+# the SAME per-body blocks as the real path, so a real basis V serves
+# frequency sweeps too: each complex snapshot contributes its real and
+# imaginary parts as two real basis vectors, and the reduced complex
+# system reuses VtW/rb/bb verbatim (the Dirichlet drive is real, so the
+# per-body lift loads bb are frequency-independent).  The complex
+# 2r x 2r solve is expanded to real blocks [[Ar, -Ai], [Ai, Ar]] —
+# TPU-friendly (no complex dtype on device), exactly like the stacked
+# (2, ...) fields ops/eqs.py solves with.  The certificate matches
+# solve_stencil_eqs_refined's Hermitian relative residual (eqs.py:281).
+
+
+@jax.jit
+def _rom_eval_eqs(rom: StencilROM, kr_tables, ki_tables):
+    sr = jnp.asarray(kr_tables, jnp.float64)[:, 1:]   # (L, B)
+    si = jnp.asarray(ki_tables, jnp.float64)[:, 1:]
+    cap = rom.capacity
+    pad = (jnp.arange(cap) >= rom.rank).astype(jnp.float64)
+    Ar = (jnp.einsum("lb,brs->lrs", sr, rom.VtW, precision=_HP)
+          + jnp.diag(pad)[None])
+    Ai = jnp.einsum("lb,brs->lrs", si, rom.VtW, precision=_HP)
+    M = jnp.concatenate([
+        jnp.concatenate([Ar, -Ai], axis=2),
+        jnp.concatenate([Ai, Ar], axis=2)], axis=1)   # (L, 2cap, 2cap)
+    rhs_r = rom.r0[None] + jnp.einsum("lb,br->lr", sr, rom.rb,
+                                      precision=_HP)
+    rhs_i = jnp.einsum("lb,br->lr", si, rom.rb, precision=_HP)
+    rhs = jnp.concatenate([rhs_r, rhs_i], axis=1)
+    y = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    yr, yi = y[:, :cap], y[:, cap:]
+
+    br = rom.b0[None] + jnp.einsum("lb,bg->lg", sr, rom.bb,
+                                   precision=_HP)
+    bi = jnp.einsum("lb,bg->lg", si, rom.bb, precision=_HP)
+    app = lambda s, yy: jnp.einsum(
+        "lbr,brg->lg", jnp.einsum("lb,lr->lbr", s, yy, precision=_HP),
+        rom.W, precision=_HP)
+    rv_r = br - (app(sr, yr) - app(si, yi))
+    rv_i = bi - (app(si, yr) + app(sr, yi))
+    num = jnp.sqrt(jnp.sum(rv_r * rv_r + rv_i * rv_i, axis=1))
+    den = jnp.sqrt(jnp.sum(br * br + bi * bi, axis=1) + rom.dir2)
+    return yr, yi, num / jnp.maximum(den, 1e-300)
+
+
+def rom_solve_eqs(rom: StencilROM, kr_tables, ki_tables):
+    """Batched reduced complex solves: (yr, yi (L, cap), TRUE Hermitian
+    rel residual (L,)) under solve_stencil_eqs_refined's definition."""
+    return _rom_eval_eqs(rom, jnp.atleast_2d(jnp.asarray(kr_tables)),
+                         jnp.atleast_2d(jnp.asarray(ki_tables)))
+
+
+@jax.jit
+def _reconstruct_eqs(rom: StencilROM, scase: StencilCase, yr, yi):
+    free = scase.free.reshape(-1)
+    phi_d = jnp.where(scase.free, 0.0, scase.dirichlet) \
+        .astype(jnp.float64).reshape(-1)
+    xr = jnp.where(free, jnp.einsum("lr,rg->lg", yr, rom.V,
+                                    precision=_HP), phi_d[None])
+    xi = jnp.where(free, jnp.einsum("lr,rg->lg", yi, rom.V,
+                                    precision=_HP), 0.0)
+    return jnp.stack([xr, xi], axis=1)[:, :, scase.grid_index]
+
+
+def rom_reconstruct_eqs(rom: StencilROM, scase: StencilCase, yr, yi):
+    """(L, 2, N) re/im fields in mesh-node ordering (drop-in for
+    batched_eqs_solve_refined's phi)."""
+    return _reconstruct_eqs(rom, scase, jnp.atleast_2d(jnp.asarray(yr)),
+                            jnp.atleast_2d(jnp.asarray(yi)))
+
+
+def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
+                         kr_tables=None, *, tol=1e-8, max_snapshots=40,
+                         verbose=False):
+    """Greedy certified frequency sweep: reduced-evaluate every
+    frequency, full-solve (solve_stencil_eqs_refined) only the worst
+    uncertified one, extend the basis with the snapshot's re AND im
+    parts, repeat.  A dispersive spectrum (dispersive_tables) is just
+    a per-frequency (kr, ki) batch, so it routes through unchanged.
+
+    Returns dict: phi (F, 2, N), residual (F,) TRUE Hermitian rel
+    residuals, yr, yi, rom, n_full, converged.
+    """
+    from pelvistim_fem_tpu.ops.eqs import solve_stencil_eqs_refined
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("rom_spectrum_refined")
+    ki = jnp.asarray(np.atleast_2d(np.asarray(ki_tables, np.float64)))
+    if kr_tables is None:
+        kr = jnp.tile(scase.sigma_table.astype(jnp.float64)[None],
+                      (ki.shape[0], 1))
+    else:
+        kr = jnp.asarray(np.atleast_2d(np.asarray(kr_tables,
+                                                  np.float64)))
+
+    rom, n_full = build_stencil_rom(scase, max_snapshots), 0
+
+    def full_solve(i):
+        res = solve_stencil_eqs_refined(scase, hier, ki[i], kr[i],
+                                        tol=tol)
+        assert bool(np.asarray(res.converged))
+        r = rom_extend(rom, scase, _snapshot_vector(scase, res.phi[0]))
+        return rom_extend(r, scase, _snapshot_vector(scase, res.phi[1]))
+
+    rom = full_solve(0)
+    n_full += 1
+    while True:
+        yr, yi, rel = rom_solve_eqs(rom, kr, ki)
+        rel_h = np.asarray(rel)
+        worst = int(np.argmax(rel_h))
+        if verbose:
+            print(f"  [rom-eqs] rank {int(rom.rank)}: certified "
+                  f"{(rel_h <= tol).sum()}/{len(rel_h)} freqs, "
+                  f"worst {rel_h[worst]:.2e}")
+        if rel_h[worst] <= tol or int(rom.rank) >= max_snapshots - 1:
+            break
+        rank_before = int(rom.rank)
+        rom = full_solve(worst)
+        n_full += 1
+        if int(rom.rank) == rank_before:    # span stalled
+            break
+
+    phi = rom_reconstruct_eqs(rom, scase, yr, yi)
+    return {"phi": phi, "yr": yr, "yi": yi, "residual": rel_h,
+            "rom": rom, "n_full": n_full,
+            "converged": bool((rel_h <= tol).all())}
+
+
+def rom_impedance_spectrum_tables(scase: StencilCase, hier, ki_tables,
+                                  kr_tables, freqs_hz, *, w_act, w_ret,
+                                  I_inject_A=None, tol=1e-8,
+                                  max_snapshots=40, verbose=False):
+    """impedance_spectrum_tables (eqs.py:529) on the greedy ROM: the
+    full (F,) spectrum certified at `tol` from ~n_full << F complex
+    solves.  The electrode reduction V = w^T phi is evaluated from the
+    REDUCED coordinates (w^T V_basis is precomputed once), so no
+    F x N field reconstruction happens at all."""
+    out = rom_spectrum_refined(scase, hier, ki_tables, kr_tables,
+                               tol=tol, max_snapshots=max_snapshots,
+                               verbose=verbose)
+    rom = out["rom"]
+    if I_inject_A is None:
+        I_inject_A = float(jnp.sum(scase.b_neumann))
+    # reduced functional: w^T x = (w_grid^T V) y + w^T phi_d
+    G = int(np.prod(scase.free.shape))
+    dvec = np.asarray(w_act, np.float64) - np.asarray(w_ret, np.float64)
+    wg = jnp.zeros(G, jnp.float64).at[scase.grid_index].set(
+        jnp.asarray(dvec))
+    phi_d = jnp.where(scase.free, 0.0, scase.dirichlet) \
+        .astype(jnp.float64).reshape(-1)
+    wV = rom.V @ jnp.where(scase.free.reshape(-1), wg, 0.0)   # (cap,)
+    vd = float(jnp.sum(wg * phi_d))
+    Vr = np.asarray(out["yr"] @ wV) + vd
+    Vi = np.asarray(out["yi"] @ wV)
+    Z = np.stack([Vr, Vi], axis=1) / I_inject_A
+    residual = out["residual"]
+    return {
+        "freq_hz": np.asarray(freqs_hz, np.float64),
+        "Z": Z,
+        "Z_abs": np.hypot(Z[:, 0], Z[:, 1]),
+        "Z_phase_deg": np.degrees(np.arctan2(Z[:, 1], Z[:, 0])),
+        "residual": residual,
+        "converged": residual <= tol,
+        "n_full": out["n_full"],
+        "rom": rom,
+    }

@@ -16,6 +16,7 @@ The honesty pins mirror the refined-solver contract:
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pelvistim_fem_tpu.mesh import core
@@ -107,3 +108,107 @@ def test_reconstruct_shapes(problem):
     con = ~fr[gi]
     np.testing.assert_allclose(np.asarray(phi)[0][con], d[gi][con],
                                atol=0)
+
+
+# ── spectral (EQS) ROM ───────────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def spectrum_problem(problem):
+    from pelvistim_fem_tpu.ops.eqs import EPS0
+    scase, hier, _ = problem
+    nb = scase.sigma_table.shape[0] - 1
+    epsr = np.zeros(nb + 1)
+    epsr[core.BODY_CONTACT_ACTIVE] = 5e6
+    epsr[core.BODY_CONTACT_RETURN] = 5e6
+    freqs = np.logspace(-2, 5, 16)
+    ki = jnp.asarray(2 * np.pi * freqs[:, None] * EPS0 * epsr[None, :])
+    return scase, hier, freqs, ki
+
+
+def _direct_residual_eqs(scase, kr, ki, phi2):
+    """Hermitian ||b - K x|| / ||b|| with the EQS solver's operator."""
+    from pelvistim_fem_tpu.ops.eqs import _eqs_operator, _hnorm
+    op, b_eff = _eqs_operator(
+        jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, scase),
+        jnp.asarray(kr, jnp.float64), jnp.asarray(ki, jnp.float64))
+    G = int(np.prod(scase.free.shape))
+    x = jnp.zeros((2, G), jnp.float64).at[:, scase.grid_index].set(
+        jnp.asarray(phi2, jnp.float64)).reshape((2,) + scase.free.shape)
+    r = b_eff - op(x)
+    return float(_hnorm(r) / _hnorm(b_eff))
+
+
+def test_rom_spectrum_certifies_and_matches_full(spectrum_problem):
+    from pelvistim_fem_tpu.ops.rom import rom_spectrum_refined
+    scase, hier, freqs, ki = spectrum_problem
+    out = rom_spectrum_refined(scase, hier, ki, tol=TOL)
+    assert out["converged"]
+    F = len(freqs)
+    # economy: 7 decades of frequency from ~10 complex solves
+    assert out["n_full"] <= 12 and out["n_full"] < F, out["n_full"]
+
+    # honesty: the certificate IS the direct full complex-operator
+    # Hermitian residual (worst lane + one interior lane)
+    phi = np.asarray(out["phi"])
+    kr = np.tile(np.asarray(scase.sigma_table, np.float64), (F, 1))
+    for i in (int(np.argmax(out["residual"])), F // 2):
+        direct = _direct_residual_eqs(scase, kr[i], np.asarray(ki)[i],
+                                      phi[i])
+        np.testing.assert_allclose(direct, out["residual"][i],
+                                   rtol=1e-3, atol=1e-13)
+
+    # field parity vs the full certified complex batch on a stride
+    from pelvistim_fem_tpu.ops.eqs import batched_eqs_solve_refined
+    sub = np.arange(0, F, 4)
+    full = batched_eqs_solve_refined(scase, hier, ki[sub], tol=TOL)
+    pf = np.asarray(full.phi)
+    scale = np.abs(pf).max(axis=(1, 2))
+    err = np.abs(phi[sub] - pf).max(axis=(1, 2)) / scale
+    assert err.max() <= 1e-5, err.max()
+
+
+def test_rom_impedance_spectrum_parity(spectrum_problem):
+    """The ROM spectrum app surface reproduces impedance_spectrum_tables
+    (full batched certified solves) and the textbook RC shape."""
+    from pelvistim_fem_tpu.ops.eqs import impedance_spectrum_tables
+    from pelvistim_fem_tpu.ops.rom import rom_impedance_spectrum_tables
+    scase, hier, freqs, ki = spectrum_problem
+    # electrode weights from the stencil case's Neumann load pattern
+    b = np.asarray(scase.b_neumann, np.float64).reshape(-1)
+    gi = np.asarray(scase.grid_index)
+    bn = b[gi]
+    act = np.where(bn > 0, bn, 0.0)
+    # the pressure model grounds the return via Dirichlet nodes (no
+    # negative Neumann entries) — average the return over that patch
+    ret = (~np.asarray(scase.free).reshape(-1)[gi]).astype(np.float64)
+    w_act = act / act.sum()
+    w_ret = ret / ret.sum()
+
+    rspec = rom_impedance_spectrum_tables(
+        scase, hier, ki, None, freqs, w_act=w_act, w_ret=w_ret, tol=TOL)
+    assert rspec["converged"].all()
+    fspec = impedance_spectrum_tables(scase, hier, ki, None, freqs,
+                                      w_act=w_act, w_ret=w_ret, tol=TOL)
+    np.testing.assert_allclose(rspec["Z"], fspec["Z"], rtol=2e-5,
+                               atol=2e-5 * np.abs(fspec["Z"]).max())
+    zabs = rspec["Z_abs"]
+    assert np.all(np.diff(zabs) <= 1e-9 * zabs[0])
+    assert np.all(rspec["Z_phase_deg"] <= 1e-9)
+    assert np.all(rspec["Z_phase_deg"] > -90.0)
+
+
+def test_rom_eqs_zero_frequency_reduces_to_real(problem):
+    from pelvistim_fem_tpu.ops.rom import (rom_solve_eqs,
+                                           rom_sweep_refined)
+    scase, hier, tables = problem
+    out = rom_sweep_refined(scase, hier, tables[:1], tol=TOL)
+    kr = jnp.asarray(tables[:1])
+    ki = jnp.zeros_like(kr)
+    yr, yi, rel = rom_solve_eqs(out["rom"], kr, ki)
+    assert float(rel[0]) <= TOL
+    assert float(jnp.abs(yi).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(yr[0]),
+                               np.asarray(out["y"][0]), rtol=1e-12)
