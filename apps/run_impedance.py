@@ -63,6 +63,13 @@ def main():
     ap.add_argument("--pulse-harmonics", type=int, default=200,
                     help="harmonic cutoff for --pulse (bandwidth = "
                          "n/analysis period)")
+    ap.add_argument("--rom", action="store_true",
+                    help="dense 61-point spectra via the greedy "
+                         "certified reduced basis (ops/rom.py): one "
+                         "warm-started basis serves all three contact "
+                         "states, ~10-15 full complex solves total "
+                         "instead of 183 — same 1e-8 certificate per "
+                         "frequency")
     ap.add_argument("--cem", action="store_true",
                     help="model the interface as a complete-electrode-"
                          "model CPE boundary impedance z(f) instead of "
@@ -105,14 +112,18 @@ def main():
     epsr[core.BODY_CONTACT_ACTIVE] = EPSR["contact"]
     epsr[core.BODY_CONTACT_RETURN] = EPSR["contact"]
 
-    freqs = np.logspace(0, 5, 11)          # 1 Hz .. 100 kHz
+    # 1 Hz .. 100 kHz; the ROM path affords a dense grid (its cost is
+    # the BASIS rank, not the frequency count)
+    freqs = np.logspace(0, 5, 61 if args.rom else 11)
     base = np.asarray(spec.sigma_table)
     sweep = params["pressure_sweep"]["sigma_contact_Spm"]
     # three contact states: dry (p01), nominal mid, wet/pressed (p15)
     states = [("dry", sweep[0]), ("mid", sweep[len(sweep) // 2]),
               ("wet", sweep[-1])]
 
+    from pelvistim_fem_tpu.ops.eqs import impedance_spectrum_tables
     rows, spectra = [], {}
+    shared_rom, rom_solves = None, 0
     t0 = time.perf_counter()
     for name, s_c in states:
         tab = base.copy()
@@ -122,8 +133,7 @@ def main():
             # Cole-Cole dispersive tissue: sigma and eps both vary with
             # frequency (single-pole literature-order placeholders);
             # still one material-table batch on the same operator.
-            from pelvistim_fem_tpu.ops.eqs import (
-                dispersive_tables, impedance_spectrum_tables)
+            from pelvistim_fem_tpu.ops.eqs import dispersive_tables
             disp = {
                 core.BODY_MUSCLE: (base[core.BODY_MUSCLE], 1.0e3,
                                    [(EPSR["muscle"], 3.0e-4, 0.1)]),
@@ -139,13 +149,30 @@ def main():
                                              0.2)]),
             }
             kr, ki = dispersive_tables(freqs, tab, disp)
+        else:
+            from pelvistim_fem_tpu.ops.eqs import EPS0
+            ki = jnp.asarray(2 * np.pi * freqs[:, None]
+                             * EPS0 * epsr[None, :])
+            kr = jnp.tile(jnp.asarray(tab, jnp.float64),
+                          (len(freqs), 1))
+        if args.rom:
+            from pelvistim_fem_tpu.ops.rom import \
+                rom_impedance_spectrum_tables
+            # ONE warm-started basis across the contact states: the
+            # reduced blocks are table-independent, so the dry state's
+            # snapshots keep certifying mid/wet frequencies
+            sp = rom_impedance_spectrum_tables(
+                scase, hier, ki, kr, freqs, w_act=w_act, w_ret=w_ret,
+                tol=1e-8, rom=shared_rom, max_snapshots=80)
+            shared_rom = sp["rom"]
+            rom_solves += sp["n_full"]
+            print(f"  [{name}] ROM: {sp['n_full']} full complex "
+                  f"solves for {len(freqs)} certified frequencies "
+                  f"(basis rank {int(shared_rom.rank)})")
+        else:
             sp = impedance_spectrum_tables(scase, hier, ki, kr, freqs,
                                            w_act=w_act, w_ret=w_ret,
                                            tol=1e-8)
-        else:
-            sp = impedance_spectrum(scase, hier, jnp.asarray(epsr),
-                                    freqs, w_act=w_act, w_ret=w_ret,
-                                    sigma_table=tab, tol=1e-8)
         assert sp["converged"].all(), name
         spectra[name] = sp
         for f, z, zmag, ph in zip(freqs, sp["Z"], sp["Z_abs"],
@@ -162,8 +189,13 @@ def main():
               f"{sp['residual'].max():.1e}")
     t_solve = time.perf_counter() - t0
     n_pts = len(states) * len(freqs)
-    print(f"  {n_pts} certified complex solves in {t_solve:.2f} s "
-          f"({n_pts*60/t_solve:.0f} solves/min)")
+    if args.rom:
+        print(f"  {n_pts} frequencies certified at 1e-8 from "
+              f"{rom_solves} full complex solves (shared basis rank "
+              f"{int(shared_rom.rank)}) in {t_solve:.2f} s")
+    else:
+        print(f"  {n_pts} certified complex solves in {t_solve:.2f} s "
+              f"({n_pts*60/t_solve:.0f} solves/min)")
 
     save_results(rows, Path(args.outdir), stem="impedance")
 
@@ -270,9 +302,16 @@ def main():
             pr = pulse_response(scase, hier, i, period, w,
                                 epsr_table=jnp.asarray(epsr),
                                 kr_table=tab,
-                                n_harm=args.pulse_harmonics, tol=1e-8)
+                                n_harm=args.pulse_harmonics, tol=1e-8,
+                                rom_snapshots=60 if args.rom else None)
             assert pr["converged"].all(), name
-            n_solves += len(pr["active_harmonics"])
+            if args.rom:
+                n_solves += pr["n_full"]
+                print(f"  [pulse {name}] ROM: {pr['n_full']} full "
+                      f"complex solves for "
+                      f"{len(pr['active_harmonics'])} active harmonics")
+            else:
+                n_solves += len(pr["active_harmonics"])
             v = pr["series"][:, 0]
             pulses[name] = (t, i, v)
             ph1 = (t > 0.05 * pw) & (t < 0.95 * pw)

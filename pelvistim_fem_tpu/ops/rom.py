@@ -32,7 +32,15 @@ a ~30 s remote recompile on axon.
 Memory: the per-body applied basis W (B, cap, G) dominates — fine at
 sweep scale (step04 ~33k nodes), deliberate overkill at megatet
 (3.5M * 7 * cap doubles); this module targets the (many sigma) x
-(moderate grid) regime the apps' sweeps and UQ live in.
+(moderate grid) regime the apps' sweeps live in.
+
+Scope (measured): the ROM pays for LOW-dimensional parameter families
+— 1-D design sweeps (~16 snapshots certify any lane count over 3
+decades) and frequency spectra (~10 complex snapshots over 7 decades).
+It does NOT pay for the 3-body log-normal UQ sampling at 1e-8: the
+Kolmogorov width in 3 simultaneous material axes decays too slowly
+(rank 40 certified only 39/200 samples, worst residual 8e-6), so
+run_uq keeps the full vmapped certified batch.
 """
 
 from __future__ import annotations
@@ -249,7 +257,15 @@ def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
         if int(rom.rank) == rank_before:    # span stalled: cannot improve
             break
 
-    phi = rom_reconstruct(rom, scase, y)
+    phi = np.asarray(rom_reconstruct(rom, scase, y))
+    # unconditional certificate: any lane the basis could not certify
+    # (capacity exhausted / span stalled) is full-solved directly
+    for i in np.flatnonzero(rel_h > tol):
+        res = solve_stencil_mg_refined(scase, hier, tabs[i], tol=tol)
+        n_full += 1
+        assert bool(np.asarray(res.converged))
+        phi[i] = np.asarray(res.phi)
+        rel_h[i] = float(np.asarray(res.residual))
     return {"phi": phi, "y": y, "residual": rel_h, "rom": rom,
             "n_full": n_full, "converged": bool((rel_h <= tol).all())}
 
@@ -328,12 +344,17 @@ def rom_reconstruct_eqs(rom: StencilROM, scase: StencilCase, yr, yi):
 
 def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
                          kr_tables=None, *, tol=1e-8, max_snapshots=40,
-                         verbose=False):
+                         rom=None, verbose=False):
     """Greedy certified frequency sweep: reduced-evaluate every
     frequency, full-solve (solve_stencil_eqs_refined) only the worst
     uncertified one, extend the basis with the snapshot's re AND im
     parts, repeat.  A dispersive spectrum (dispersive_tables) is just
     a per-frequency (kr, ki) batch, so it routes through unchanged.
+
+    `rom`: warm-start basis from a previous sweep on the SAME scase —
+    the affine blocks are table-independent, so one basis serves every
+    material/frequency family of the case (e.g. the contact states of
+    run_impedance share it; later states certify almost for free).
 
     Returns dict: phi (F, 2, N), residual (F,) TRUE Hermitian rel
     residuals, yr, yi, rom, n_full, converged.
@@ -349,7 +370,9 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
         kr = jnp.asarray(np.atleast_2d(np.asarray(kr_tables,
                                                   np.float64)))
 
-    rom, n_full = build_stencil_rom(scase, max_snapshots), 0
+    if rom is None:
+        rom = build_stencil_rom(scase, max_snapshots)
+    n_full = 0
 
     def full_solve(i):
         res = solve_stencil_eqs_refined(scase, hier, ki[i], kr[i],
@@ -358,8 +381,9 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
         r = rom_extend(rom, scase, _snapshot_vector(scase, res.phi[0]))
         return rom_extend(r, scase, _snapshot_vector(scase, res.phi[1]))
 
-    rom = full_solve(0)
-    n_full += 1
+    if int(rom.rank) == 0:
+        rom = full_solve(0)
+        n_full += 1
     while True:
         yr, yi, rel = rom_solve_eqs(rom, kr, ki)
         rel_h = np.asarray(rel)
@@ -368,7 +392,7 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
             print(f"  [rom-eqs] rank {int(rom.rank)}: certified "
                   f"{(rel_h <= tol).sum()}/{len(rel_h)} freqs, "
                   f"worst {rel_h[worst]:.2e}")
-        if rel_h[worst] <= tol or int(rom.rank) >= max_snapshots - 1:
+        if rel_h[worst] <= tol or int(rom.rank) >= rom.capacity - 1:
             break
         rank_before = int(rom.rank)
         rom = full_solve(worst)
@@ -376,7 +400,16 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
         if int(rom.rank) == rank_before:    # span stalled
             break
 
-    phi = rom_reconstruct_eqs(rom, scase, yr, yi)
+    phi = np.asarray(rom_reconstruct_eqs(rom, scase, yr, yi))
+    # unconditional certificate: full-solve any lane the basis could
+    # not certify (capacity exhausted / span stalled)
+    for i in np.flatnonzero(rel_h > tol):
+        res = solve_stencil_eqs_refined(scase, hier, ki[i], kr[i],
+                                        tol=tol)
+        n_full += 1
+        assert bool(np.asarray(res.converged))
+        phi[i] = np.asarray(res.phi)
+        rel_h[i] = float(np.asarray(res.residual))
     return {"phi": phi, "yr": yr, "yi": yi, "residual": rel_h,
             "rom": rom, "n_full": n_full,
             "converged": bool((rel_h <= tol).all())}
@@ -385,30 +418,23 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
 def rom_impedance_spectrum_tables(scase: StencilCase, hier, ki_tables,
                                   kr_tables, freqs_hz, *, w_act, w_ret,
                                   I_inject_A=None, tol=1e-8,
-                                  max_snapshots=40, verbose=False):
+                                  max_snapshots=40, rom=None,
+                                  verbose=False):
     """impedance_spectrum_tables (eqs.py:529) on the greedy ROM: the
     full (F,) spectrum certified at `tol` from ~n_full << F complex
-    solves.  The electrode reduction V = w^T phi is evaluated from the
-    REDUCED coordinates (w^T V_basis is precomputed once), so no
-    F x N field reconstruction happens at all."""
+    solves (with a per-lane full-solve fallback if the basis capacity
+    exhausts, so the certificate is unconditional)."""
     out = rom_spectrum_refined(scase, hier, ki_tables, kr_tables,
                                tol=tol, max_snapshots=max_snapshots,
-                               verbose=verbose)
+                               rom=rom, verbose=verbose)
     rom = out["rom"]
     if I_inject_A is None:
         I_inject_A = float(jnp.sum(scase.b_neumann))
-    # reduced functional: w^T x = (w_grid^T V) y + w^T phi_d
-    G = int(np.prod(scase.free.shape))
+    # the electrode reduction over the returned fields (which include
+    # any full-solve fallback lanes): V = w^T phi, (F, 2)
     dvec = np.asarray(w_act, np.float64) - np.asarray(w_ret, np.float64)
-    wg = jnp.zeros(G, jnp.float64).at[scase.grid_index].set(
-        jnp.asarray(dvec))
-    phi_d = jnp.where(scase.free, 0.0, scase.dirichlet) \
-        .astype(jnp.float64).reshape(-1)
-    wV = rom.V @ jnp.where(scase.free.reshape(-1), wg, 0.0)   # (cap,)
-    vd = float(jnp.sum(wg * phi_d))
-    Vr = np.asarray(out["yr"] @ wV) + vd
-    Vi = np.asarray(out["yi"] @ wV)
-    Z = np.stack([Vr, Vi], axis=1) / I_inject_A
+    V = np.einsum("fcn,n->fc", np.asarray(out["phi"]), dvec)
+    Z = V / I_inject_A
     residual = out["residual"]
     return {
         "freq_hz": np.asarray(freqs_hz, np.float64),

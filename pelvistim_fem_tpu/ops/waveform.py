@@ -149,7 +149,8 @@ def harmonic_transfer(scase: StencilCase, hier: MGHierarchy,
                       harm: WaveformHarmonics, epsr_table=None, *,
                       probe_weights, kr_table=None, kr_tables=None,
                       ki_tables=None, I_inject_A=None, coeff_rtol=1e-9,
-                      tol=1e-8, shard_mesh=None, **kw):
+                      tol=1e-8, shard_mesh=None, rom_snapshots=None,
+                      **kw):
     """Per-harmonic complex probe transfers (K, P) [V per injected A].
 
     probe_weights: (P, N) real weights in mesh-node ordering (each row
@@ -164,7 +165,14 @@ def harmonic_transfer(scase: StencilCase, hier: MGHierarchy,
     transfer recorded): a symmetric biphasic pulse has no even
     harmonics, so this halves the batch.  Diagnostics cross the tunnel
     as (K_active,) scalars only — never a full field.
-    """
+
+    rom_snapshots: route the active harmonics through the greedy
+    certified reduced basis (ops/rom.py, capacity = this many basis
+    rows) instead of the full batch — the harmonic axis spans ~2
+    decades, so ~a dozen complex solves certify hundreds of
+    harmonics at the same per-harmonic 1e-8 certificate.  Sweep-scale
+    grids only (the basis holds (B, cap, G) f64 — ~7 GB at megatet
+    G); incompatible with shard_mesh."""
     K = len(harm.freqs_hz)
     if ki_tables is None:
         if epsr_table is None:
@@ -185,41 +193,62 @@ def harmonic_transfer(scase: StencilCase, hier: MGHierarchy,
         kr_a = jnp.tile(jnp.asarray(kr_table, jnp.float64),
                         (len(idx), 1))
 
-    if shard_mesh is not None:
+    n_full = None
+    if rom_snapshots:
+        if shard_mesh is not None:
+            raise ValueError("rom_snapshots and shard_mesh are "
+                             "mutually exclusive")
+        from pelvistim_fem_tpu.ops.rom import rom_spectrum_refined
+        if kr_a is None:
+            kr_a = jnp.tile(scase.sigma_table.astype(jnp.float64)
+                            [None], (len(idx), 1))
+        romout = rom_spectrum_refined(scase, hier, ki_a, kr_a, tol=tol,
+                                      max_snapshots=rom_snapshots)
+        phi = jnp.asarray(romout["phi"])
+        residual = np.asarray(romout["residual"])
+        iterations = np.int32(0)
+        n_full = romout["n_full"]
+    elif shard_mesh is not None:
         # harmonic axis over devices (parallel/sweep.py pads to a
         # device multiple and replicates the operator)
         from pelvistim_fem_tpu.parallel.sweep import \
             sharded_eqs_solve_refined
         out = sharded_eqs_solve_refined(scase, hier, ki_a, kr_a,
                                         shard_mesh, tol=tol, **kw)
+        phi, residual = out.phi, np.asarray(out.residual)
+        iterations = np.asarray(out.iterations)
     else:
         out = batched_eqs_solve_refined(scase, hier, ki_a, kr_a,
                                         tol=tol, **kw)
+        phi, residual = out.phi, np.asarray(out.residual)
+        iterations = np.asarray(out.iterations)
     if I_inject_A is None:
         I_inject_A = float(jnp.sum(scase.b_neumann))
     hp = jax.lax.Precision.HIGHEST   # TPU default contraction is bf16
     if isinstance(probe_weights, tuple):
         ids, wts = probe_weights     # (P, 8) path gather plan
         n_probes = ids.shape[0]
-        gat = out.phi[:, :, jnp.asarray(ids)]          # (K, 2, P, 8)
+        gat = phi[:, :, jnp.asarray(ids)]              # (K, 2, P, 8)
         V = jnp.einsum("kcpj,pj->kcp", gat,
                        jnp.asarray(wts, jnp.float64), precision=hp)
     else:
         W = jnp.asarray(np.asarray(probe_weights, np.float64))
         n_probes = W.shape[0]
-        V = jnp.einsum("kcn,pn->kcp", out.phi, W, precision=hp)
+        V = jnp.einsum("kcn,pn->kcp", phi, W, precision=hp)
     V = np.asarray(V) / I_inject_A                     # (K_act, 2, P)
-    residual = np.asarray(out.residual)
 
     H = np.zeros((K, n_probes), np.complex128)
     H[idx] = V[:, 0] + 1j * V[:, 1]
-    return {
+    res = {
         "transfer": H,                    # (K, P) volts per ampere
         "active_harmonics": idx,
-        "iterations": np.asarray(out.iterations),
+        "iterations": iterations,
         "residual": residual,
         "converged": residual <= tol,     # host-derived: no bool readback
     }
+    if n_full is not None:
+        res["n_full"] = n_full
+    return res
 
 
 def pulse_response(scase: StencilCase, hier: MGHierarchy,

@@ -380,6 +380,33 @@ def test_harmonic_transfer_sharded_parity():
                                rtol=1e-7, atol=1e-12)
 
 
+def test_harmonic_transfer_rom_parity():
+    """The greedy-ROM harmonic path (rom_snapshots) must reproduce the
+    full batched transfers at the same per-harmonic certificate, from
+    FAR fewer full complex solves (the harmonic axis spans ~2 decades
+    — a dozen snapshots cover it)."""
+    sig_a, sig_b = 0.05, 0.1
+    epsr_a = sig_a * 50e-6 / EPS0
+    epsr_b = sig_b * 100e-6 / EPS0
+    epsr = np.array([0, epsr_a, epsr_b])
+    case, sc, hier, w = _column_problem(sig_a, sig_b)
+
+    period, S = 1e-3, 128
+    t, i = biphasic_pulse_samples(period, 5e-3, 0.2e-3, n_samples=S,
+                                  ipg_s=0.05e-3)
+    harm = waveform_harmonics(i, period)
+    ref = harmonic_transfer(sc, hier, harm, epsr, probe_weights=w,
+                            tol=1e-9)
+    rom = harmonic_transfer(sc, hier, harm, epsr, probe_weights=w,
+                            tol=1e-9, rom_snapshots=40)
+    assert rom["converged"].all()
+    k_act = len(rom["active_harmonics"])
+    assert rom["n_full"] <= k_act // 2, (rom["n_full"], k_act)
+    scale = np.abs(ref["transfer"]).max()
+    np.testing.assert_allclose(rom["transfer"], ref["transfer"],
+                               rtol=1e-5, atol=1e-7 * scale)
+
+
 def test_lapicque_threshold_harmonic_convergence():
     """The membrane-integrated threshold must be converged in the
     harmonic cutoff: doubling n_harm moves it < 1% once the cutoff
