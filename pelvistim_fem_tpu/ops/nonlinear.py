@@ -1,0 +1,342 @@
+"""Nonlinear conductivity: field-dependent sigma(|E|) and
+temperature-coupled sigma(T) solves via damped Picard iteration.
+
+Physics.  Tissue conductivity under transcutaneous stimulation is not
+constant: measured skin impedance falls with local field strength
+(stratum-corneum breakdown / electroporation-like behavior at the
+current densities TENS electrodes apply), and every tissue's ionic
+conductivity rises with temperature (~1-2 %/degC), which couples the
+electrical solve to the Joule-heating Pennes solve (ops/bioheat.py).
+
+Reference framing.  The reference pipeline is strictly linear — Elmer's
+StatCurrentSolve is run once per case with fixed per-body sigma
+(step01_box/case.sif:30-44; step03_ankle_layers/params.yaml:32-45) —
+so field- or temperature-dependent effects are out of its reach
+entirely (its closest move is the step04 PARAMETER sweep over
+sigma_contact, run_pressure_sweep.py:709-738, which re-meshes nothing
+but also feeds nothing back).  This module closes that gap with the
+TPU-native form: because the element path keeps sigma a *leaf input*
+of the SpMV (ops/assembly.py:86-112), a sigma update costs zero
+re-assembly — the whole fixed-point loop is ONE jitted XLA program
+(outer `lax.while_loop` over Picard updates, inner certified
+mixed-precision refinement, warm-started so late Picard passes cost
+1-2 CG iterations), and the returned residual is the f64-certified
+TRUE residual at the CONVERGED conductivity field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pelvistim_fem_tpu.ops import assembly, bc as bc_ops
+from pelvistim_fem_tpu.ops.bioheat import solve_bioheat
+from pelvistim_fem_tpu.ops.solve import jacobi_pcg, require_x64
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FieldLaw:
+    """Per-body saturating field-strength law (index 0 unused, like
+    Case.sigma_table):
+
+        sigma_b(|E|) = sigma0_b * (1 + amp_b * s((|E| - e0_b) / w_b)),
+        s = logistic sigmoid.
+
+    amp_b = 0 recovers the linear solve exactly.  The logistic form is
+    smooth (Picard-friendly), bounded (sigma <= sigma0*(1+amp), so the
+    operator stays uniformly SPD), and matches the sigmoidal
+    conductance rise reported for skin under field: negligible below
+    threshold e0, saturating ~(1+amp)x above it, transition width w.
+    """
+    sigma0: jax.Array   # (T,) resting conductivity [S/m]
+    amp: jax.Array      # (T,) relative rise at saturation
+    e0: jax.Array       # (T,) threshold field [V/m]
+    w: jax.Array        # (T,) transition width [V/m]
+
+
+def field_law(sigma_by_body: dict, *, amp_by_body: dict | None = None,
+              e0_by_body: dict | None = None,
+              w_by_body: dict | None = None,
+              n_bodies: int | None = None,
+              dtype=jnp.float64) -> FieldLaw:
+    """Build a FieldLaw from {body_id: value} dicts (host numpy).
+    Bodies absent from amp_by_body stay linear (amp=0)."""
+    if n_bodies is None:
+        n_bodies = max(sigma_by_body)
+    t = n_bodies + 1
+    s0 = np.zeros(t)
+    amp = np.zeros(t)
+    e0 = np.full(t, 1.0)
+    w = np.full(t, 1.0)
+    for b, v in sigma_by_body.items():
+        s0[b] = v
+    for src, dst in ((amp_by_body, amp), (e0_by_body, e0),
+                     (w_by_body, w)):
+        for b, v in (src or {}).items():
+            dst[b] = v
+    return FieldLaw(sigma0=jnp.asarray(s0, dtype),
+                    amp=jnp.asarray(amp, dtype),
+                    e0=jnp.asarray(e0, dtype),
+                    w=jnp.asarray(w, dtype))
+
+
+def law_sigma(law: FieldLaw, tet_body, e_mag):
+    """(M,) per-element conductivity at field magnitude e_mag."""
+    s0 = law.sigma0[tet_body]
+    a = law.amp[tet_body]
+    e0 = law.e0[tet_body]
+    w = jnp.maximum(law.w[tet_body], jnp.asarray(1e-30, e_mag.dtype))
+    return s0 * (1.0 + a * jax.nn.sigmoid((e_mag - e0) / w))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NonlinearResult:
+    phi: jax.Array            # (N,) potential at the converged sigma
+    sigma_e: jax.Array        # (M,) converged per-element conductivity
+    residual: jax.Array       # certified TRUE f64 rel residual of phi
+    picard_iters: jax.Array   # outer fixed-point passes
+    inner_iters: jax.Array    # total f32 CG iterations across passes
+    sigma_change: jax.Array   # final max relative sigma update
+    converged: jax.Array      # residual<=tol AND sigma_change<=picard_tol
+
+
+def _sigma_elem_operator(case, sigma_e):
+    """(projected op, jacobi diag, b_eff) with PER-ELEMENT sigma — the
+    generalization of solve._case_operator from per-body tables to the
+    (M,) fields the nonlinear loop updates."""
+    sigvol = sigma_e * case.vol
+    n = case.free_mask.shape[0]
+
+    def raw(x):
+        return assembly.spmv(x, case.tets, case.grads, sigvol,
+                             case.scatter_perm, case.scatter_segids, n)
+
+    op = bc_ops.make_projected_operator(raw, case.free_mask)
+    diag_raw = assembly.stiffness_diagonal(
+        case.tets, case.grads, sigvol,
+        case.scatter_perm, case.scatter_segids, n)
+    diag = jnp.where(case.free_mask, diag_raw, 1.0)
+    b_eff = bc_ops.effective_rhs(raw, case.free_mask,
+                                 case.dirichlet_vals, case.b_neumann)
+    return op, diag, b_eff
+
+
+def _case_f(case, dt):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, case)
+
+
+def _refined_solve_warm(case64, case32, sigma_e, x, *, tol, inner_tol,
+                        maxiter, max_refinements):
+    """Mixed-precision refinement (f32 Jacobi-PCG inner, f64 residual
+    correction) from warm start x at per-element sigma_e.  Mirrors
+    solve.solve_case_refined's schedule; the warm start is what makes
+    late Picard passes nearly free."""
+    op64, _, b64 = _sigma_elem_operator(case64, sigma_e)
+    op32, diag32, _ = _sigma_elem_operator(
+        case32, sigma_e.astype(jnp.float32))
+    bnorm = jnp.linalg.norm(b64)
+    bsafe = jnp.where(bnorm > 0, bnorm, 1.0)
+    rel0 = jnp.linalg.norm(b64 - op64(x)) / bsafe
+
+    def refine(carry):
+        x, rel_old, total_it, k = carry
+        r64 = b64 - op64(x)
+        tol_k = jnp.clip(0.25 * tol / jnp.minimum(rel_old, 1.0),
+                         inner_tol, 0.05)
+        res = jacobi_pcg(op32, r64.astype(jnp.float32), diag32,
+                         jnp.zeros_like(r64, jnp.float32),
+                         tol=tol_k, maxiter=maxiter)
+        x_n = x + res.phi.astype(jnp.float64)
+        rel_n = jnp.linalg.norm(b64 - op64(x_n)) / bsafe
+        return (x_n, rel_n, total_it + res.iterations, k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = jax.lax.while_loop(
+        cond, refine, (x, rel0, jnp.int32(0), jnp.int32(0)))
+    return x, rel, total_it
+
+
+def _cell_e_mag(case, phi):
+    """(M,) |grad phi| per tet (inline cell_E to avoid an import cycle
+    with ops.fields; precision=HIGHEST for the usual MXU-bf16 reason)."""
+    g = jnp.einsum("mid,mi->md", case.grads, phi[case.tets],
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.sqrt(jnp.sum(g * g, axis=1))
+
+
+@partial(jax.jit, static_argnames=("tol", "picard_tol", "max_picard",
+                                   "relax", "inner_tol", "maxiter",
+                                   "max_refinements"))
+def solve_case_field_dependent(case, law: FieldLaw, *, tol=1e-8,
+                               picard_tol=1e-9, max_picard=60,
+                               relax=0.7, inner_tol=1e-6,
+                               maxiter=10_000, max_refinements=6):
+    """Solve div(sigma(|E|) grad phi) = 0 with the Case's BCs.
+
+    Damped Picard: solve phi at frozen sigma_e (certified refinement,
+    warm-started), evaluate |E| per element, relax sigma_e toward
+    law_sigma(|E|), repeat until the max relative sigma update falls
+    below picard_tol; then ONE final certified solve at the frozen
+    converged field so `residual` is measured at exactly the returned
+    conductivity.  The logistic law is bounded, so the operator stays
+    SPD at every iterate and plain damping (relax<=1) converges for the
+    physiological parameter ranges (amp of a few, w not << e0).
+    """
+    require_x64("solve_case_field_dependent")
+    case64 = _case_f(case, jnp.float64)
+    case32 = _case_f(case, jnp.float32)
+    law64 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64), law)
+    body = case.tet_body
+
+    sigma0 = law64.sigma0[body] * jnp.ones_like(case64.vol)
+    # the logistic law's exact range — secant iterates are clipped into
+    # it so acceleration can never leave the SPD-safe band
+    sig_lo = sigma0
+    sig_hi = sigma0 * (1.0 + law64.amp[body])
+    x0 = jnp.where(case.free_mask, 0.0, case64.dirichlet_vals)
+    eps = jnp.float64(1e-300)
+
+    # Elementwise secant (Anderson-1) on f(sigma) = law(|E(sigma)|) -
+    # sigma: plain damped Picard contracts at |(1-relax) + relax*g'|,
+    # and the law's slope g' = s'(E) * dE/dsigma is O(-1) right in the
+    # physiological regime (measured -1.6 on the two-layer column ->
+    # factor 0.79, ~90 passes to 1e-9).  The secant step converges the
+    # same column in <=12 passes; first pass and degenerate denominators
+    # fall back to the damped update.
+    def picard(carry):
+        sigma_e, sigma_p, f_p, x, _, tot_it, k = carry
+        x, _, it = _refined_solve_warm(
+            case64, case32, sigma_e, x, tol=tol, inner_tol=inner_tol,
+            maxiter=maxiter, max_refinements=max_refinements)
+        target = law_sigma(law64, body, _cell_e_mag(case64, x))
+        f = target - sigma_e
+        change = jnp.max(jnp.abs(f) / jnp.maximum(sigma_e, eps))
+        denom = f - f_p
+        ok = (k > 0) & (jnp.abs(denom)
+                        > 1e-12 * jnp.maximum(jnp.abs(f), eps))
+        step = jnp.where(ok, -f * (sigma_e - sigma_p)
+                         / jnp.where(ok, denom, 1.0), relax * f)
+        sigma_n = jnp.clip(sigma_e + step, sig_lo, sig_hi)
+        return (sigma_n, sigma_e, f, x, change, tot_it + it, k + 1)
+
+    def cond(carry):
+        *_, change, _, k = carry
+        return (change > picard_tol) & (k < max_picard)
+
+    sigma_e, _, _, x, change, tot_it, k = jax.lax.while_loop(
+        cond, picard,
+        (sigma0, sigma0, jnp.zeros_like(sigma0), x0,
+         jnp.float64(jnp.inf), jnp.int32(0), jnp.int32(0)))
+
+    # certify at the frozen converged field
+    x, rel, it = _refined_solve_warm(
+        case64, case32, sigma_e, x, tol=tol, inner_tol=inner_tol,
+        maxiter=maxiter, max_refinements=max_refinements)
+    return NonlinearResult(
+        phi=x, sigma_e=sigma_e, residual=rel, picard_iters=k,
+        inner_iters=tot_it + it, sigma_change=change,
+        converged=(rel <= tol) & (change <= picard_tol))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ElectrothermalResult:
+    phi: jax.Array            # (N,) potential at converged sigma(T)
+    T: jax.Array              # (N,) temperature [degC]
+    sigma_e: jax.Array        # (M,) converged per-element conductivity
+    residual: jax.Array       # certified TRUE rel residual (electrical)
+    residual_T: jax.Array     # true rel residual (thermal)
+    picard_iters: jax.Array
+    inner_iters: jax.Array
+    sigma_change: jax.Array
+    converged: jax.Array
+
+
+@partial(jax.jit, static_argnames=("tol", "tol_T", "picard_tol",
+                                   "max_picard", "relax", "duty",
+                                   "T_ref", "inner_tol", "maxiter",
+                                   "max_refinements"))
+def solve_case_electrothermal(case, bh, sigma_table, alpha_table, *,
+                              tol=1e-8, tol_T=1e-10, picard_tol=1e-9,
+                              max_picard=40, relax=1.0, duty=1.0,
+                              T_ref=37.0, inner_tol=1e-6,
+                              maxiter=10_000, max_refinements=6):
+    """Two-way coupled electro-thermal fixed point:
+
+        sigma_e(T) = sigma_b * (1 + alpha_b * (T_cell - T_ref))
+        div(sigma_e grad phi) = 0            (certified refinement)
+        q = duty * sigma_e |grad phi|^2      (Joule source)
+        Pennes(T) = q                        (ops/bioheat.solve_bioheat)
+
+    alpha_table (T,) per-body temperature coefficient [1/degC]
+    (~0.01-0.02 for ionic conduction); alpha=0 reduces EXACTLY to the
+    uncoupled solve + one thermal solve.  duty is the stimulation duty
+    cycle scaling the time-averaged Joule load.  The coupling is weak
+    at TENS power levels (degC-scale rises), so undamped Picard
+    (relax=1) converges in a few passes; `residual` is certified at the
+    converged sigma(T) field.
+    """
+    require_x64("solve_case_electrothermal")
+    case64 = _case_f(case, jnp.float64)
+    case32 = _case_f(case, jnp.float32)
+    sig64 = sigma_table.astype(jnp.float64)
+    alpha64 = alpha_table.astype(jnp.float64)
+    body = case.tet_body
+    sig_b = sig64[body]
+    alpha_b = alpha64[body]
+
+    sigma0 = sig_b * jnp.ones_like(case64.vol)
+    x0 = jnp.where(case.free_mask, 0.0, case64.dirichlet_vals)
+    T0 = jnp.where(bh.free, jnp.float64(T_ref), bh.dirichlet)
+    eps = jnp.float64(1e-300)
+
+    def picard(carry):
+        sigma_e, x, T, _, tot_it, k = carry
+        x, _, it = _refined_solve_warm(
+            case64, case32, sigma_e, x, tol=tol, inner_tol=inner_tol,
+            maxiter=maxiter, max_refinements=max_refinements)
+        q = duty * sigma_e * _cell_e_mag(case64, x) ** 2
+        T = solve_bioheat(case64, bh, q, tol=tol_T,
+                          maxiter=maxiter).phi
+        t_cell = T[case.tets].mean(axis=1)
+        target = sig_b * (1.0 + alpha_b * (t_cell - T_ref))
+        # change is the TRUE fixed-point residual |target - sigma|, not
+        # the damped update size, so picard_tol means self-consistency
+        change = jnp.max(jnp.abs(target - sigma_e)
+                         / jnp.maximum(sigma_e, eps))
+        sigma_n = sigma_e + relax * (target - sigma_e)
+        return (sigma_n, x, T, change, tot_it + it, k + 1)
+
+    def cond(carry):
+        *_, change, _, k = carry
+        return (change > picard_tol) & (k < max_picard)
+
+    sigma_e, x, T, change, tot_it, k = jax.lax.while_loop(
+        cond, picard,
+        (sigma0, x0, T0, jnp.float64(jnp.inf), jnp.int32(0),
+         jnp.int32(0)))
+
+    # certify both fields at the frozen converged conductivity
+    x, rel, it = _refined_solve_warm(
+        case64, case32, sigma_e, x, tol=tol, inner_tol=inner_tol,
+        maxiter=maxiter, max_refinements=max_refinements)
+    q = duty * sigma_e * _cell_e_mag(case64, x) ** 2
+    t_res = solve_bioheat(case64, bh, q, tol=tol_T, maxiter=maxiter)
+    return ElectrothermalResult(
+        phi=x, T=t_res.phi, sigma_e=sigma_e, residual=rel,
+        residual_T=t_res.residual, picard_iters=k,
+        inner_iters=tot_it + it, sigma_change=change,
+        converged=(rel <= tol) & (change <= picard_tol))
