@@ -39,6 +39,16 @@ def main():
     ap.add_argument("--thermal", action="store_true",
                     help="Pennes bioheat per case: Joule heating -> "
                          "skin temperature rise (duty-cycle scaled)")
+    ap.add_argument("--nonlinear", action="store_true",
+                    help="dynamic skin conductance: re-solve each case "
+                         "with sigma_skin(|E|) (ops/nonlinear.py) and "
+                         "report the compliance shift vs linear")
+    ap.add_argument("--nl-amp", type=float, default=4.0,
+                    help="saturating relative skin-conductance rise")
+    ap.add_argument("--nl-e0", type=float, default=2000.0,
+                    help="field threshold [V/m] of the skin law")
+    ap.add_argument("--nl-w", type=float, default=500.0,
+                    help="transition width [V/m] of the skin law")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -185,6 +195,57 @@ def main():
             print(f"  heating time course (dry case): t95 = "
                   f"{t95:.0f} min to 95% of the steady "
                   f"{rise:.4f} degC skin rise")
+
+    if args.nonlinear:
+        # Dynamic skin conductance: skin impedance falls with local
+        # field strength (stratum-corneum breakdown at TENS current
+        # densities).  The reference is strictly linear (one
+        # StatCurrentSolve per case, step01_box/case.sif:30-44), so the
+        # compliance voltages it reports at low sigma_contact ignore
+        # this relief entirely.  Each contact state re-solves with
+        # sigma_skin(|E|) = sigma_skin*(1 + amp*s((|E|-e0)/w)) — the
+        # element path keeps sigma a leaf input, so all 15 fixed-point
+        # loops share ONE jitted program (same shapes/statics).
+        from pelvistim_fem_tpu.mesh import core as mcore
+        from pelvistim_fem_tpu.ops import nonlinear as nl
+        case64, _ = build_pressure_case(p, coarse=args.smoke,
+                                        dtype=jnp.float64)
+        amp_vec = np.zeros(case64.meta.n_bodies + 1)
+        e0_vec = np.ones_like(amp_vec)
+        w_vec = np.ones_like(amp_vec)
+        amp_vec[mcore.BODY_SKIN] = args.nl_amp
+        e0_vec[mcore.BODY_SKIN] = args.nl_e0
+        w_vec[mcore.BODY_SKIN] = args.nl_w
+        skin_cells = np.asarray(case64.tet_body) == mcore.BODY_SKIN
+        t0 = time.perf_counter()
+        tabs64 = np.asarray(tables, np.float64)
+        for i, row in enumerate(results):
+            law = nl.FieldLaw(sigma0=jnp.asarray(tabs64[i]),
+                              amp=jnp.asarray(amp_vec),
+                              e0=jnp.asarray(e0_vec),
+                              w=jnp.asarray(w_vec))
+            r = nl.solve_case_field_dependent(case64, law, tol=1e-8)
+            from pelvistim_fem_tpu.ops.metrics import compliance_voltage
+            v_nl = compliance_voltage(case64, r.phi)
+            s_skin = np.asarray(r.sigma_e)[skin_cells]
+            row["compliance_V_nl"] = v_nl
+            row["skin_sigma_rise"] = float(
+                s_skin.mean() / tabs64[i][mcore.BODY_SKIN])
+            if not bool(r.converged):
+                print(f"  WARNING: nonlinear lane {i} unconverged "
+                      f"(residual {float(r.residual):.2e}, sigma "
+                      f"change {float(r.sigma_change):.2e})")
+        t_nl = time.perf_counter() - t0
+        print(f"  nonlinear skin (amp {args.nl_amp:g}, e0 "
+              f"{args.nl_e0:g} V/m): {len(results)} certified "
+              f"fixed-point solves in {t_nl:.1f} s")
+        print(f"  compliance_V nl/linear: "
+              f"{results[0]['compliance_V_nl']:.1f}/"
+              f"{results[0]['compliance_V']:.1f} -> "
+              f"{results[-1]['compliance_V_nl']:.1f}/"
+              f"{results[-1]['compliance_V']:.1f} V; skin sigma rise "
+              f"x{results[0]['skin_sigma_rise']:.2f} -> "
+              f"x{results[-1]['skin_sigma_rise']:.2f}")
 
     out_root = Path(args.outdir)
     save_results(results, out_root)
