@@ -202,8 +202,10 @@ def main():
         # densities).  The reference is strictly linear (one
         # StatCurrentSolve per case, step01_box/case.sif:30-44), so the
         # compliance voltages it reports at low sigma_contact ignore
-        # this relief entirely.  Each contact state re-solves with
-        # sigma_skin(|E|) = sigma_skin*(1 + amp*s((|E|-e0)/w)) — the
+        # this relief entirely.  Each contact state re-solves with the
+        # rebased logistic law sigma_skin(|E|) (ops/nonlinear.FieldLaw;
+        # sigma(0) = sigma_skin exactly, so the nl/linear compliance
+        # comparison below is pure field feedback, no law offset) — the
         # element path keeps sigma a leaf input, so all 15 fixed-point
         # loops share ONE jitted program (same shapes/statics).
         from pelvistim_fem_tpu.mesh import core as mcore

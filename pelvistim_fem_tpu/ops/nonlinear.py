@@ -43,16 +43,19 @@ from pelvistim_fem_tpu.ops.solve import jacobi_pcg, require_x64
 @dataclasses.dataclass
 class FieldLaw:
     """Per-body saturating field-strength law (index 0 unused, like
-    Case.sigma_table):
+    Case.sigma_table), REBASED so sigma(0) = sigma0 exactly:
 
-        sigma_b(|E|) = sigma0_b * (1 + amp_b * s((|E| - e0_b) / w_b)),
-        s = logistic sigmoid.
+        sigma_b(|E|) = sigma0_b * (1 + amp_b * (s(u) - s(u0)) / (1 - s(u0))),
+        u = (|E| - e0_b) / w_b,  u0 = -e0_b / w_b,  s = logistic sigmoid.
 
-    amp_b = 0 recovers the linear solve exactly.  The logistic form is
-    smooth (Picard-friendly), bounded (sigma <= sigma0*(1+amp), so the
-    operator stays uniformly SPD), and matches the sigmoidal
-    conductance rise reported for skin under field: negligible below
-    threshold e0, saturating ~(1+amp)x above it, transition width w.
+    amp_b = 0 recovers the linear solve exactly; so does |E| = 0 at any
+    amp (without the rebase, s(-e0/w) leaks a constant ~2-7% offset
+    into sigma at zero field for the physiological e0/w = 4-5, which
+    contaminated nonlinear-vs-linear comparisons).  The form is smooth
+    (Picard-friendly), bounded (sigma0 <= sigma <= sigma0*(1+amp), so
+    the operator stays uniformly SPD), and matches the sigmoidal
+    conductance rise reported for skin under field: zero below
+    threshold e0, saturating (1+amp)x above it, transition width w.
     """
     sigma0: jax.Array   # (T,) resting conductivity [S/m]
     amp: jax.Array      # (T,) relative rise at saturation
@@ -92,7 +95,9 @@ def law_sigma(law: FieldLaw, tet_body, e_mag):
     a = law.amp[tet_body]
     e0 = law.e0[tet_body]
     w = jnp.maximum(law.w[tet_body], jnp.asarray(1e-30, e_mag.dtype))
-    return s0 * (1.0 + a * jax.nn.sigmoid((e_mag - e0) / w))
+    base = jax.nn.sigmoid(-e0 / w)
+    rise = (jax.nn.sigmoid((e_mag - e0) / w) - base) / (1.0 - base)
+    return s0 * (1.0 + a * rise)
 
 
 @jax.tree_util.register_dataclass
@@ -139,7 +144,12 @@ def _refined_solve_warm(case64, case32, sigma_e, x, *, tol, inner_tol,
     """Mixed-precision refinement (f32 Jacobi-PCG inner, f64 residual
     correction) from warm start x at per-element sigma_e.  Mirrors
     solve.solve_case_refined's schedule; the warm start is what makes
-    late Picard passes nearly free."""
+    late Picard passes nearly free.
+
+    NOT vmap-safe: unlike solve_case_refined (solve.py), the inner CG
+    here carries no converged-lane freeze, so a vmapped caller would
+    hit the batched-while_loop f32-drift livelock documented in
+    ops/solve.py.  Callers are unbatched Picard loops only."""
     op64, _, b64 = _sigma_elem_operator(case64, sigma_e)
     op32, diag32, _ = _sigma_elem_operator(
         case32, sigma_e.astype(jnp.float32))
@@ -230,6 +240,12 @@ def solve_case_field_dependent(case, law: FieldLaw, *, tol=1e-8,
         step = jnp.where(ok, -f * (sigma_e - sigma_p)
                          / jnp.where(ok, denom, 1.0), relax * f)
         sigma_n = jnp.clip(sigma_e + step, sig_lo, sig_hi)
+        # `change` is assessed at the PRE-update sigma_e; once it is
+        # within picard_tol keep that sigma so the returned field is
+        # exactly the one `converged`/`sigma_change` certify (a secant
+        # step with a near-degenerate denominator could otherwise move
+        # sigma a long way after convergence was already declared).
+        sigma_n = jnp.where(change <= picard_tol, sigma_e, sigma_n)
         return (sigma_n, sigma_e, f, x, change, tot_it + it, k + 1)
 
     def cond(carry):
@@ -312,7 +328,12 @@ def solve_case_electrothermal(case, bh, sigma_table, alpha_table, *,
         T = solve_bioheat(case64, bh, q, tol=tol_T,
                           maxiter=maxiter).phi
         t_cell = T[case.tets].mean(axis=1)
-        target = sig_b * (1.0 + alpha_b * (t_cell - T_ref))
+        # lower clamp: the linearized law goes non-physical (sigma <= 0,
+        # SPD lost, inner CG diverges) when alpha*(T - T_ref) <= -1 —
+        # reachable for user-supplied tables with a cold Robin boundary
+        # and a large alpha, not at the physiological defaults
+        target = jnp.maximum(
+            sig_b * (1.0 + alpha_b * (t_cell - T_ref)), 1e-6 * sig_b)
         # change is the TRUE fixed-point residual |target - sigma|, not
         # the damped update size, so picard_tol means self-consistency
         change = jnp.max(jnp.abs(target - sigma_e)

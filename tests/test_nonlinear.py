@@ -74,9 +74,12 @@ def _active_voltage(case, phi, rtol=1e-6):
 
 
 def _host_fixed_point(s0, a, e0, w, J):
-    """Exact scalar root of E * sigma(E) = J for the logistic law
-    (monotone in E), bisection to relative 1e-14."""
-    sig = lambda E: s0 * (1.0 + a / (1.0 + np.exp(-(E - e0) / w)))
+    """Exact scalar root of E * sigma(E) = J for the rebased logistic
+    law (monotone in E), bisection to relative 1e-14."""
+    s = lambda u: 1.0 / (1.0 + np.exp(-u))
+    base = s(-e0 / w)
+    sig = lambda E: s0 * (1.0 + a * (s((E - e0) / w) - base)
+                          / (1.0 - base))
     lo, hi = J / (s0 * (1.0 + a)) * 0.5, J / s0 * 2.0
     for _ in range(200):
         mid = 0.5 * (lo + hi)
@@ -117,9 +120,8 @@ def test_column_exact_nonlinear():
     res = nonlinear.solve_case_field_dependent(case, law)
     assert bool(res.converged)
 
-    # host-exact per-layer fields (layer 1 linear; note sigmoid(-e0/w)
-    # contributes even at amp applied to the LINEAR layer's formula, so
-    # layer 1 uses the same law with amp=0)
+    # host-exact per-layer fields (layer 1 linear: amp=0, and the
+    # rebased law has sigma(0) = sigma0 exactly)
     E1 = J / sig_a
     E2, s2 = _host_fixed_point(sig_b, amp, e0, w, J)
     v_exact = E1 * DA + E2 * DB
