@@ -1,809 +1,15 @@
 #!/usr/bin/env python3
-"""Pelvic multi-tissue model + activating-function nerve recruitment.
+"""Launcher for pelvistim_fem_tpu.apps.run_pelvis (see that module).
 
-The driver's stretch configuration (BASELINE.json configs[4]).  Builds
-the 6-tissue sacral model, solves (multigrid-CG at --megatet scale),
-extracts the standard electrode metrics plus the S3-path activating
-function, and plots the recruitment profile.
-
-Usage:  python apps/run_pelvis.py [--smoke | --megatet]
-                                  [--outdir results_pelvis] [--plot]
-"""
-
-import argparse
-import json
-import sys
-import time
-from pathlib import Path
-
-import numpy as np
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-
-def run_sweep(args, n_cases):
-    """100-case sharded contact-conductivity sweep on the pelvic model
-    with per-case nerve-recruitment metrics — the driver's stretch
-    configuration verbatim (BASELINE.json configs[4]: 'full pelvic
-    multi-tissue anatomy ... with activating-function nerve recruitment
-    metrics, 100-case sharded sweep').
-
-    One lattice spec + ONE device assembly serve every case (only the
-    material table varies — step04's reuse discipline,
-    run_pressure_sweep.py:664-723); the solve is a case-axis-sharded
-    certified-1e-8 MG batch; electrode metrics are one vmapped device
-    pass; the AF path profile is gathered on device (8 x P weights per
-    point, no full-field readback) and fit on host per lane.
-    """
-    import jax.numpy as jnp
-
-    from pelvistim_fem_tpu.mesh.core import BC_ACTIVE, BC_RETURN
-    from pelvistim_fem_tpu.models.pelvis import (BODY_CONTACT_ACTIVE,
-                                                 BODY_CONTACT_RETURN,
-                                                 build_pelvis_case,
-                                                 build_pelvis_spec,
-                                                 nerve_path)
-    from pelvistim_fem_tpu.ops import fields
-    from pelvistim_fem_tpu.ops.bc import electrode_node_masks
-    from pelvistim_fem_tpu.ops.lattice_assembly import assemble_lattice
-    from pelvistim_fem_tpu.ops.nerve import (_path_ds, af_from_profile,
-                                             path_interp_plan)
-    from pelvistim_fem_tpu.parallel.sweep import (
-        sharded_stencil_material_solve_refined)
-    from pelvistim_fem_tpu.utils.summary import save_results
-
-    scale = 0.42 if args.megatet else 1.0
-    t0 = time.perf_counter()
-    spec, params = build_pelvis_spec(coarse=args.smoke,
-                                     resolution_scale=scale)
-    scase, hier = assemble_lattice(spec, jnp.float64)
-    t_build = time.perf_counter() - t0
-    n_dev = len(jax.devices())
-    print(f"  pelvis spec+assemble (ONCE for all {n_cases} cases): "
-          f"grid {spec.grid_shape}, {t_build:.1f} s; {n_dev} device(s)")
-
-    # Sweep axis: contact-layer conductivity over +-10x around the
-    # nominal gel (drying / pressure span — the step04 axis applied to
-    # the stretch model).  Zero re-assembly: sigma enters at combine.
-    base = np.asarray(spec.sigma_table)
-    sig0 = float(base[BODY_CONTACT_ACTIVE])
-    sigmas = np.logspace(np.log10(sig0 / 10), np.log10(sig0 * 10),
-                         n_cases)
-    tables = np.tile(base, (n_cases, 1))
-    tables[:, BODY_CONTACT_ACTIVE] = sigmas
-    tables[:, BODY_CONTACT_RETURN] = sigmas
-    tables = jnp.asarray(tables, jnp.float64)
-
-    # Routing: the dp-sharded per-lane-combined MG batch materializes
-    # O(L * 27 * G) coefficient stacks; past ~4 GB (megatet x wide)
-    # switch to the lane-chunked body-factored fused MG, which keeps
-    # memory O(chunk * G + B * 27 * G) — same certified contract
-    # (bench/step03 scale routing, PARITY.md round-3).
-    G = int(np.prod(spec.grid_shape))
-    stack_gb = n_cases * 27 * G * 12 / 1e9   # f64 master + f32 inner
-    t0 = time.perf_counter()
-    if stack_gb > 4.0:
-        from pelvistim_fem_tpu.ops.multigrid import \
-            batched_mg_solve_fused_refined_chunked
-        label = f"chunked fused MG (per-lane stacks = {stack_gb:.0f} GB)"
-        out = batched_mg_solve_fused_refined_chunked(
-            scase, hier, tables, tol=1e-8, maxiter=2000)
-    else:
-        label = "sharded certified MG"
-        out = sharded_stencil_material_solve_refined(
-            scase, hier, tables, tol=1e-8, maxiter=2000)
-    float(np.asarray(out.phi[0, 0]))   # force completion (axon quirk)
-    t_solve = time.perf_counter() - t0
-    conv = np.asarray(out.converged)
-    res_max = float(np.asarray(out.residual).max())
-    iters = np.asarray(out.iterations)
-    print(f"  {label} sweep: {n_cases} cases in "
-          f"{t_solve:.2f} s = {n_cases*60/t_solve:.1f} solves/min at "
-          f"tol 1e-8 (max true residual {res_max:.2e}, iters "
-          f"{int(iters.min())}-{int(iters.max())})")
-    if not conv.all():
-        print(f"  WARNING: lanes not converged: {np.where(~conv)[0]}")
-
-    # Electrode metrics: one vmapped device pass over all lanes.
-    # Host case first (to_device=False): thermal assembly and metric
-    # index prep never read device arrays back through the tunnel.
-    case_host, _ = build_pelvis_case(coarse=args.smoke,
-                                     resolution_scale=scale,
-                                     dtype=jnp.float32,
-                                     to_device=False)
-    act, ret = electrode_node_masks(np.asarray(case_host.faces),
-                                    np.asarray(case_host.face_bcid),
-                                    case_host.n_nodes)
-    case = jax.device_put(case_host)
-    w_act = jnp.asarray(act / max(act.sum(), 1), jnp.float32)
-    w_ret = jnp.asarray(ret / max(ret.sum(), 1), jnp.float32)
-    bcid = case.face_bcid
-
-    def one(phi, sig):
-        flux = fields.boundary_face_flux(case, phi, sig)
-        ia = jnp.sum(jnp.where(bcid == BC_ACTIVE, flux, 0.0))
-        ir = jnp.sum(jnp.where(bcid == BC_RETURN, flux, 0.0))
-        iac, irc = fields.consistent_electrode_currents(case, phi, sig)
-        hp = jax.lax.Precision.HIGHEST   # TPU default dot is bf16-based
-        cv = (jnp.dot(phi, w_act, precision=hp)
-              - jnp.dot(phi, w_ret, precision=hp))
-        return ia, ir, iac, irc, cv
-
-    t0 = time.perf_counter()
-    phis32 = out.phi.astype(jnp.float32)
-    ia, ir, iac, irc, cv = (np.asarray(a) for a in jax.vmap(one)(
-        phis32, tables.astype(jnp.float32)))
-    flux_err = np.abs(ia + ir) / np.maximum(
-        np.maximum(np.abs(ia), np.abs(ir)), 1e-300)
-    flux_err_c = np.abs(iac - irc) / np.maximum(
-        np.maximum(np.abs(iac), np.abs(irc)), 1e-300)
-
-    # AF per lane: device gather of the path profile, host fit.
-    path = nerve_path(params)
-    ids, wts = path_interp_plan(spec.axes, spec.grid_index,
-                                spec.grid_shape, path)
-    vprof = np.asarray(jnp.einsum(
-        "spk,pk->sp", out.phi[:, jnp.asarray(ids)],
-        jnp.asarray(wts), precision=jax.lax.Precision.HIGHEST))
-    ds = _path_ds(path)
-    h_max = max(float(np.diff(np.asarray(a)).max()) for a in spec.axes)
-    I_mA = params["stim"]["injected_current_mA"]
-    thr_V2 = params["nerve"]["af_threshold_V_per_m2"]
-    rows = []
-    for i in range(n_cases):
-        af = af_from_profile(vprof[i], ds, 3.0 * h_max)
-        m = af["max_AF"]
-        thr_mA = (thr_V2 / m) * I_mA if m > 0 else np.inf
-        rows.append({
-            "label": f"c{i:03d}", "sigma_contact_Spm": float(sigmas[i]),
-            "iterations": int(iters[i]),
-            "true_residual": float(np.asarray(out.residual)[i]),
-            "I_active_A": float(np.abs(ia[i])),
-            "flux_err": float(flux_err[i]),
-            "flux_err_consistent": float(flux_err_c[i]),
-            "compliance_V": float(cv[i]),
-            "max_AF_V_per_m2": float(m),
-            "threshold_current_mA": float(thr_mA),
-        })
-    if args.thermal:
-        # Joule -> Pennes chain per lane (one vmapped batch + a zero-
-        # heating baseline lane), duty-cycle averaged — same machinery
-        # as run_step04 --thermal on the 7-body pelvic stack.
-        from pelvistim_fem_tpu.ops.bioheat import (
-            DEFAULT_K, DEFAULT_PERFUSION, build_bioheat_case,
-            skin_temperature_metrics, solve_bioheat, thermal_tables)
-        from pelvistim_fem_tpu.ops.fields import cell_power_density
-        from pelvistim_fem_tpu.models import pelvis as pv
-        duty = (params["stim"].get("pulse_width_us", 210.0) * 1e-6
-                * params["stim"].get("frequency_Hz", 14.0))
-        kt, pt = thermal_tables(
-            case.meta.n_bodies,
-            {pv.BODY_CORE: DEFAULT_K["core"],
-             pv.BODY_MUSCLE: DEFAULT_K["muscle"],
-             pv.BODY_FAT: DEFAULT_K["fat"],
-             pv.BODY_SKIN: DEFAULT_K["skin"],
-             pv.BODY_BONE: DEFAULT_K["bone"],
-             pv.BODY_CONTACT_ACTIVE: DEFAULT_K["contact"],
-             pv.BODY_CONTACT_RETURN: DEFAULT_K["contact"]},
-            {pv.BODY_CORE: DEFAULT_PERFUSION["core"],
-             pv.BODY_MUSCLE: DEFAULT_PERFUSION["muscle"],
-             pv.BODY_FAT: DEFAULT_PERFUSION["fat"],
-             pv.BODY_SKIN: DEFAULT_PERFUSION["skin"],
-             pv.BODY_BONE: DEFAULT_PERFUSION["bone"],
-             pv.BODY_CONTACT_ACTIVE: 0.0,
-             pv.BODY_CONTACT_RETURN: 0.0})
-        bh = build_bioheat_case(case_host, kt, pt)
-        skin_tets = np.asarray(case_host.tets)[
-            np.asarray(case_host.tet_body) == pv.BODY_SKIN]
-        qh = jax.vmap(
-            lambda ph, s: cell_power_density(case, ph, s) * duty)(
-                phis32, tables.astype(jnp.float32))
-        qh = jnp.concatenate([jnp.zeros_like(qh[:1]), qh], axis=0)
-        Th = np.asarray(jax.vmap(
-            lambda qc: solve_bioheat(case, bh, qc, tol=3e-6).phi)(qh))
-        for i, row in enumerate(rows):
-            mth = skin_temperature_metrics(case_host, Th[i + 1],
-                                           skin_body=pv.BODY_SKIN,
-                                           T_ref=Th[0],
-                                           skin_tets=skin_tets)
-            row["dT_skin_max_C"] = mth["dT_skin_max"]
-        print(f"  thermal (duty {100*duty:.2f}%): dT_skin_max "
-              f"{rows[0]['dT_skin_max_C']:.4f} -> "
-              f"{rows[-1]['dT_skin_max_C']:.4f} degC")
-    t_extract = time.perf_counter() - t0
-    print(f"  batched metrics + per-lane AF: {t_extract:.2f} s "
-          f"(end-to-end {n_cases*60/(t_solve+t_extract):.1f} "
-          f"cases/min)")
-    print(f"  compliance_V : {rows[0]['compliance_V']:.1f} -> "
-          f"{rows[-1]['compliance_V']:.1f} V over sigma_contact "
-          f"{sigmas[0]:.2e} -> {sigmas[-1]:.2e} S/m")
-    print(f"  AF threshold : {rows[0]['threshold_current_mA']:.0f} -> "
-          f"{rows[-1]['threshold_current_mA']:.0f} mA")
-    save_results(rows, Path(args.outdir), stem="sweep_summary")
-
-    if args.plot:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        fig, axes = plt.subplots(1, 3, figsize=(13, 4))
-        axes[0].semilogx(sigmas, [r["compliance_V"] for r in rows])
-        axes[0].set_ylabel("compliance (V)")
-        axes[1].semilogx(sigmas, [r["max_AF_V_per_m2"] for r in rows],
-                         color="C3")
-        axes[1].set_ylabel("max AF (V/m$^2$)")
-        axes[2].loglog(sigmas, [r["threshold_current_mA"] for r in rows],
-                       color="C2")
-        axes[2].set_ylabel("AF threshold current (mA)")
-        for ax in axes:
-            ax.set_xlabel(r"$\sigma_{contact}$ (S/m)")
-            ax.grid(alpha=0.3, which="both")
-        fig.suptitle(f"pelvis contact sweep ({n_cases} cases, "
-                     "certified 1e-8)")
-        fig.tight_layout()
-        fp = Path(args.outdir) / "sweep_metrics.png"
-        fig.savefig(fp, dpi=150, bbox_inches="tight")
-        print(f"  figure -> {fp}")
-
-
-def run_adapt_mode(args):
-    """Grid-native adaptive regrading of the pelvis lattice — the
-    WHOLE loop (assemble, certified solve, ZZ estimate, axis
-    equidistribution) runs on the spec fast path: no (M, 4) tet array
-    exists at any cycle, so this scales to the 6.8M-tet megatet
-    configuration unchanged.  Layer-interface z-knots stay locked
-    (bodies classify by cell centroid); the sacrum/organ features are
-    implicit super-ellipsoids and need no locked knots — the
-    indicators re-discover their boundaries.  Exit 1 if adaptation
-    ever degrades the estimate >10% (near-optimal hand grading PASSes
-    as 'certified')."""
-    import dataclasses
-
-    from pelvistim_fem_tpu.models.pelvis import (build_pelvis_spec,
-                                                 pelvis_recipe)
-    from pelvistim_fem_tpu.ops.estimate import adapt_axis
-    from pelvistim_fem_tpu.ops.lattice_assembly import \
-        solve_lattice_mg_refined
-    from pelvistim_fem_tpu.ops.stencil_estimate import (
-        lattice_axis_weights_from_cells, lattice_zz_error)
-
-    scale = 0.42 if args.megatet else 1.0
-    recipe, sigma_by_body, params = pelvis_recipe(
-        coarse=args.smoke, resolution_scale=scale)
-    g, ls = params["geometry"], params["layers"]
-    Lz = g["Lz"]
-    t_core = Lz - ls["t_skin"] - ls["t_fat"] - ls["t_muscle"]
-    keep_z = [0.0, t_core, t_core + ls["t_muscle"],
-              t_core + ls["t_muscle"] + ls["t_fat"], Lz,
-              float(np.max(recipe.zs))]
-
-    rel_hist = []
-    for cycle in range(args.adapt + 1):
-        t0 = time.perf_counter()
-        spec, _ = build_pelvis_spec(params, recipe=recipe,
-                                    sigma_by_body=sigma_by_body)
-        n_tets = int((np.asarray(spec.body6) > 0).sum())
-        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000)
-        assert bool(np.asarray(res.converged))
-        est = lattice_zz_error(spec, np.asarray(res.phi))
-        rel = float(est["rel"])
-        if args.goal_af:
-            # goal = the peak-|AF| sample on the S3 path: AF is the
-            # quadratic-window fit's curvature — LINEAR in phi, so
-            # the exact goal vector is the LSQ row's weights pushed
-            # through the trilinear path-interp rows, and the dual is
-            # one more certified solve on the SAME spec machinery
-            from pelvistim_fem_tpu.models.pelvis import nerve_path
-            from pelvistim_fem_tpu.ops.nerve import (af_from_profile,
-                                                     path_interp_plan)
-            from pelvistim_fem_tpu.ops.stencil_estimate import (
-                lattice_dual_spec, lattice_goal_weights)
-            pts = nerve_path(params)
-            ids, wts = path_interp_plan(spec.axes, spec.grid_index,
-                                        spec.used.shape, pts)
-            ds = float(np.linalg.norm(np.diff(pts, axis=0),
-                                      axis=1).mean())
-            phi_h = np.asarray(res.phi)
-            v = (phi_h[ids] * wts).sum(-1)
-            if cycle == 0:
-                # The goal is FROZEN at cycle 0: peak sample AND fit
-                # window — AF's window tracks the mesh's h_max, so
-                # re-deriving either per cycle silently redefines the
-                # functional the bound certifies (letting the window
-                # grow even emptied the slice: NaN goal, zero dual).
-                h_max = max(float(np.diff(a).max())
-                            for a in spec.axes)
-                window0 = 3.0 * h_max
-                af0 = af_from_profile(v, ds, window0)["af"]
-                i0 = int(np.nanargmax(np.abs(af0)))
-                half = max(2, int(round(window0 / 2 / ds)))
-                lo, hi = i0 - half, i0 + half + 1
-                assert 0 <= lo and hi <= len(v)
-                x = (np.arange(len(v)) * ds)[lo:hi] - i0 * ds
-                lsq_row = 2.0 * np.linalg.pinv(np.vander(x, 3))[0]
-            J_af = float(lsq_row @ v[lo:hi])
-            q = np.zeros(len(phi_h))
-            np.add.at(q, ids[lo:hi].ravel(),
-                      (lsq_row[:, None] * wts[lo:hi]).ravel())
-            dual = lattice_dual_spec(spec, q)
-            resz = solve_lattice_mg_refined(dual, tol=1e-8,
-                                            maxiter=2000)
-            assert bool(np.asarray(resz.converged))
-            est_z = lattice_zz_error(dual, np.asarray(resz.phi))
-            wg = lattice_goal_weights(est, est_z)
-            bound = float(np.asarray(wg).sum())
-            rel = bound / max(abs(J_af), 1e-300)
-            print(f"cycle {cycle}: {n_tets:,} tets  AF@goal "
-                  f"{J_af:+.4g} V/m^2 (s={i0 * ds * 1e3:.0f} mm)  "
-                  f"DWR bound {bound:.3g} ({rel:.1%} of goal)  "
-                  f"({time.perf_counter() - t0:.1f} s)")
-        else:
-            print(f"cycle {cycle}: {n_tets:,} tets (grid "
-                  f"{spec.used.shape})  est rel energy err {rel:.3%}  "
-                  f"{int(np.asarray(res.iterations))} iters  "
-                  f"({time.perf_counter() - t0:.1f} s)")
-        rel_hist.append(rel)
-        if cycle < args.adapt:
-            cells = wg if args.goal_af else est["eta2_cells"]
-            wx, wy, wz = lattice_axis_weights_from_cells(cells)
-            # floor/h_min bound the knot-density contrast: unbounded
-            # equidistribution makes high-aspect cells that defeat the
-            # point-smoothed geometric V-cycle (measured: 52 -> 275
-            # iters after one unconstrained cycle, divergence after
-            # two — the estimate still improved, the solver died)
-            kw = dict(floor=0.15)
-            recipe = dataclasses.replace(
-                recipe,
-                xs=adapt_axis(recipe.xs, wx, len(recipe.xs) - 1,
-                              h_min=0.35 * np.diff(recipe.xs).min(),
-                              **kw),
-                ys=adapt_axis(recipe.ys, wy, len(recipe.ys) - 1,
-                              h_min=0.35 * np.diff(recipe.ys).min(),
-                              **kw),
-                zs=adapt_axis(recipe.zs, wz, len(recipe.zs) - 1,
-                              keep=keep_z,
-                              h_min=0.35 * np.diff(recipe.zs).min(),
-                              **kw))
-    best = min(rel_hist[1:], default=rel_hist[0])
-    if best > 1.10 * rel_hist[0]:
-        print(f"FAIL: adaptation degraded the estimate "
-              f"({rel_hist[0]:.3%} -> {best:.3%})")
-        return 1
-    verdict = ("improved" if best < 0.98 * rel_hist[0]
-               else "certified near-optimal")
-    print(f"PASS: hand grading {verdict} "
-          f"({rel_hist[0]:.3%} -> {best:.3%} at equal cell count)")
-    return 0
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true", help="coarse mesh")
-    ap.add_argument("--megatet", action="store_true",
-                    help="~1M-tet resolution (stretch target)")
-    ap.add_argument("--sweep", type=int, nargs="?", const=100,
-                    default=None, metavar="N",
-                    help="N-case sharded contact-sigma sweep with "
-                         "per-case recruitment metrics (default 100)")
-    ap.add_argument("--outdir", default="results_pelvis")
-    ap.add_argument("--plot", action="store_true")
-    ap.add_argument("--thermal", action="store_true",
-                    help="with --sweep: Pennes skin temperature rise "
-                         "per case (duty-cycle scaled)")
-    ap.add_argument("--pulse", action="store_true",
-                    help="waveform-aware recruitment: time-resolved AF "
-                         "along the S3 path over the programmed "
-                         "biphasic pulse in capacitive tissue "
-                         "(Fourier-synthesized EQS), Lapicque membrane-"
-                         "integrated threshold vs the static Weiss one")
-    ap.add_argument("--pulse-harmonics", type=int, default=128)
-    ap.add_argument("--estimate", action="store_true",
-                    help="report the ZZ a-posteriori error (grid-"
-                    "native on --megatet: no tet materialization)")
-    ap.add_argument("--adapt", type=int, default=0, metavar="N",
-                    help="N grid-native estimate->regrade cycles on "
-                         "the SPEC path at equal cell count (no tets "
-                         "anywhere in the loop)")
-    ap.add_argument("--goal-af", action="store_true",
-                    help="with --adapt: refine for the S3-path peak "
-                         "ACTIVATING FUNCTION (dual-weighted residual "
-                         "— one extra certified dual solve per cycle) "
-                         "instead of the global energy error")
-    args = ap.parse_args()
-
-    if args.adapt:
-        return run_adapt_mode(args)
-
-    if args.sweep:
-        run_sweep(args, args.sweep)
-        return
-
-    from pelvistim_fem_tpu.models.pelvis import (build_pelvis_case,
-                                                 nerve_path)
-    from pelvistim_fem_tpu.ops.metrics import (compliance_voltage,
-                                               injected_currents)
-    from pelvistim_fem_tpu.ops.nerve import (activating_function,
-                                             recruitment_threshold_scale)
-    from pelvistim_fem_tpu.runner import preferred_dtype
-    from pelvistim_fem_tpu.utils.summary import _NanToNullEncoder
-
-    scale = 0.42 if args.megatet else 1.0
-    t0 = time.perf_counter()
-    case, params, mesh = build_pelvis_case(
-        coarse=args.smoke, resolution_scale=scale,
-        dtype=preferred_dtype(), with_mesh=True)
-    t_build = time.perf_counter() - t0
-    print(f"  pelvis mesh: {case.n_nodes} nodes, {case.n_tets} tets "
-          f"({t_build:.1f} s)")
-    print(f"  bodies (core/muscle/fat/skin/bone/contacts): "
-          f"{np.bincount(mesh.tet_body)[1:].tolist()}")
-
-    t_spec = 0.0
-    t0 = time.perf_counter()
-    if args.megatet:
-        from pelvistim_fem_tpu.models.pelvis import build_pelvis_spec
-        from pelvistim_fem_tpu.ops.lattice_assembly import \
-            solve_lattice_mg_refined
-
-        # Lattice-spec fast path: host builds only the compact grid
-        # spec (no tet materialization); ONE jitted device call
-        # assembles the f64 master coefficients + f32 MG hierarchy and
-        # solves with mixed-precision refinement — flux/compliance/AF
-        # metrics get a CERTIFIED true residual at the reference 1e-8
-        # (f32 recursive residuals lie at tissue contrast; CLAUDE.md).
-        # Same per-case discipline that makes the 1.75M-tet ankle case
-        # ~0.4 s (reference analogue: step04's build-once-reuse,
-        # run_pressure_sweep.py:664-723).
-        spec, _ = build_pelvis_spec(params, resolution_scale=scale)
-        t_spec = time.perf_counter() - t0
-        print(f"  lattice spec: {t_spec:.2f} s "
-              f"(grid {spec.grid_shape})")
-        import jax.numpy as jnp
-
-        from pelvistim_fem_tpu.ops.lattice_assembly import \
-            spec_device_arrays
-        dev = spec_device_arrays(spec, jnp.float64)
-        t0 = time.perf_counter()
-        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000,
-                                       device_arrays=dev)
-        jax.block_until_ready(res.phi)
-        float(np.asarray(res.residual))
-        t_cold = time.perf_counter() - t0
-        # per-case cost in a sweep = the WARM device call (first call
-        # pays the one-time axon remote compile; CLAUDE.md)
-        t0 = time.perf_counter()
-        res = solve_lattice_mg_refined(spec, tol=1e-8, maxiter=2000,
-                                       device_arrays=dev)
-    else:
-        from pelvistim_fem_tpu.runner import solve_auto
-        res = solve_auto(case, mesh, tol=1e-8)
-    jax.block_until_ready(res.phi)
-    t_solve = time.perf_counter() - t0
-    it = int(np.asarray(res.iterations))
-    extra = (f" (cold incl. compile {t_cold:.1f} s)"
-             if args.megatet else "")
-    print(f"  solve: {t_solve:.2f} s, {it} iters, converged "
-          f"{bool(np.asarray(res.converged))}{extra}")
-
-    if args.estimate:
-        t0 = time.perf_counter()
-        if args.megatet:
-            # grid-native by-body ZZ on the spec — the estimator for
-            # meshes whose (M, 4) tet array never exists on host
-            from pelvistim_fem_tpu.ops.stencil_estimate import (
-                lattice_axis_weights_from_cells, lattice_zz_error)
-            est = lattice_zz_error(spec, res.phi)
-            rel = float(est["rel"])
-            wx, wy, wz = lattice_axis_weights_from_cells(
-                est["eta2_cells"])
-            fr = [w.max() / max(w.sum(), 1e-300) for w in (wx, wy, wz)]
-            print(f"  ZZ error (grid-native): {rel:.2%} of energy "
-                  f"norm; peak interval mass x/y/z "
-                  f"{fr[0]:.1%}/{fr[1]:.1%}/{fr[2]:.1%} "
-                  f"({time.perf_counter() - t0:.2f} s)")
-        else:
-            from pelvistim_fem_tpu.ops.estimate import zz_global_error
-            _, rel = (float(v) for v in
-                      zz_global_error(case, res.phi))
-            print(f"  ZZ error: {rel:.2%} of energy norm "
-                  f"({time.perf_counter() - t0:.2f} s)")
-
-    cur = injected_currents(case, res.phi)
-    cv = compliance_voltage(case, res.phi)
-    path = nerve_path(params)
-    af = activating_function(mesh, res.phi, path)
-    thr = recruitment_threshold_scale(
-        af, params["nerve"]["af_threshold_V_per_m2"])
-    I_mA = params["stim"]["injected_current_mA"]
-
-    # Fiber-population recruitment: per-diameter thresholds (discrete
-    # cable L^2 scaling + Weiss strength-duration at the programmed
-    # pulse width) -> recruited fraction vs amplitude.  The root is a
-    # BUNDLE: when nerve.n_fascicles > 1, thresholds pool over F
-    # fascicle paths offset inside a disc of nerve.bundle_radius_mm
-    # around the nominal trajectory (each fascicle sees its own AF).
-    from pelvistim_fem_tpu.ops.nerve import (fiber_thresholds,
-                                             recruitment_curve)
-    nv = params["nerve"]
-    diam = np.asarray(nv.get("fiber_diameters_um",
-                             np.linspace(5.0, 16.0, 12)))
-    pw_s = params["stim"].get("pulse_width_us", 210.0) * 1e-6
-
-    n_fasc = int(nv.get("n_fascicles", 1))
-    r_bund = nv.get("bundle_radius_mm", 1.5) * 1e-3
-    af_list = [af]
-    if n_fasc > 1:
-        d = np.asarray(nv["end_xyz"]) - np.asarray(nv["start_xyz"])
-        d = d / np.linalg.norm(d)
-        u = np.cross(d, [0.0, 0.0, 1.0])
-        u = u / max(np.linalg.norm(u), 1e-12)
-        v = np.cross(d, u)
-        ga = np.pi * (3 - np.sqrt(5))            # golden-angle disc
-        for k in range(1, n_fasc):
-            rad = r_bund * np.sqrt(k / (n_fasc - 1))
-            off = rad * (np.cos(k * ga) * u + np.sin(k * ga) * v)
-            af_list.append(activating_function(mesh, res.phi,
-                                               path + off[None, :]))
-    fib_thr = np.concatenate([
-        fiber_thresholds(a, nv["af_threshold_V_per_m2"], diam,
-                         d_ref_um=nv.get("d_ref_um", 10.0), pw_s=pw_s,
-                         chronaxie_s=nv.get("chronaxie_us", 150.0)
-                         * 1e-6)
-        for a in af_list])
-    # amplitude axis (multiples of I_target): always include the
-    # programmed amplitude AND the full population sigmoid
-    fin = fib_thr[np.isfinite(fib_thr)]
-    amp_hi = max(3.0, 1.2 * float(fin.max())) if fin.size else 3.0
-    amps = np.linspace(0.0, amp_hi, 241)
-    frac = recruitment_curve(fib_thr, amps)
-    frac_injected = float(np.interp(1.0, amps, frac))
-
-    print(f"  I_active = {cur['I_active']*1e3:.3f} mA "
-          f"(target {I_mA}), flux_err {cur['flux_err']:.3f}")
-    print(f"  compliance_V = {cv:.1f} V")
-    print(f"  activating function: max {af['max_AF']:.1f} V/m^2 at "
-          f"s = {af['argmax_AF_s']*1000:.1f} mm along the S3 path")
-    print(f"  recruitment: threshold reached at ~{thr*I_mA:.1f} mA "
-          f"({thr:.2f}x the injected {I_mA} mA) at d_ref, "
-          f"PW {pw_s*1e6:.0f} us")
-    print(f"  fiber population ({diam.min():.0f}-{diam.max():.0f} um): "
-          f"{100*frac_injected:.0f}% recruited at the injected "
-          f"{I_mA} mA")
-
-    pulse_extra = {}
-    if args.pulse:
-        # Waveform-aware recruitment: the programmed biphasic pulse in
-        # CAPACITIVE tissue.  Literature-order placeholder eps_r per
-        # body (declared like the reference's placeholder sigmas,
-        # step03 params.yaml:4-6; Gabriel 1996 for the tissue orders).
-        from pelvistim_fem_tpu.models.pelvis import (
-            BODY_BONE, BODY_CONTACT_ACTIVE, BODY_CONTACT_RETURN,
-            BODY_CORE, BODY_FAT, BODY_MUSCLE, BODY_SKIN,
-            build_pelvis_spec)
-        from pelvistim_fem_tpu.ops.lattice_assembly import \
-            assemble_lattice
-        from pelvistim_fem_tpu.ops.nerve import (_path_ds,
-                                                 path_interp_plan,
-                                                 waveform_threshold_scale)
-        from pelvistim_fem_tpu.ops.waveform import (
-            biphasic_pulse_samples, pulse_af_response)
-        import jax.numpy as jnp
-
-        t0 = time.perf_counter()
-        if not args.megatet:
-            spec, _ = build_pelvis_spec(params, coarse=args.smoke,
-                                        resolution_scale=scale)
-        scase, hier = assemble_lattice(spec, jnp.float64)
-        epsr = np.zeros(spec.n_bodies + 1)
-        epsr[BODY_CORE] = 5.0e4
-        epsr[BODY_MUSCLE] = 2.0e5
-        epsr[BODY_FAT] = 2.0e4
-        epsr[BODY_SKIN] = 3.0e4
-        epsr[BODY_BONE] = 1.0e3
-        epsr[BODY_CONTACT_ACTIVE] = 5.0e6    # electrode double layer
-        epsr[BODY_CONTACT_RETURN] = 5.0e6
-
-        plan = path_interp_plan(spec.axes, spec.grid_index,
-                                spec.grid_shape, path)
-        ds = _path_ds(path)
-        h_max = max(float(np.diff(np.asarray(a)).max())
-                    for a in spec.axes)
-        period = 10e-3     # >= every interface tau; 0.4% -> same PSS
-        tt, ii = biphasic_pulse_samples(period, I_mA * 1e-3, pw_s,
-                                        n_samples=2048)
-        pres = pulse_af_response(scase, hier, plan, ds, ii, period,
-                                 epsr_table=jnp.asarray(epsr),
-                                 window_m=3.0 * h_max,
-                                 n_harm=args.pulse_harmonics, tol=1e-8)
-        assert pres["converged"].all()
-        thr_wave = waveform_threshold_scale(
-            pres["af_ts"], period / len(ii),
-            nv["af_threshold_V_per_m2"],
-            tau_m_s=nv.get("chronaxie_us", 150.0) * 1e-6 / np.log(2))
-        thr_weiss = thr * (1.0 + nv.get("chronaxie_us", 150.0) * 1e-6
-                           / pw_s)
-        # peak intra-pulse AF vs the static (DC) AF — BOTH at the
-        # programmed amplitude (the static solve injects I_mA too):
-        # >1 means capacitive sharpening, <1 dispersive smoothing
-        af_t = pres["af_ts"][:, np.isfinite(pres["af_ts"]).all(0)]
-        shape_ratio = float(np.abs(af_t).max() / np.abs(
-            np.asarray(af["af"])[np.isfinite(af["af"])]).max())
-        t_pulse = time.perf_counter() - t0
-
-        # CRRSS cable simulation on the SAME time-resolved path
-        # potentials (pres["series"] is phi(t, s) [V] at the injected
-        # amplitude): the surrogate-free threshold the AF/Lapicque/
-        # Weiss chain approximates.  Nodes at the true internodal
-        # spacing centered on the AF hotspot; one log-bisection, every
-        # probe a fused scan (ops/cable.py).
-        from pelvistim_fem_tpu.ops.cable import (build_fiber,
-                                                 threshold_scale_bisect)
-        D_um = float(nv.get("d_ref_um", 10.0))
-        seg = np.linalg.norm(np.diff(path, axis=0), axis=1)
-        s_path = np.concatenate([[0.0], np.cumsum(seg)])
-        t_win = min(4.0 * pw_s + 1e-3, period)
-        tt_s = np.asarray(pres["times_s"])
-        sel_t = tt_s <= t_win
-        phi_ts = np.asarray(pres["series"])[sel_t]      # (Tw, P) volts
-        dt_ms = 2e-3                                    # 2 us steps
-        t_ms = np.arange(0.0, t_win * 1e3, dt_ms)
-
-        # ONE vmapped bisection across the diameter spectrum (every
-        # probe a batched scan) — the simulated recruitment curve the
-        # (d_ref/d)^2 surrogate approximates.  Same field, each
-        # diameter resampled at its own internodal spacing around the
-        # hotspot; fibers are PASSING (no Ve drive at the truncation
-        # compartments — ops/cable.build_fiber docstring).  The d_ref
-        # headline threshold is read off the same batch so single and
-        # population numbers share one node grid.
-        import jax as _jax
-        L_max = 100.0 * float(diam.max()) * 1e-6
-        n_pop = min(41, int(s_path[-1] / L_max) - 1)
-        half_p = (n_pop - 1) / 2.0
-
-        def _ve_for(d_um):
-            L = 100.0 * d_um * 1e-6
-            s0d = np.clip(af["argmax_AF_s"], half_p * L,
-                          s_path[-1] - half_p * L)
-            sn = s0d + (np.arange(n_pop) - half_p) * L
-            vn = np.stack([np.interp(sn, s_path, row)
-                           for row in phi_ts])
-            return np.stack(
-                [np.interp(t_ms, tt_s[sel_t] * 1e3, vn[:, k])
-                 for k in range(n_pop)], axis=1) * 1e3
-
-        fibs = [build_fiber(float(d), n_pop, dt_ms=dt_ms)
-                for d in diam]
-        fib_stack = _jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *fibs)
-        ve_stack = jnp.asarray(np.stack([_ve_for(float(d))
-                                         for d in diam]))
-        thr_pop = np.asarray(_jax.vmap(
-            lambda f, v: threshold_scale_bisect(f, v, amp_hi=512.0))(
-                fib_stack, ve_stack))
-        frac_cable = float(np.interp(1.0, amps,
-                                     recruitment_curve(thr_pop, amps)))
-        thr_cable = float(thr_pop[int(np.argmin(np.abs(diam - D_um)))])
-
-        print(f"  pulse AF ({len(pres['active_harmonics'])} certified "
-              f"harmonic solves, {t_pulse:.1f} s): waveform-aware "
-              f"threshold {thr_wave:.2f}x ({thr_wave*I_mA:.1f} mA) vs "
-              f"Weiss-factored static {thr_weiss:.2f}x "
-              f"({thr_weiss*I_mA:.1f} mA); intra-pulse/static AF "
-              f"shape ratio {shape_ratio:.3f}")
-        print(f"  CRRSS cable ({n_pop} nodes, {D_um:.0f} um): "
-              f"threshold {thr_cable:.2f}x "
-              f"({thr_cable*I_mA:.1f} mA) — the simulation the "
-              f"surrogates approximate")
-        fin_pop = thr_pop[np.isfinite(thr_pop)]
-        print(f"  cable population ({diam.min():.0f}-{diam.max():.0f} "
-              f"um, one vmapped bisection): thresholds "
-              f"{fin_pop.min()*I_mA:.0f}-{fin_pop.max()*I_mA:.0f} mA, "
-              f"{100*frac_cable:.0f}% recruited at {I_mA} mA "
-              f"(surrogate curve said {100*frac_injected:.0f}%)")
-        pulse_extra = {
-            "pulse_threshold_lapicque_mA": thr_wave * I_mA,
-            "pulse_threshold_weiss_mA": thr_weiss * I_mA,
-            "pulse_threshold_cable_mA": thr_cable * I_mA,
-            "pulse_cable_thresholds_mA":
-                (thr_pop * I_mA).round(2).tolist(),
-            "pulse_recruited_frac_cable": frac_cable,
-            "pulse_af_shape_ratio": shape_ratio,
-            "pulse_harmonics": int(len(pres["active_harmonics"])),
-            "pulse_max_true_residual": float(pres["residual"].max()),
-        }
-
-        if args.plot:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-            out_dir = Path(args.outdir)
-            out_dir.mkdir(parents=True, exist_ok=True)
-            # zoom on the pulse window; arclength x time AF heatmap
-            win = tt <= 4 * (2 * pw_s)
-            afz = pres["af_ts"][win]
-            s_mm = np.arange(afz.shape[1]) * ds * 1e3
-            fig, (axw, axm) = plt.subplots(
-                2, 1, figsize=(8, 6), sharex=True,
-                height_ratios=[1, 2.4])
-            axw.plot(tt[win] * 1e3, ii[win] * 1e3, color="0.3")
-            axw.set_ylabel("I (mA)")
-            vmax = np.nanmax(np.abs(afz))
-            pm = axm.pcolormesh(tt[win] * 1e3, s_mm, afz.T,
-                                cmap="RdBu_r", vmin=-vmax, vmax=vmax,
-                                shading="nearest")
-            fig.colorbar(pm, ax=axm, label="AF (V/m$^2$)")
-            axm.set_xlabel("time (ms)")
-            axm.set_ylabel("arclength along S3 (mm)")
-            for ax in (axw,):
-                ax.grid(alpha=0.3)
-            fig.suptitle("intra-pulse activating function "
-                         "(Fourier-synthesized EQS, capacitive tissue)")
-            fig.tight_layout()
-            fig.savefig(out_dir / "pulse_af.png", dpi=150,
-                        bbox_inches="tight")
-            print(f"  figure -> {out_dir / 'pulse_af.png'}")
-
-    out = Path(args.outdir)
-    out.mkdir(parents=True, exist_ok=True)
-    (out / "summary.json").write_text(json.dumps({
-        "n_nodes": case.n_nodes, "n_tets": case.n_tets,
-        "iterations": it, "solve_s": round(t_solve, 3),
-        "spec_s": round(t_spec, 3),
-        "solve_cold_s": round(t_cold, 3) if args.megatet else None,
-        "I_active_A": cur["I_active"], "flux_err": cur["flux_err"],
-        "flux_err_consistent": cur["flux_err_consistent"],
-        "compliance_V": cv,
-        "max_AF_V_per_m2": af["max_AF"],
-        "argmax_AF_s_mm": af["argmax_AF_s"] * 1000,
-        "peak_E_tangential_V_per_m": af["peak_E_tangential"],
-        "threshold_current_mA": thr * I_mA,
-        "pulse_width_us": pw_s * 1e6,
-        "fiber_diameters_um": diam.tolist(),
-        "fiber_threshold_mA": (fib_thr * I_mA).tolist(),
-        "recruited_fraction_at_target": frac_injected,
-        **pulse_extra,
-    }, indent=2, cls=_NanToNullEncoder))
-    print(f"  summary -> {out / 'summary.json'}")
-
-    if args.plot:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        fig = plt.figure(figsize=(8, 12))
-        gs = fig.add_gridspec(4, 1)
-        axes = [fig.add_subplot(gs[i]) for i in range(3)]
-        s_mm = af["s"] * 1000
-        axes[0].plot(s_mm, af["phi"]); axes[0].set_ylabel("phi (V)")
-        axes[1].plot(s_mm, af["e_tangential"])
-        axes[1].set_ylabel("E tangential (V/m)")
-        axes[2].plot(s_mm, af["af"], color="C3")
-        axes[2].axhline(0, color="gray", lw=0.8)
-        axes[2].set_ylabel("AF (V/m$^2$)")
-        axes[2].set_xlabel("arclength along S3 path (mm)")
-        for ax in axes:           # common path axis (AF has NaN ends)
-            ax.set_xlim(0, float(s_mm[-1]))
-        ax4 = fig.add_subplot(gs[3])
-        ax4.plot(amps * I_mA, 100 * frac, color="C2")
-        ax4.axvline(I_mA, color="gray", ls="--", lw=0.9,
-                    label=f"programmed {I_mA:g} mA")
-        ax4.set_xlabel("injected current (mA)")
-        ax4.set_ylabel("recruited fibers (%)")
-        ax4.set_title(f"population {diam.min():.0f}-{diam.max():.0f} um"
-                      f", PW {pw_s*1e6:.0f} us", fontsize=9)
-        ax4.legend(fontsize=8)
-        for ax in axes + [ax4]:
-            ax.grid(alpha=0.3)
-        fig.suptitle("S3 nerve path: potential, field, activating "
-                     "function, recruitment")
-        fig.tight_layout()
-        fig.savefig(out / "nerve_recruitment.png", dpi=150,
-                    bbox_inches="tight")
-        print(f"  figure -> {out / 'nerve_recruitment.png'}")
-
-
+Keeps `python apps/run_pelvis.py ...` working from an uninstalled checkout;
+the installed console script is the primary entry point."""
 if __name__ == "__main__":
-    main()
+    try:
+        from pelvistim_fem_tpu.apps.run_pelvis import main
+    except ImportError:
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from pelvistim_fem_tpu.apps.run_pelvis import main
+    import sys
+    sys.exit(main())

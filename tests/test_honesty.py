@@ -39,7 +39,8 @@ def test_app_sweep_paths_are_refined_at_reference_tolerance():
     contrast (pelvis megatet) must stay on certified refined solvers at
     tol 1e-8."""
     import re
-    for app in ("apps/run_step04.py", "apps/run_pelvis.py"):
+    for app in ("pelvistim_fem_tpu/apps/run_step04.py",
+                "pelvistim_fem_tpu/apps/run_pelvis.py"):
         src = (REPO / app).read_text()
         assert "jax_enable_x64" in src, app
         assert re.search(r"_refined\w*\(", src), (

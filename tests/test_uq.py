@@ -73,7 +73,8 @@ def test_uq_and_array_apps_stay_certified():
     """run_uq.py / run_array_opt.py must keep the reference-tolerance
     certified contract (cf. test_honesty.py for the parity apps)."""
     import re
-    for app in ("apps/run_uq.py", "apps/run_array_opt.py"):
+    for app in ("pelvistim_fem_tpu/apps/run_uq.py",
+                "pelvistim_fem_tpu/apps/run_array_opt.py"):
         src = (REPO / app).read_text()
         assert "jax_enable_x64" in src, app
         assert re.search(r"_refined\w*\(", src), app
