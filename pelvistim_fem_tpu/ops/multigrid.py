@@ -364,9 +364,14 @@ def chebyshev_smooth(op, dinv, x, b, degree, lmax):
     delta = 0.5 * (beta - alpha)
     sigma = theta / delta
     rho = 1.0 / sigma
-    r = dinv * (b - op(x))
-    d = r / theta
-    x = x + d
+    if x is None:          # start from x = 0: skip the zero apply
+        r = dinv * b
+        d = r / theta
+        x = d
+    else:
+        r = dinv * (b - op(x))
+        d = r / theta
+        x = x + d
 
     def body(_, carry):
         x, d, rho = carry
@@ -399,10 +404,23 @@ def cycle_impl(ops_diags, frees, prolongs, restricts, b, *, nu=2,
         def smooth(op, dinv, x, b, n, level=0):
             return chebyshev_smooth(op, dinv, x, b, max(n, 2),
                                     lmaxs[level])
+
+        def smooth0(op, dinv, b, n, level=0):
+            return chebyshev_smooth(op, dinv, None, b, max(n, 2),
+                                    lmaxs[level])
     else:
         def smooth(op, dinv, x, b, n, level=0):
             return jax.lax.fori_loop(
                 0, n, lambda _, x: x + omega * dinv * (b - op(x)), x)
+
+        def smooth0(op, dinv, b, n, level=0):
+            # pre-smooth from x = 0: the first damped-Jacobi sweep is
+            # exactly omega*dinv*b — unrolling it saves one full
+            # operator apply per level per V-cycle (op(0) inside the
+            # fori_loop cannot be folded away: x is loop-carried, so
+            # XLA must materialize the zero apply)
+            x = omega * dinv * b
+            return smooth(op, dinv, x, b, n - 1, level) if n > 1 else x
 
     def cycle(level, b):
         op, diag = ops_diags[level]
@@ -430,7 +448,7 @@ def cycle_impl(ops_diags, frees, prolongs, restricts, b, *, nu=2,
                 0, coarse_iters, cg_body,
                 (jnp.zeros_like(b), b, z0, jnp.sum(b * z0)))
             return x
-        x = smooth(op, dinv, jnp.zeros_like(b), b, nu, level)
+        x = smooth0(op, dinv, b, nu, level)
         r = b - op(x)
         rc = restricts[level](r)
         rc = jnp.where(frees[level + 1], rc, 0.0)
