@@ -502,3 +502,128 @@ def sharded_solve_owned(pc: OwnedPartition, mesh: Mesh, *,
     phi = xo.reshape(-1)[:n]
     return SolveResult(phi=phi, iterations=k, residual=rel,
                        converged=conv)
+
+
+def sharded_solve_owned_refined(pc: OwnedPartition, mesh: Mesh, *,
+                                axis: str = "x", sigma_table=None,
+                                tol: float = 1e-8, inner_tol: float = 3e-4,
+                                maxiter: int = 10_000,
+                                max_refinements: int = 8) -> SolveResult:
+    """sharded_solve_owned at the TRUE f64-certified tolerance (round-4
+    VERDICT item 3): an f64 window-layout master operator measures real
+    residuals; f32 Jacobi-PCG solves each residual-correction system;
+    the loop refines until ||b - A x||/||b|| <= tol in f64.  Same
+    memory scaling as sharded_solve_owned (~N/S nodal storage per
+    device, 2 ppermutes per matvec) — the reported residual now carries
+    the same 1e-8 contract as every other solver axis (reference
+    tolerance contract: step03 params.yaml:91-93).
+
+    Requires jax_enable_x64 (window arrays are cast to both precisions
+    here, whatever dtype pc holds)."""
+    from pelvistim_fem_tpu.ops.solve import require_x64
+    require_x64("sharded_solve_owned_refined")
+    if sigma_table is None:
+        sigma_table = pc.sigma_table
+    Q, hR, W = pc.Q, pc.hR, pc.Q + pc.hR
+    n = pc.n_nodes
+    sigvol64 = (sigma_table.astype(jnp.float64)[pc.tet_body]
+                * pc.vol.astype(jnp.float64))
+    sh = P(axis)
+
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh),
+             out_specs=(sh, P(), P(), P()))
+    def run(tets, grads64, sv64, perm, segids, free, diri, bneu, owned):
+        tets, grads64, sv64 = tets[0], grads64[0], sv64[0]
+        perm, segids = perm[0], segids[0]
+        free, diri = free[0], diri[0].astype(jnp.float64)
+        bneu, owned = bneu[0].astype(jnp.float64), owned[0]
+        grads32 = grads64.astype(jnp.float32)
+        sv32 = sv64.astype(jnp.float32)
+
+        def make_op(grads, sv):
+            def raw(x):
+                y = _local_spmv(x, tets, grads, sv, perm, segids, W)
+                return _owned_complete(y, Q, hR, axis)
+
+            def op(x):
+                xm = jnp.where(free, x, 0.0)
+                return jnp.where(free, raw(xm), x)
+
+            return raw, op
+
+        raw64, op64 = make_op(grads64, sv64)
+        _, op32 = make_op(grads32, sv32)
+
+        red = lambda a: jax.lax.psum(jnp.sum(jnp.where(owned, a, 0.0)),
+                                     axis)
+        dot = lambda a, b: red(a * b)
+        nrm = lambda a: jnp.sqrt(red(a * a))
+
+        # Jacobi diagonal from the f32 operator (preconditioner only)
+        d = _local_diag(tets, grads32, sv32, perm, segids, W)
+        d = _owned_complete(d, Q, hR, axis)
+        diag = jnp.where(free & (d != 0), d, 1.0)
+        minv = 1.0 / diag
+
+        phi_d = jnp.where(free, 0.0, diri)
+        b64 = jnp.where(free, bneu - raw64(phi_d), diri)
+        bnorm = nrm(b64)
+        bsafe = jnp.where(bnorm > 0, bnorm, 1.0)
+
+        def inner_cg(b32, tol_k):
+            """f32 Jacobi-PCG on the correction system (x0 = 0)."""
+            tol_abs = tol_k * nrm(b32)
+            r0 = b32
+            z0 = minv * r0
+            st0 = (jnp.zeros_like(b32), r0, z0, dot(r0, z0), z0,
+                   jnp.int32(0), nrm(r0) <= tol_abs)
+
+            def cond(s):
+                *_, k, done = s
+                return jnp.logical_not(done) & (k < maxiter)
+
+            def body(s):
+                x, r, z, rz, p, k, _ = s
+                ap = op32(p)
+                den = dot(p, ap)
+                alpha = rz / jnp.where(den != 0, den, 1.0)
+                x = x + alpha * p
+                r = r - alpha * ap
+                z = minv * r
+                rz_n = dot(r, z)
+                beta = rz_n / jnp.where(rz != 0, rz, 1.0)
+                return (x, r, z, rz_n, z + beta * p, k + 1,
+                        nrm(r) <= tol_abs)
+
+            x, *_, k, _ = jax.lax.while_loop(cond, body, st0)
+            return x, k
+
+        def refine(carry):
+            x, rel_old, total_it, k = carry
+            r64 = b64 - op64(x)
+            # adaptive per-pass inner tolerance (the single-device
+            # refined solvers' schedule, ops/multigrid.py)
+            need = 0.25 * tol / jnp.minimum(rel_old, 1.0)
+            tol_k = jnp.clip(need, inner_tol, 0.05)
+            dx, it = inner_cg(r64.astype(jnp.float32), tol_k)
+            x_n = x + dx.astype(jnp.float64)
+            rel_n = nrm(b64 - op64(x_n)) / bsafe
+            return (x_n, rel_n, total_it + it, k + 1)
+
+        def cond(carry):
+            _, rel, _, k = carry
+            return (rel > tol) & (k < max_refinements)
+
+        x, rel, total_it, _ = jax.lax.while_loop(
+            cond, refine,
+            (phi_d, nrm(b64 - op64(phi_d)) / bsafe, jnp.int32(0),
+             jnp.int32(0)))
+        return x[:Q], total_it, rel, rel <= tol
+
+    xo, k, rel, conv = run(pc.tets_w, pc.grads.astype(jnp.float64),
+                           sigvol64, pc.scatter_perm, pc.scatter_segids,
+                           pc.free_w, pc.diri_w, pc.bneu_w, pc.owned_w)
+    phi = xo.reshape(-1)[:n]
+    return SolveResult(phi=phi, iterations=k, residual=rel,
+                       converged=conv)

@@ -152,3 +152,51 @@ def test_owned_partition_megatet_scale():
     # residual 1e-8 times the grid's kappa (~1e4) — the bit-level
     # machinery parity is covered by the small-mesh test above
     assert err < 5e-4, err
+
+
+def test_owned_partition_refined_certified():
+    """sharded_solve_owned_refined (round-4 VERDICT item 3): the
+    node-owned memory-scaling partition reports a TRUE f64 residual at
+    the reference 1e-8 contract, matching the single-device certified
+    solver, at 2/4/8 devices."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.solve import solve_case_refined
+    from pelvistim_fem_tpu.parallel.partition import (
+        partition_case_owned, sharded_solve_owned_refined)
+
+    case, params = build_pressure_case(coarse=True, dtype=jnp.float64)
+    ref = solve_case_refined(case, tol=1e-8)
+    assert bool(np.asarray(ref.converged))
+    for n_dev in (2, 4, 8):
+        pc = partition_case_owned(case, n_dev)
+        m = Mesh(np.asarray(jax.devices()[:n_dev]), ("x",))
+        r = sharded_solve_owned_refined(pc, m, tol=1e-8)
+        assert bool(np.asarray(r.converged)), n_dev
+        # the reported residual is a TRUE f64 relative residual
+        assert float(np.asarray(r.residual)) <= 1e-8, n_dev
+        scale = float(np.abs(np.asarray(ref.phi)).max())
+        np.testing.assert_allclose(
+            np.asarray(r.phi), np.asarray(ref.phi), rtol=0,
+            atol=2e-7 * scale)
+
+
+def test_owned_refined_true_residual_is_honest():
+    """The residual sharded_solve_owned_refined reports must equal an
+    independently recomputed f64 ||b - A x|| / ||b|| on the unpartitioned
+    operator (no recursive-residual lying)."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.solve import _case_operator
+    from pelvistim_fem_tpu.parallel.partition import (
+        partition_case_owned, sharded_solve_owned_refined)
+
+    case, _ = build_pressure_case(coarse=True, dtype=jnp.float64)
+    pc = partition_case_owned(case, 4)
+    m = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    r = sharded_solve_owned_refined(pc, m, tol=1e-8)
+    assert bool(np.asarray(r.converged))
+
+    op, _, b_eff = _case_operator(case, case.sigma_table)
+    res = b_eff - op(jnp.asarray(np.asarray(r.phi)))
+    rel = float(jnp.linalg.norm(res) / jnp.linalg.norm(b_eff))
+    assert rel <= 1.2e-8, rel
+    assert abs(rel - float(np.asarray(r.residual))) <= 0.3 * max(rel, 1e-12)
