@@ -10,6 +10,14 @@ MEASURED (v5e, 2026-08-17, grid (55,31,19) L=100, certified 1e-8):
   per-lane combined  0.693 s  <- bench.py's path; WINS at this scale
   fused              1.108 s  (0.63x)
   fused + flat       1.022 s  (0.68x)
+Re-measured 2026-08-19 with the smooth0 pre-smoother (one fewer apply
+per level per V-cycle): per-lane combined 0.641 s, fused 1.044, flat
+1.019.  A bfloat16-compressed V-cycle coefficient store (tested round
+4) HALVES smoother traffic but was catastrophic on TPU (max iters
+48 -> 4032, 22.4 s): independently rounding the 27 stencil planes
+breaks the row-sum (near-nullspace) structure the V-cycle relies on;
+on CPU x64 the same compression only cost ~20% more iterations.  Not
+adopted; coefficient compression must preserve row sums to be viable.
 At 32k nodes the per-lane combined stack (L*27*G ~ 350 MB f32) fits
 easily and XLA's batched stencil fuses better than the combine-on-the-
 fly forms, whose extra per-level lane work dominates on small grids.

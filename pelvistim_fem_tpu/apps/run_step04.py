@@ -217,6 +217,15 @@ def main():
         e0_vec[mcore.BODY_SKIN] = args.nl_e0
         w_vec[mcore.BODY_SKIN] = args.nl_w
         skin_cells = np.asarray(case64.tet_body) == mcore.BODY_SKIN
+        # LATTICE fast path (round-4): per-cell sigma enters the
+        # device-side stencil assembly and the inner solves are
+        # MG-preconditioned (nl.solve_lattice_field_dependent) — the
+        # fixed point runs at full resolution in sub-second warm calls
+        # where the element path's Jacobi inner solves crawled.
+        from pelvistim_fem_tpu.ops.lattice_assembly import \
+            spec_device_arrays
+        dev64 = spec_device_arrays(spec, jnp.float64)
+        skin6 = np.asarray(spec.body6) == mcore.BODY_SKIN
         t0 = time.perf_counter()
         tabs64 = np.asarray(tables, np.float64)
         for i, row in enumerate(results):
@@ -224,10 +233,11 @@ def main():
                               amp=jnp.asarray(amp_vec),
                               e0=jnp.asarray(e0_vec),
                               w=jnp.asarray(w_vec))
-            r = nl.solve_case_field_dependent(case64, law, tol=1e-8)
+            r = nl.solve_lattice_field_dependent(spec, law, tol=1e-8,
+                                                 device_arrays=dev64)
             from pelvistim_fem_tpu.ops.metrics import compliance_voltage
             v_nl = compliance_voltage(case64, r.phi)
-            s_skin = np.asarray(r.sigma_e)[skin_cells]
+            s_skin = np.asarray(r.sigma_e)[skin6]
             row["compliance_V_nl"] = v_nl
             row["skin_sigma_rise"] = float(
                 s_skin.mean() / tabs64[i][mcore.BODY_SKIN])

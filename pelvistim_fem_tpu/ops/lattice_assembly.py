@@ -46,8 +46,82 @@ from pelvistim_fem_tpu.ops.stencil import OFFSETS, StencilCase
 _OFFSET_INDEX = {off: o for o, off in enumerate(OFFSETS)}
 
 
+def _kuhn_class_areas(h_axes, coords_dev, c):
+    """Per-cell corner AREA vectors + |det| for one Kuhn class.
+
+    Returns (ns, adet): ns a list of 4 (3-tuple of (nx, ny, nz))
+    corner area vectors with e_i . A_j = det delta_ij, so
+    grad phi = sum_a phi_a n_a / det and K_ab = sigma n_a.n_b/(6|det|).
+    Edge vectors reconstruct as exact knot difference + deviation
+    difference (the cancellation-free split, see module docstring)."""
+    X, Y, Z = coords_dev.shape[1:]
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+
+    def corner_dev(cc):
+        return coords_dev[:, cc[0]:cc[0] + nx, cc[1]:cc[1] + ny,
+                          cc[2]:cc[2] + nz]
+
+    d0 = corner_dev(c[0])
+    es = []
+    for k in (1, 2, 3):
+        dk = corner_dev(c[k]) - d0
+        comps = []
+        for ax in range(3):
+            delta = int(c[k, ax]) - int(c[0, ax])
+            comp = dk[ax]
+            if delta != 0:
+                shape = [1, 1, 1]
+                shape[ax] = (nx, ny, nz)[ax]
+                comp = comp + delta * h_axes[ax].reshape(shape)
+            comps.append(comp)
+        es.append(comps)
+    e1, e2, e3 = es
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    A1 = cross(e2, e3)
+    A2 = cross(e3, e1)
+    A3 = cross(e1, e2)
+    det = e1[0] * A1[0] + e1[1] * A1[1] + e1[2] * A1[2]
+    ns = [tuple(-(A1[i] + A2[i] + A3[i]) for i in range(3)),
+          A1, A2, A3]
+    return ns, jnp.abs(det)
+
+
+def lattice_cell_e_mag(h_axes, coords_dev, phi_grid):
+    """Per-(Kuhn-class, cell) field magnitude |grad phi|:
+    (6, nx, ny, nz) from a grid-shaped potential (X, Y, Z).
+
+    grad phi = sum_a phi(corner_a) n_a / det on each tet; carved cells
+    (zero |det|) return 0.  The lattice twin of nonlinear._cell_e_mag —
+    feeds sigma(|E|)/sigma(T) laws on the stencil fast path."""
+    X, Y, Z = phi_grid.shape
+    nx, ny, nz = X - 1, Y - 1, Z - 1
+
+    def corner_phi(cc):
+        return phi_grid[cc[0]:cc[0] + nx, cc[1]:cc[1] + ny,
+                        cc[2]:cc[2] + nz]
+
+    outs = []
+    for t in range(6):
+        c = _KUHN[t]
+        ns, adet = _kuhn_class_areas(h_axes, coords_dev, c)
+        g = [jnp.zeros((nx, ny, nz), phi_grid.dtype) for _ in range(3)]
+        for a in range(4):
+            pa = corner_phi(c[a])
+            for i in range(3):
+                g[i] = g[i] + pa * ns[a][i]
+        mag2 = g[0] ** 2 + g[1] ** 2 + g[2] ** 2
+        inv = jnp.where(adet > 0, 1.0 / jnp.maximum(adet, 1e-300), 0.0)
+        outs.append(jnp.sqrt(mag2) * inv)
+    return jnp.stack(outs)
+
+
 def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int,
-                  sigma_table=None):
+                  sigma_table=None, sigma_cell=None):
     """Per-body stencil coefficient stacks (B, 27, X, Y, Z) from grid
     geometry, fully on device.
 
@@ -74,55 +148,33 @@ def lattice_coeff(h_axes, coords_dev, body6, n_bodies: int,
     (tensor sweeps are not body-factored; re-assemble per table, which
     this one jitted device call makes cheap).  Parity-tested against
     the element path (tests/test_aniso.py).
+
+    sigma_cell (6, nx, ny, nz): PER-(Kuhn-class, cell) conductivity
+    field — the nonlinear fast path (sigma(|E|), sigma(T)) where every
+    tet carries its own sigma.  Pre-combined B=1 like sigma_table; the
+    caller must zero carved cells (body6 == 0).  Mutually exclusive
+    with sigma_table.
     """
+    if sigma_table is not None and sigma_cell is not None:
+        raise ValueError("pass sigma_table or sigma_cell, not both")
     dt = coords_dev.dtype
     X, Y, Z = coords_dev.shape[1:]
     nx, ny, nz = X - 1, Y - 1, Z - 1
-    B_out = n_bodies if sigma_table is None else 1
+    B_out = n_bodies if (sigma_table is None
+                         and sigma_cell is None) else 1
 
-    def corner_dev(c):
-        return coords_dev[:, c[0]:c[0] + nx, c[1]:c[1] + ny,
-                          c[2]:c[2] + nz]
-
-    # per-offset accumulation of padded per-cell contributions
     per_off = [[] for _ in range(27)]
     bids = jnp.arange(1, n_bodies + 1, dtype=jnp.int32)
     for t in range(6):
         c = _KUHN[t]
-        d0 = corner_dev(c[0])
-        # edge vectors p_k - p_0: exact knot part + deviation part
-        # (corner offsets are in {0, 1}, so the knot part along an axis
-        # is just (delta corner offset) * per-cell spacing)
-        es = []
-        for k in (1, 2, 3):
-            dk = corner_dev(c[k]) - d0
-            comps = []
-            for ax in range(3):
-                delta = int(c[k, ax]) - int(c[0, ax])
-                comp = dk[ax]
-                if delta != 0:
-                    shape = [1, 1, 1]
-                    shape[ax] = (nx, ny, nz)[ax]
-                    comp = comp + delta * h_axes[ax].reshape(shape)
-                comps.append(comp)
-            es.append(comps)
-        e1, e2, e3 = es
-
-        def cross(a, b):
-            return (a[1] * b[2] - a[2] * b[1],
-                    a[2] * b[0] - a[0] * b[2],
-                    a[0] * b[1] - a[1] * b[0])
-
-        A1 = cross(e2, e3)
-        A2 = cross(e3, e1)
-        A3 = cross(e1, e2)
-        det = e1[0] * A1[0] + e1[1] * A1[1] + e1[2] * A1[2]
-        adet = jnp.abs(det)
+        ns, adet = _kuhn_class_areas(h_axes, coords_dev, c)
         inv6det = jnp.where(adet > 0, 1.0 / (6.0 * adet), 0.0)
-        ns = [tuple(-(A1[i] + A2[i] + A3[i]) for i in range(3)),
-              A1, A2, A3]
         tensor = sigma_table is not None and sigma_table.ndim == 3
-        if sigma_table is None:
+        if sigma_cell is not None:
+            # per-(class, cell) conductivity field (nonlinear laws);
+            # caller zeroes carved cells
+            weight = sigma_cell[t][None].astype(dt)
+        elif sigma_table is None:
             weight = (body6[t][None]
                       == bids[:, None, None, None]).astype(dt)
         elif tensor:

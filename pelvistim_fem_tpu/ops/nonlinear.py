@@ -190,7 +190,7 @@ def _cell_e_mag(case, phi):
                                    "relax", "inner_tol", "maxiter",
                                    "max_refinements"))
 def solve_case_field_dependent(case, law: FieldLaw, *, tol=1e-8,
-                               picard_tol=1e-9, max_picard=60,
+                               picard_tol=1e-9, max_picard=200,
                                relax=0.7, inner_tol=1e-6,
                                maxiter=10_000, max_refinements=6):
     """Solve div(sigma(|E|) grad phi) = 0 with the Case's BCs.
@@ -265,6 +265,180 @@ def solve_case_field_dependent(case, law: FieldLaw, *, tol=1e-8,
         phi=x, sigma_e=sigma_e, residual=rel, picard_iters=k,
         inner_iters=tot_it + it, sigma_change=change,
         converged=(rel <= tol) & (change <= picard_tol))
+
+
+# ── Nonlinear sigma on the LATTICE fast path (round-4 VERDICT item 6) ──
+#
+# The element-path Picard loop above tops out around step04 coarse
+# grids: its inner solve is Jacobi-PCG on the gather/scatter SpMV.  The
+# lattice form below runs the same damped-Picard/secant fixed point
+# with the stencil machinery: per-(Kuhn-class, cell) sigma fields enter
+# the device-side assembly (lattice_assembly.lattice_coeff(sigma_cell=))
+# so each pass re-assembles the 27-point operator in one fused XLA
+# program, the inner solves are MG-preconditioned (V-cycle hierarchy
+# probed ONCE at sigma0 and frozen — the law's bounded sigma keeps it a
+# uniformly good preconditioner), and the certified f64 residual is
+# measured at the converged conductivity.  Megatet-scale sigma(|E|)
+# solves become a few warm sub-second device calls.
+
+
+def _stencil_refined_warm(coeff64, free, diri64, bneu64, M32, x, *,
+                          tol, inner_tol, maxiter, max_refinements):
+    """Mixed-precision refinement on a PRE-COMBINED (1, 27, X, Y, Z)
+    stencil stack from warm start x (grid-shaped, f64).  The V-cycle
+    M32 is the caller's (frozen across Picard passes).  Unbatched only
+    (no converged-lane freeze), mirroring _refined_solve_warm."""
+    from pelvistim_fem_tpu.ops import stencil as st
+    from pelvistim_fem_tpu.ops.solve import preconditioned_cg
+
+    sig2_64 = jnp.asarray([0.0, 1.0], jnp.float64)
+    sig2_32 = jnp.asarray([0.0, 1.0], jnp.float32)
+    scase64 = st.StencilCase(coeff=coeff64, free=free, dirichlet=diri64,
+                             b_neumann=bneu64, grid_index=None,
+                             sigma_table=sig2_64)
+    scase32 = jax.tree_util.tree_map(
+        lambda a: (a.astype(jnp.float32)
+                   if a is not None
+                   and jnp.issubdtype(a.dtype, jnp.floating) else a),
+        scase64, is_leaf=lambda a: a is None)
+    op64, _, b64 = st._operator(scase64, sig2_64)
+    op32, _, _ = st._operator(scase32, sig2_32)
+    Mp = lambda r: jnp.where(free, M32(jnp.where(free, r, 0.0)), r)
+
+    bnorm = jnp.sqrt(jnp.sum(b64 * b64))
+    bsafe = jnp.where(bnorm > 0, bnorm, 1.0)
+    rel0 = jnp.sqrt(jnp.sum((b64 - op64(x)) ** 2)) / bsafe
+
+    def refine(carry):
+        x, rel_old, total_it, k = carry
+        r64 = b64 - op64(x)
+        tol_k = jnp.clip(0.25 * tol / jnp.minimum(rel_old, 1.0),
+                         inner_tol, 0.05)
+        res = preconditioned_cg(op32, r64.astype(jnp.float32), Mp,
+                                jnp.zeros_like(r64, jnp.float32),
+                                tol=tol_k, maxiter=maxiter)
+        x_n = x + res.phi.astype(jnp.float64)
+        rel_n = jnp.sqrt(jnp.sum((b64 - op64(x_n)) ** 2)) / bsafe
+        return (x_n, rel_n, total_it + res.iterations, k + 1)
+
+    def cond(carry):
+        _, rel, _, k = carry
+        return (rel > tol) & (k < max_refinements)
+
+    x, rel, total_it, _ = jax.lax.while_loop(
+        cond, refine, (x, rel0, jnp.int32(0), jnp.int32(0)))
+    return x, rel, total_it
+
+
+@partial(jax.jit, static_argnames=("axes", "n_bodies", "tol",
+                                   "picard_tol", "max_picard", "relax",
+                                   "inner_tol", "maxiter",
+                                   "max_refinements", "nu",
+                                   "coarse_iters", "min_nodes",
+                                   "max_levels"))
+def _lattice_field_dependent_jit(dev, law, *, axes, n_bodies, tol,
+                                 picard_tol, max_picard, relax,
+                                 inner_tol, maxiter, max_refinements,
+                                 nu=2, coarse_iters=24, min_nodes=100,
+                                 max_levels=8):
+    from pelvistim_fem_tpu.ops.lattice_assembly import (
+        _hierarchy_jnp, lattice_cell_e_mag, lattice_coeff)
+    from pelvistim_fem_tpu.ops.multigrid import make_v_cycle
+
+    axes_np = tuple(np.asarray(a, float) for a in axes)
+    h64 = tuple(h.astype(jnp.float64) for h in dev["h_axes"])
+    coords64 = dev["coords_dev"].astype(jnp.float64)
+    body6 = dev["body6"]
+    free = dev["free"]
+    diri64 = dev["dirichlet"].astype(jnp.float64)
+    bneu64 = dev["b_neumann"].astype(jnp.float64)
+    law64 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), law)
+
+    carved = body6 == 0
+    sigma0 = jnp.where(carved, 0.0, law64.sigma0[body6.astype(jnp.int32)])
+    sig_lo = sigma0
+    sig_hi = sigma0 * (1.0 + law64.amp[body6.astype(jnp.int32)])
+
+    # FROZEN preconditioner: V-cycle hierarchy probed once at sigma0.
+    # The law bounds sigma within [sigma0, (1+amp) sigma0], so the
+    # sigma0 V-cycle stays a uniformly good SPD preconditioner at every
+    # Picard iterate; the OPERATOR (re-assembled per pass) is exact.
+    coeff0 = lattice_coeff(h64, coords64, body6, n_bodies,
+                           sigma_cell=sigma0)
+    hier32 = _hierarchy_jnp(coeff0.astype(jnp.float32), free, axes_np,
+                            min_nodes=min_nodes, max_levels=max_levels)
+    sig2_32 = jnp.asarray([0.0, 1.0], jnp.float32)
+    M32 = make_v_cycle(hier32, sig2_32, nu=nu, coarse_iters=coarse_iters)
+
+    x0 = jnp.where(free, 0.0, diri64)
+    eps = jnp.float64(1e-300)
+
+    def solve_at(sigma_cell, x):
+        coeff64 = lattice_coeff(h64, coords64, body6, n_bodies,
+                                sigma_cell=sigma_cell)
+        return _stencil_refined_warm(
+            coeff64, free, diri64, bneu64, M32, x, tol=tol,
+            inner_tol=inner_tol, maxiter=maxiter,
+            max_refinements=max_refinements)
+
+    def picard(carry):
+        sigma_e, sigma_p, f_p, x, _, tot_it, k = carry
+        x, _, it = solve_at(sigma_e, x)
+        e_mag = lattice_cell_e_mag(h64, coords64, x)
+        target = jnp.where(
+            carved, 0.0,
+            law_sigma(law64, body6.astype(jnp.int32), e_mag))
+        f = target - sigma_e
+        change = jnp.max(jnp.abs(f) / jnp.maximum(sigma_e, eps))
+        denom = f - f_p
+        ok = (k > 0) & (jnp.abs(denom)
+                        > 1e-12 * jnp.maximum(jnp.abs(f), eps))
+        step = jnp.where(ok, -f * (sigma_e - sigma_p)
+                         / jnp.where(ok, denom, 1.0), relax * f)
+        sigma_n = jnp.clip(sigma_e + step, sig_lo, sig_hi)
+        sigma_n = jnp.where(change <= picard_tol, sigma_e, sigma_n)
+        return (sigma_n, sigma_e, f, x, change, tot_it + it, k + 1)
+
+    def cond(carry):
+        *_, change, _, k = carry
+        return (change > picard_tol) & (k < max_picard)
+
+    sigma_e, _, _, x, change, tot_it, k = jax.lax.while_loop(
+        cond, picard,
+        (sigma0, sigma0, jnp.zeros_like(sigma0), x0,
+         jnp.float64(jnp.inf), jnp.int32(0), jnp.int32(0)))
+
+    x, rel, it = solve_at(sigma_e, x)
+    phi_nodes = x.reshape(-1)[dev["grid_index"]]
+    return NonlinearResult(
+        phi=phi_nodes, sigma_e=sigma_e, residual=rel, picard_iters=k,
+        inner_iters=tot_it + it, sigma_change=change,
+        converged=(rel <= tol) & (change <= picard_tol))
+
+
+def solve_lattice_field_dependent(spec, law: FieldLaw, *, tol=1e-8,
+                                  picard_tol=1e-9, max_picard=200,
+                                  relax=0.7, inner_tol=3e-4,
+                                  maxiter=2_000, max_refinements=6,
+                                  nu=2, coarse_iters=24,
+                                  device_arrays=None) -> NonlinearResult:
+    """sigma(|E|) fixed point on the LATTICE fast path: device-side
+    per-cell re-assembly + frozen-sigma0 MG-preconditioned certified
+    inner solves, one jitted program (megatet-capable — the element
+    Picard loop's Jacobi inner solves are the coarse-grid fallback).
+
+    Returns NonlinearResult with sigma_e of shape (6, nx, ny, nz)
+    (per-(Kuhn-class, cell)); phi in mesh node ordering."""
+    from pelvistim_fem_tpu.ops.lattice_assembly import (_axes_static,
+                                                        spec_device_arrays)
+    require_x64("solve_lattice_field_dependent")
+    dev = device_arrays or spec_device_arrays(spec, jnp.float64)
+    return _lattice_field_dependent_jit(
+        dev, law, axes=_axes_static(spec), n_bodies=spec.n_bodies,
+        tol=tol, picard_tol=picard_tol, max_picard=max_picard,
+        relax=relax, inner_tol=inner_tol, maxiter=maxiter,
+        max_refinements=max_refinements, nu=nu,
+        coarse_iters=coarse_iters)
 
 
 @jax.tree_util.register_dataclass

@@ -243,8 +243,24 @@ def batched_stencil_spmv_fused_pallas(X, coeff, sigma_tables):
 # The row kernels above keep the (Y, Z) plane 2-D, so the VPU's 128-wide
 # lane dimension holds only Z values (Z=41 on the megatet grid: 2/3 of
 # every vector lane idle), and the grid has X steps (112) of fixed
-# pipeline latency.  Measured on v5e at megatet scale the XLA SpMV runs
-# at 39 GB/s — 5% of HBM peak — so the hot op has ~10x headroom.
+# pipeline latency.
+#
+# BANDWIDTH ENVELOPE (corrected round 4, dev/roofline_probe.py +
+# dev/spmv_kernels_ab.py): every jitted axon call carries a ~70-170 ms
+# FIXED overhead (tunnel dispatch + scalar-readback RTT), which earlier
+# micro-benchmarks divided across only ~100 applies — the round-3 "XLA
+# SpMV at 39 GB/s = 5% of peak" was that artifact, not the kernel.
+# Two-point MARGINAL timing (slope of wall vs rep count) on the megatet
+# grid measures: XLA SpMV ~108 us/apply (~335 GB/s logical), this flat
+# kernel ~56 us/apply (~650 GB/s logical ~ 80% of the 819 GB/s v5e
+# roofline).  The hot op is essentially bandwidth-bound already; the
+# remaining levers are fewer applies per V-cycle (multigrid.smooth0)
+# and fewer calls, not kernel micro-optimization.  Two traffic-cutting
+# variants were measured and REJECTED: shift-free phantom (bounds the
+# roll cost at ~7%) and bfloat16 coefficient planes (halves traffic but
+# independently rounding the 27 planes breaks row sums — the V-cycle
+# lost its near-nullspace and iterations exploded 48 -> 4032 at the
+# 7000x contrast; see dev/step04_sweep_ab.py).
 #
 # This kernel flattens the halo-padded plane: f = (y+1)*(Z+2) + (z+1),
 # F = roundup((Y+2)*(Z+2), 128).  Then every stencil neighbor is ONE
