@@ -142,6 +142,68 @@ def run_adapt(args):
     return 0
 
 
+def run_adapt_local(args):
+    """LOCAL (bisection) adaptation on the step03 anchor — the
+    per-DOF-efficient twin of run_adapt (round-4 VERDICT item 4).
+
+    Where --adapt regrades whole axis planes domain-wide, this mode
+    bisects only the tets the ZZ indicators mark (Dorfler bulk
+    chasing + conforming Maubach closure, mesh/refine.py): fine cells
+    concentrate under the electrode rims the way the reference's Gmsh
+    Distance/Threshold fields put them (run_sweep.py:112-121).  Each
+    cycle re-solves on the certified AMG path (the refined mesh has no
+    lattice provenance), re-classifies electrode faces on the finer
+    boundary, and reports est energy error + geometric flux_err +
+    rim-sensitive peak_J.  Exit 1 if the estimated error ever grows
+    >10% cycle-over-cycle."""
+    import time
+
+    import numpy as np
+
+    from pelvistim_fem_tpu.mesh.generate import layered_slab_recipe
+    from pelvistim_fem_tpu.mesh.refine import BisectionMesh, mark_doerfler
+    from pelvistim_fem_tpu.models.ankle import layered_model_inputs
+    from pelvistim_fem_tpu.models.case import build_case
+    from pelvistim_fem_tpu.ops.estimate import (zz_error_indicators,
+                                                zz_global_error)
+    from pelvistim_fem_tpu.ops.metrics import extract_results
+    from pelvistim_fem_tpu.runner import solve_auto
+    from pelvistim_fem_tpu.utils.config import default_params, load_params
+
+    p = (load_params(args.params) if args.params
+         else default_params("step03_ankle_layers"))
+    (Lx, Ly, Lz), rk, sigma_by_body, bc_kwargs, meta_extra, p = \
+        layered_model_inputs(p, coarse=args.smoke)
+    recipe = layered_slab_recipe(Lx, Ly, Lz, **rk)
+    bm = BisectionMesh.from_recipe(recipe)
+
+    rel_prev = None
+    failed = False
+    for cycle in range(args.adapt_local + 1):
+        t0 = time.perf_counter()
+        mesh = bm.mesh()
+        case = build_case(mesh, sigma_by_body, meta_extra=meta_extra,
+                          **bc_kwargs)
+        res = solve_auto(case, mesh, tol=1e-8)
+        assert bool(np.asarray(res.converged))
+        eta = np.asarray(zz_error_indicators(case, res.phi))
+        _, rel = (float(v) for v in zz_global_error(case, res.phi))
+        row = extract_results(case, res.phi, p, verbose=False)
+        print(f"cycle {cycle}: {mesh.n_tets:,} tets  "
+              f"est rel energy err {rel:.3%}  "
+              f"flux_err {row['flux_err']:.2%}  "
+              f"peak_J_no_elec {row['peak_J_skin_no_elec']:.1f} A/m^2  "
+              f"({time.perf_counter() - t0:.1f} s)", flush=True)
+        if rel_prev is not None and rel > 1.10 * rel_prev:
+            print(f"  FAIL: estimate grew >10% ({rel_prev:.3%} -> "
+                  f"{rel:.3%})")
+            failed = True
+        rel_prev = rel
+        if cycle < args.adapt_local:
+            bm = bm.refine(mark_doerfler(eta, theta=args.theta))
+    return 1 if failed else 0
+
+
 def main():
     ap = argparse.ArgumentParser(description="Ankle layered slab sweep")
     ap.add_argument("--smoke", action="store_true",
@@ -168,12 +230,20 @@ def main():
                          "vmapped batch on a shared lattice "
                          "(parallel/geometry_sweep.py) instead of the "
                          "serial per-case loop")
+    ap.add_argument("--adapt-local", type=int, default=0, metavar="N",
+                    help="N cycles of ZZ-driven LOCAL bisection "
+                         "refinement on the anchor case (conforming "
+                         "Maubach closure, certified AMG re-solves)")
+    ap.add_argument("--theta", type=float, default=0.5,
+                    help="Dorfler marking fraction for --adapt-local")
     ap.add_argument("--adapt", type=int, default=0, metavar="N",
                     help="run N ZZ estimate->regrade cycles on the "
                          "anchor case at EQUAL cell count instead of "
                          "the sweep (ops/estimate.py)")
     args = ap.parse_args()
 
+    if args.adapt_local:
+        return run_adapt_local(args)
     if args.adapt:
         return run_adapt(args)
 
