@@ -30,9 +30,16 @@ a growing-shape basis would retrace per snapshot, and each retrace is
 a ~30 s remote recompile on axon.
 
 Memory: the per-body applied basis W (B, cap, G) dominates — fine at
-sweep scale (step04 ~33k nodes), deliberate overkill at megatet
-(3.5M * 7 * cap doubles); this module targets the (many sigma) x
-(moderate grid) regime the apps' sweeps live in.
+sweep scale (step04 ~33k nodes), prohibitive at megatet (3.5M * 7 *
+cap doubles).  The LEAN form (store_w=False, auto-selected above
+~1.5 GB of W) therefore stores ONLY the basis V: the reduced blocks
+VtW are built incrementally from the transient per-body applies of
+each new snapshot (symmetric C_b makes one (B, cap) dot the whole
+update), and the residual certificate applies the 27-point per-body
+stencils directly to the reconstructed (L, G) fields — 27*B mul-adds
+per grid point instead of a (B, cap, G) contraction, and O(cap * G)
+memory instead of O(B * cap * G).  This is what lets reduced-basis
+sweeps compose with the 1.75M-tet flagship (dev/rom_megatet_ab.py).
 
 Scope (measured): the ROM pays for LOW-dimensional parameter families
 — 1-D design sweeps (~16 snapshots certify any lane count over 3
@@ -67,9 +74,12 @@ _HP = jax.lax.Precision.HIGHEST
 class StencilROM:
     """Fixed-capacity reduced basis + precomputed affine blocks.
 
-    All arrays device f64; rows/cols >= rank are zero padding."""
+    All arrays device f64; rows/cols >= rank are zero padding.
+    W is None in the LEAN (megatet-scale) form — the reduced blocks
+    are then maintained incrementally and residuals certified by
+    direct per-body stencil applies (see module docstring)."""
     V: jax.Array          # (cap, G) orthonormal free-masked basis
-    W: jax.Array          # (B, cap, G) masked per-body applies C_b v
+    W: jax.Array          # (B, cap, G) masked per-body applies C_b v, or None
     VtW: jax.Array        # (B, cap, cap) reduced per-body operators
     b0: jax.Array         # (G,) free-masked Neumann load
     bb: jax.Array         # (B, G) per-body Dirichlet-lift loads
@@ -98,15 +108,26 @@ def _free_parts(scase: StencilCase):
     return b0, bb, dir2
 
 
-def build_stencil_rom(scase: StencilCase, capacity: int = 40):
-    """Empty rank-0 ROM with the affine load blocks precomputed."""
+_LEAN_W_BYTES = 1.5e9     # auto-switch to the lean form above this W size
+
+
+def build_stencil_rom(scase: StencilCase, capacity: int = 40,
+                      store_w="auto"):
+    """Empty rank-0 ROM with the affine load blocks precomputed.
+
+    store_w: True keeps the (B, cap, G) applied basis (fastest reduced
+    evals at sweep scale); False is the LEAN megatet form (V only);
+    "auto" picks lean when W would exceed ~1.5 GB."""
     G = int(np.prod(scase.free.shape))
     B = scase.coeff.shape[0]
     b0, bb, dir2 = _free_parts(scase)
     cap = int(capacity)
+    if store_w == "auto":
+        store_w = B * cap * G * 8 <= _LEAN_W_BYTES
     z = jnp.zeros
     return StencilROM(
-        V=z((cap, G), jnp.float64), W=z((B, cap, G), jnp.float64),
+        V=z((cap, G), jnp.float64),
+        W=z((B, cap, G), jnp.float64) if store_w else None,
         VtW=z((B, cap, cap), jnp.float64), b0=b0, bb=bb,
         r0=z((cap,), jnp.float64), rb=z((B, cap), jnp.float64),
         dir2=dir2, rank=jnp.int32(0))
@@ -147,6 +168,23 @@ def _insert_row(rom: StencilROM, v, w):
         rank=k + 1)
 
 
+@jax.jit
+def _insert_row_lean(rom: StencilROM, v, w):
+    """Lean insert: V grows a row; VtW grows one symmetric cross-column
+    from the TRANSIENT per-body applies w (never stored).  C_b is
+    symmetric and v, V rows are free-masked, so
+    VtW[b, r, k] = V[r] . (C_b v) = v . (C_b V[r]) = VtW[b, k, r]."""
+    k = rom.rank
+    V = rom.V.at[k].set(v)
+    col = jnp.einsum("rg,bg->br", V, w, precision=_HP)   # (B, cap)
+    VtW = rom.VtW.at[:, :, k].set(col)   # column k: V . (C_b v)
+    VtW = VtW.at[:, k, :].set(col)       # row k by symmetry
+    return dataclasses.replace(
+        rom, V=V, VtW=VtW, r0=V @ rom.b0,
+        rb=jnp.einsum("bg,rg->br", rom.bb, V, precision=_HP),
+        rank=k + 1)
+
+
 def rom_extend(rom: StencilROM, scase: StencilCase, v_flat):
     """Orthonormalize v against the live basis (2-pass MGS, host) and
     append; returns rom unchanged if v is already in the span or the
@@ -163,7 +201,8 @@ def rom_extend(rom: StencilROM, scase: StencilCase, v_flat):
     if nv < 1e-12 * max(1.0, float(np.linalg.norm(np.asarray(v_flat)))):
         return rom                      # snapshot already in the span
     v = jnp.asarray(v / nv)
-    return _insert_row(rom, v, _apply_bodies(scase, v))
+    insert = _insert_row if rom.W is not None else _insert_row_lean
+    return insert(rom, v, _apply_bodies(scase, v))
 
 
 @jax.jit
@@ -186,14 +225,57 @@ def _rom_eval(rom: StencilROM, tables):
     return y, num / jnp.maximum(den, 1e-300)
 
 
-def rom_solve(rom: StencilROM, tables):
+def _lean_apply_sum(scase: StencilCase, X, *svecs):
+    """sum_b s[:, b] * masked(C_b @ X_l) for a batch X (L, G) of
+    free-masked flat grid fields, for each weight table s in svecs
+    (the per-body applies are shared) — B vmapped 27-point applies,
+    no (B, cap, G) or (L, 27, G) intermediate ever materialized."""
+    free = scase.free
+    Xg = X.reshape((-1,) + free.shape)
+    coeff = scase.coeff.astype(jnp.float64)
+    accs = [jnp.zeros_like(X) for _ in svecs]
+    for b in range(coeff.shape[0]):
+        ap = jax.vmap(lambda xg: stencil_spmv(xg, coeff[b]))(Xg)
+        ap = jnp.where(free[None], ap, 0.0).reshape(X.shape)
+        accs = [a + s[:, b, None] * ap for a, s in zip(accs, svecs)]
+    return accs[0] if len(svecs) == 1 else tuple(accs)
+
+
+@jax.jit
+def _rom_eval_lean(rom: StencilROM, scase: StencilCase, tables):
+    """Lean reduced eval: same y as _rom_eval; the residual certificate
+    reconstructs the (L, G) fields and applies the per-body stencils
+    directly (27*B mul-adds per grid point, O(L*G) memory)."""
+    s = jnp.asarray(tables, jnp.float64)[:, 1:]       # (L, B)
+    pad = (jnp.arange(rom.capacity) >= rom.rank)
+    A = (jnp.einsum("lb,brs->lrs", s, rom.VtW, precision=_HP)
+         + jnp.diag(pad.astype(jnp.float64))[None])
+    rhs = rom.r0[None] + jnp.einsum("lb,br->lr", s, rom.rb,
+                                    precision=_HP)
+    y = jnp.linalg.solve(A, rhs[..., None])[..., 0]   # (L, cap)
+    bfull = rom.b0[None] + jnp.einsum("lb,bg->lg", s, rom.bb,
+                                      precision=_HP)
+    X = jnp.einsum("lr,rg->lg", y, rom.V, precision=_HP)
+    rvec = bfull - _lean_apply_sum(scase, X, s)
+    num = jnp.sqrt(jnp.sum(rvec * rvec, axis=1))
+    den = jnp.sqrt(jnp.sum(bfull * bfull, axis=1) + rom.dir2)
+    return y, num / jnp.maximum(den, 1e-300)
+
+
+def rom_solve(rom: StencilROM, tables, scase: StencilCase = None):
     """Batched reduced solves: (y (L, cap), TRUE rel residual (L,)).
 
     The residual is the full-operator N-vector residual under the
     refined solvers' relative definition — a lane whose value is
     <= tol is certified at exactly the contract a full
-    solve_stencil_mg_refined run would report."""
-    return _rom_eval(rom, jnp.atleast_2d(jnp.asarray(tables)))
+    solve_stencil_mg_refined run would report.  A lean ROM (W=None)
+    needs `scase` for the direct-apply certificate."""
+    tabs = jnp.atleast_2d(jnp.asarray(tables))
+    if rom.W is None:
+        if scase is None:
+            raise ValueError("lean ROM (W=None) requires scase")
+        return _rom_eval_lean(rom, scase, tabs)
+    return _rom_eval(rom, tabs)
 
 
 @jax.jit
@@ -214,9 +296,13 @@ def rom_reconstruct(rom: StencilROM, scase: StencilCase, y):
 
 def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
                       max_snapshots=40, seed_tables=None,
-                      verbose=False):
+                      store_w="auto", verbose=False):
     """Greedy certified sweep: reduced-evaluate every lane, full-solve
     only the worst uncertified one, extend the basis, repeat.
+
+    store_w="auto" switches to the LEAN basis (V only, direct-apply
+    certificates) above ~1.5 GB of applied-basis storage, which is what
+    makes this compose with the megatet flagship (dev/rom_megatet_ab.py).
 
     Returns dict: phi (L, N) mesh-order fields, residual (L,) TRUE
     rel residuals (all <= tol on success), y, rom, n_full (full
@@ -227,7 +313,8 @@ def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
     require_x64("rom_sweep_refined")
     tabs = jnp.asarray(np.atleast_2d(np.asarray(tables, np.float64)))
 
-    rom, n_full = build_stencil_rom(scase, max_snapshots), 0
+    rom = build_stencil_rom(scase, max_snapshots, store_w=store_w)
+    n_full = 0
     seeds = ([np.asarray(t, np.float64) for t in seed_tables]
              if seed_tables is not None
              else [np.asarray(tabs[0])])
@@ -239,7 +326,7 @@ def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
         rom = rom_extend(rom, scase, _snapshot_vector(scase, res.phi))
 
     while True:
-        y, rel = rom_solve(rom, tabs)
+        y, rel = rom_solve(rom, tabs, scase)
         rel_h = np.asarray(rel)
         worst = int(np.argmax(rel_h))
         if verbose:
@@ -316,11 +403,57 @@ def _rom_eval_eqs(rom: StencilROM, kr_tables, ki_tables):
     return yr, yi, num / jnp.maximum(den, 1e-300)
 
 
-def rom_solve_eqs(rom: StencilROM, kr_tables, ki_tables):
+@jax.jit
+def _rom_eval_eqs_lean(rom: StencilROM, scase: StencilCase, kr_tables,
+                       ki_tables):
+    """Lean complex reduced eval: same real-block 2r x 2r solve as
+    _rom_eval_eqs; the Hermitian residual certificate applies the
+    per-body stencils directly to the reconstructed re/im fields
+    (applies shared between the sr- and si-weighted sums)."""
+    sr = jnp.asarray(kr_tables, jnp.float64)[:, 1:]   # (L, B)
+    si = jnp.asarray(ki_tables, jnp.float64)[:, 1:]
+    cap = rom.capacity
+    pad = (jnp.arange(cap) >= rom.rank).astype(jnp.float64)
+    Ar = (jnp.einsum("lb,brs->lrs", sr, rom.VtW, precision=_HP)
+          + jnp.diag(pad)[None])
+    Ai = jnp.einsum("lb,brs->lrs", si, rom.VtW, precision=_HP)
+    M = jnp.concatenate([
+        jnp.concatenate([Ar, -Ai], axis=2),
+        jnp.concatenate([Ai, Ar], axis=2)], axis=1)   # (L, 2cap, 2cap)
+    rhs_r = rom.r0[None] + jnp.einsum("lb,br->lr", sr, rom.rb,
+                                      precision=_HP)
+    rhs_i = jnp.einsum("lb,br->lr", si, rom.rb, precision=_HP)
+    rhs = jnp.concatenate([rhs_r, rhs_i], axis=1)
+    y = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    yr, yi = y[:, :cap], y[:, cap:]
+
+    br = rom.b0[None] + jnp.einsum("lb,bg->lg", sr, rom.bb,
+                                   precision=_HP)
+    bi = jnp.einsum("lb,bg->lg", si, rom.bb, precision=_HP)
+    Xr = jnp.einsum("lr,rg->lg", yr, rom.V, precision=_HP)
+    Xi = jnp.einsum("lr,rg->lg", yi, rom.V, precision=_HP)
+    P, Q = _lean_apply_sum(scase, Xr, sr, si)   # sum sr C xr, sum si C xr
+    R, S = _lean_apply_sum(scase, Xi, sr, si)   # sum sr C xi, sum si C xi
+    rv_r = br - (P - S)
+    rv_i = bi - (Q + R)
+    num = jnp.sqrt(jnp.sum(rv_r * rv_r + rv_i * rv_i, axis=1))
+    den = jnp.sqrt(jnp.sum(br * br + bi * bi, axis=1) + rom.dir2)
+    return yr, yi, num / jnp.maximum(den, 1e-300)
+
+
+def rom_solve_eqs(rom: StencilROM, kr_tables, ki_tables,
+                  scase: StencilCase = None):
     """Batched reduced complex solves: (yr, yi (L, cap), TRUE Hermitian
-    rel residual (L,)) under solve_stencil_eqs_refined's definition."""
-    return _rom_eval_eqs(rom, jnp.atleast_2d(jnp.asarray(kr_tables)),
-                         jnp.atleast_2d(jnp.asarray(ki_tables)))
+    rel residual (L,)) under solve_stencil_eqs_refined's definition.
+    A lean ROM (W=None) needs `scase` for the direct-apply
+    certificate."""
+    kr = jnp.atleast_2d(jnp.asarray(kr_tables))
+    ki = jnp.atleast_2d(jnp.asarray(ki_tables))
+    if rom.W is None:
+        if scase is None:
+            raise ValueError("lean ROM (W=None) requires scase")
+        return _rom_eval_eqs_lean(rom, scase, kr, ki)
+    return _rom_eval_eqs(rom, kr, ki)
 
 
 @jax.jit
@@ -344,7 +477,7 @@ def rom_reconstruct_eqs(rom: StencilROM, scase: StencilCase, yr, yi):
 
 def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
                          kr_tables=None, *, tol=1e-8, max_snapshots=40,
-                         rom=None, verbose=False):
+                         rom=None, store_w="auto", verbose=False):
     """Greedy certified frequency sweep: reduced-evaluate every
     frequency, full-solve (solve_stencil_eqs_refined) only the worst
     uncertified one, extend the basis with the snapshot's re AND im
@@ -371,7 +504,7 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
                                                   np.float64)))
 
     if rom is None:
-        rom = build_stencil_rom(scase, max_snapshots)
+        rom = build_stencil_rom(scase, max_snapshots, store_w=store_w)
     n_full = 0
 
     def full_solve(i):
@@ -385,7 +518,7 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
         rom = full_solve(0)
         n_full += 1
     while True:
-        yr, yi, rel = rom_solve_eqs(rom, kr, ki)
+        yr, yi, rel = rom_solve_eqs(rom, kr, ki, scase)
         rel_h = np.asarray(rel)
         worst = int(np.argmax(rel_h))
         if verbose:

@@ -110,6 +110,101 @@ def test_reconstruct_shapes(problem):
                                atol=0)
 
 
+# ── lean (W-free, megatet-scale) form ────────────────────────────────────────
+#
+# The lean ROM is a MEMORY mode, not a different algorithm: with the
+# same basis it must produce the same reduced solutions and the same
+# full-operator certificates, the only change being HOW the residual
+# is contracted (direct per-body stencil applies of the reconstructed
+# fields vs the stored (B, cap, G) applied basis).
+
+
+def test_lean_insert_matches_stored_w(problem):
+    """Incremental symmetric VtW updates == the full V W^T einsum."""
+    from pelvistim_fem_tpu.ops.rom import build_stencil_rom, rom_extend
+    scase, _, _ = problem
+    rom_w = build_stencil_rom(scase, 4, store_w=True)
+    rom_l = build_stencil_rom(scase, 4, store_w=False)
+    assert rom_l.W is None and rom_w.W is not None
+    rng = np.random.default_rng(0)
+    G = rom_w.V.shape[1]
+    fr = np.asarray(scase.free).reshape(-1).astype(np.float64)
+    for _ in range(3):
+        v = rng.standard_normal(G) * fr
+        rom_w = rom_extend(rom_w, scase, v)
+        rom_l = rom_extend(rom_l, scase, v)
+    assert int(rom_l.rank) == int(rom_w.rank) == 3
+    scale = float(np.abs(np.asarray(rom_w.VtW)).max())
+    np.testing.assert_allclose(np.asarray(rom_l.VtW),
+                               np.asarray(rom_w.VtW),
+                               rtol=1e-12, atol=1e-13 * scale)
+    np.testing.assert_allclose(np.asarray(rom_l.V), np.asarray(rom_w.V),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(rom_l.rb), np.asarray(rom_w.rb),
+                               rtol=1e-12, atol=1e-300)
+
+
+def test_lean_certificate_matches_stored_w(problem):
+    """Same basis, W dropped: identical reduced solutions, certificate
+    equal to f64 contraction-ordering noise."""
+    import dataclasses
+    scase, hier, tables = problem
+    sub = jnp.asarray(tables[::8])
+    out = rom_sweep_refined(scase, hier, sub, tol=TOL, store_w=True)
+    rom_w = out["rom"]
+    rom_l = dataclasses.replace(rom_w, W=None)
+    y_w, rel_w = rom_solve(rom_w, sub)
+    y_l, rel_l = rom_solve(rom_l, sub, scase)
+    np.testing.assert_allclose(np.asarray(y_l), np.asarray(y_w),
+                               rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(rel_l), np.asarray(rel_w),
+                               rtol=1e-3, atol=1e-13)
+    assert float(np.asarray(rel_l).max()) <= TOL
+
+
+def test_lean_greedy_sweep_certifies(problem):
+    """End-to-end greedy sweep in lean mode: converges with the same
+    economy and field parity as the stored-W mode."""
+    scase, hier, tables = problem
+    sub = tables[::4]
+    out = rom_sweep_refined(scase, hier, sub, tol=TOL, store_w=False)
+    assert out["converged"] and out["rom"].W is None
+    assert np.asarray(out["residual"]).max() <= TOL
+    assert out["n_full"] <= 24
+    from pelvistim_fem_tpu.ops.multigrid import batched_mg_solve_refined
+    full = batched_mg_solve_refined(scase, hier,
+                                    jnp.asarray(sub[::4]), tol=TOL)
+    pf = np.asarray(full.phi)
+    phi = np.asarray(out["phi"])[::4]
+    err = np.linalg.norm(phi - pf, axis=1) / np.linalg.norm(pf, axis=1)
+    assert err.max() <= 1e-5, err.max()
+
+
+def test_lean_eqs_certificate_matches_stored_w(spectrum_problem):
+    """Complex (EQS) lean certificate parity with the stored-W form."""
+    import dataclasses
+
+    from pelvistim_fem_tpu.ops.rom import (rom_solve_eqs,
+                                           rom_spectrum_refined)
+    scase, hier, freqs, ki = spectrum_problem
+    out = rom_spectrum_refined(scase, hier, ki, tol=TOL, store_w=True)
+    rom_w = out["rom"]
+    rom_l = dataclasses.replace(rom_w, W=None)
+    F = len(freqs)
+    kr = jnp.asarray(np.tile(np.asarray(scase.sigma_table, np.float64),
+                             (F, 1)))
+    yr_w, yi_w, rel_w = rom_solve_eqs(rom_w, kr, ki)
+    yr_l, yi_l, rel_l = rom_solve_eqs(rom_l, kr, ki, scase)
+    np.testing.assert_allclose(np.asarray(yr_l), np.asarray(yr_w),
+                               rtol=1e-12, atol=1e-300)
+    np.testing.assert_allclose(np.asarray(yi_l), np.asarray(yi_w),
+                               rtol=1e-12, atol=1e-300)
+    # the residual ~1e-9 is formed from O(1) quantities, so the two
+    # contraction orders agree to ~cancellation noise, not rtol 1e-12
+    np.testing.assert_allclose(np.asarray(rel_l), np.asarray(rel_w),
+                               rtol=5e-3, atol=1e-12)
+
+
 # ── spectral (EQS) ROM ───────────────────────────────────────────────────────
 
 
