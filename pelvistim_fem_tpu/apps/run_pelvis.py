@@ -84,7 +84,26 @@ def run_sweep(args, n_cases):
     G = int(np.prod(spec.grid_shape))
     stack_gb = n_cases * 27 * G * 12 / 1e9   # f64 master + f32 inner
     t0 = time.perf_counter()
-    if stack_gb > 4.0:
+    if args.rom:
+        # Certified reduced basis (ops/rom.py): the 1-D contact axis is
+        # exactly the low-Kolmogorov-width family the ROM pays for —
+        # ~rank full solves certify ALL lanes at the same TRUE-residual
+        # 1e-8.  store_w='auto' picks the lean (W-free) form at
+        # pelvis/megatet grid sizes where a (B, cap, G) applied basis
+        # cannot exist.
+        from types import SimpleNamespace
+
+        from pelvistim_fem_tpu.ops.rom import rom_sweep_refined
+        ro = rom_sweep_refined(scase, hier, tables, tol=1e-8)
+        out = SimpleNamespace(
+            phi=jnp.asarray(ro["phi"]),
+            residual=jnp.asarray(ro["residual"]),
+            converged=jnp.asarray(np.full(n_cases, ro["converged"])),
+            iterations=jnp.zeros(n_cases, jnp.int32))
+        label = (f"reduced-basis certified ({ro['n_full']} full solves, "
+                 f"rank {int(ro['rom'].rank)}"
+                 f"{', lean' if ro['rom'].W is None else ''})")
+    elif stack_gb > 4.0:
         from pelvistim_fem_tpu.ops.multigrid import \
             batched_mg_solve_fused_refined_chunked
         label = f"chunked fused MG (per-lane stacks = {stack_gb:.0f} GB)"
@@ -391,6 +410,11 @@ def main():
     ap.add_argument("--thermal", action="store_true",
                     help="with --sweep: Pennes skin temperature rise "
                          "per case (duty-cycle scaled)")
+    ap.add_argument("--rom", action="store_true",
+                    help="with --sweep: certified reduced-basis solves "
+                         "(~rank full solves certify all lanes at 1e-8; "
+                         "lean W-free form auto-selected at megatet "
+                         "grid sizes)")
     ap.add_argument("--pulse", action="store_true",
                     help="waveform-aware recruitment: time-resolved AF "
                          "along the S3 path over the programmed "
