@@ -212,6 +212,32 @@ def test_pelvis_sweep_app_smoke(tmp_path):
     assert all(float(x["max_AF_V_per_m2"]) > 0 for x in rows)
 
 
+def test_pelvis_sweep_app_rom_smoke(tmp_path):
+    """run_pelvis --sweep --rom: the reduced-basis route certifies every
+    lane at 1e-8 and reproduces the sweep physics (monotone compliance,
+    positive AF) from ~rank full solves."""
+    import csv
+    import subprocess
+    import sys
+    from pathlib import Path
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "apps" / "run_pelvis.py"), "--smoke",
+         "--sweep", "6", "--rom", "--outdir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1200,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": "",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "reduced-basis certified" in r.stdout
+    rows = list(csv.DictReader(open(tmp_path / "sweep_summary.csv")))
+    assert len(rows) == 6
+    cv = [float(x["compliance_V"]) for x in rows]
+    assert all(a > b for a, b in zip(cv, cv[1:]))   # monotone in sigma
+    assert all(float(x["true_residual"]) <= 1e-8 for x in rows)
+    assert all(float(x["max_AF_V_per_m2"]) > 0 for x in rows)
+
+
 def test_pelvis_spec_current_integrates_exactly():
     """Spec-path Neumann load must integrate to the injected current
     from the TRUE (deformed) mesh electrode area."""
