@@ -61,9 +61,16 @@ tables = jnp.asarray(tables)
 TOL = 1e-8
 phi_full = None
 if "--rom-only" not in _sys.argv:
+    # strongest full-order baseline: flat lane-batched Pallas SpMV when
+    # in envelope (the round-3 23.9 s configuration), else fused XLA
+    from pelvistim_fem_tpu.ops.multigrid import flat_batched_ok
     CH = 25 if L > 25 else L
+    spmv = ("flat" if flat_batched_ok(scase.coeff.astype(jnp.float32),
+                                      min(L, CH)) else None)
+    print(f"full-order spmv routing: {spmv or 'fused-XLA'}", flush=True)
     fn = lambda: batched_mg_solve_fused_refined_chunked(
-        scase, hier, tables, lanes_per_chunk=CH, tol=TOL, maxiter=2000)
+        scase, hier, tables, lanes_per_chunk=CH, tol=TOL, maxiter=2000,
+        **({"spmv": spmv} if spmv else {}))
     print("compiling full-order ...", flush=True)
     t0 = time.perf_counter()
     out = fn()
@@ -91,7 +98,8 @@ if "--full-only" not in _sys.argv:
                                  store_w=False, verbose=(label == "cold"))
         t_rom = time.perf_counter() - t0
         print(f"ROM lean certified @1e-8 ({label}): {t_rom:.2f} s, "
-              f"{rout['n_full']} full solves, rank "
+              f"{rout['n_full']} full + {rout['n_polish']} "
+              f"warm-polish solves, rank "
               f"{int(rout['rom'].rank)}, max residual "
               f"{np.asarray(rout['residual']).max():.2e}, converged "
               f"{rout['converged']}", flush=True)

@@ -100,7 +100,8 @@ def run_sweep(args, n_cases):
             residual=jnp.asarray(ro["residual"]),
             converged=jnp.asarray(np.full(n_cases, ro["converged"])),
             iterations=jnp.zeros(n_cases, jnp.int32))
-        label = (f"reduced-basis certified ({ro['n_full']} full solves, "
+        label = (f"reduced-basis certified ({ro['n_full']} full + "
+                 f"{ro['n_polish']} warm-polish solves, "
                  f"rank {int(ro['rom'].rank)}"
                  f"{', lean' if ro['rom'].W is None else ''})")
     elif stack_gb > 4.0:

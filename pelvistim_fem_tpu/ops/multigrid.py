@@ -934,7 +934,7 @@ def batched_mg_solve_fused(scase: StencilCase, hier: MGHierarchy,
                                    "omega", "coarse_iters",
                                    "max_refinements", "spmv"))
 def batched_mg_solve_fused_refined(scase: StencilCase, hier: MGHierarchy,
-                                   sigma_tables, *, tol=1e-8,
+                                   sigma_tables, x_init=None, *, tol=1e-8,
                                    inner_tol=3e-4, maxiter=2_000, nu=2,
                                    omega=0.7, coarse_iters=24,
                                    max_refinements=8, spmv=None):
@@ -944,6 +944,13 @@ def batched_mg_solve_fused_refined(scase: StencilCase, hier: MGHierarchy,
     last cell of the (problem-size x sweep-width) matrix — previously
     such sweeps had only the ~1095-iteration Jacobi fused path at a
     non-certified 1e-6.
+
+    x_init: optional (L, X, Y, Z) f64 warm start (Dirichlet slots must
+    carry their lifted values).  The refinement loop is a fixed point of
+    the TRUE f64 residual, so a good warm start (e.g. a reduced-basis
+    reconstruction, ops/rom.py) converges in the few inner iterations
+    its own residual warrants — this is what makes ROM fallback lanes
+    cheap instead of cold full solves.
 
     scase/hier may be any float dtype; the f64 master and f32 inner
     operators are both derived here.  Requires jax_enable_x64."""
@@ -973,7 +980,7 @@ def batched_mg_solve_fused_refined(scase: StencilCase, hier: MGHierarchy,
     nrm = lambda a: jnp.sqrt(red(a * a))
     ex = lambda v: v[:, None, None, None]
     bnorm = nrm(b64)
-    x = x0
+    x = x0 if x_init is None else x_init.astype(jnp.float64)
 
     def refine(carry):
         x, rel_old, total_it, k = carry
@@ -1006,7 +1013,7 @@ def batched_mg_solve_fused_refined(scase: StencilCase, hier: MGHierarchy,
 
 def batched_mg_solve_fused_refined_chunked(scase: StencilCase,
                                            hier: MGHierarchy,
-                                           sigma_tables, *,
+                                           sigma_tables, x_init=None, *,
                                            lanes_per_chunk=25, **kw):
     """batched_mg_solve_fused_refined in lane chunks.
 
@@ -1031,11 +1038,15 @@ def batched_mg_solve_fused_refined_chunked(scase: StencilCase,
     outs = []
     for i in range(0, L, c):
         chunk = sigma_tables[i:i + c]
+        xi = None if x_init is None else x_init[i:i + c]
         pad = c - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate(
                 [chunk, jnp.repeat(chunk[-1:], pad, axis=0)])
-        r = batched_mg_solve_fused_refined(scase, hier, chunk, **kw)
+            if xi is not None:
+                xi = jnp.concatenate(
+                    [xi, jnp.repeat(xi[-1:], pad, axis=0)])
+        r = batched_mg_solve_fused_refined(scase, hier, chunk, xi, **kw)
         if pad:
             r = jax.tree_util.tree_map(lambda a: a[:c - pad], r)
         outs.append(r)

@@ -69,6 +69,55 @@ __all__ = ["StencilROM", "build_stencil_rom", "rom_extend", "rom_solve",
 _HP = jax.lax.Precision.HIGHEST
 
 
+def _gauss_solve(A, b):
+    """Batched dense solve (A (L, n, n), b (L, n)) by Gauss-Jordan
+    elimination WITHOUT pivoting.
+
+    Replaces jnp.linalg.solve because TPU XLA implements LuDecomposition
+    only for f32/c64 (measured on v5e: 'Only F32 and C64 types are
+    implemented in LuDecomposition; got shape f64[100,40,40]') and the
+    certificates require the reduced solve in f64.  Pivoting-free is
+    valid for every system this module builds: the real reduced
+    operators are SPD (sigma-weighted VtW blocks + identity on padded
+    slots) and the EQS real-block form [[Ar,-Ai],[Ai,Ar]] has the
+    positive-definite symmetric part diag(Ar, Ar) — either property
+    makes all leading principal minors nonsingular."""
+    n = A.shape[-1]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)   # (L, n, n+1)
+
+    def step(M, k):
+        piv = M[:, k, :] / M[:, k, k][:, None]        # normalized row k
+        fac = M[:, :, k].at[:, k].set(0.0)            # keep row k itself
+        M = M - fac[:, :, None] * piv[:, None, :]
+        M = M.at[:, k, :].set(piv)
+        return M, None
+
+    M, _ = jax.lax.scan(step, M, jnp.arange(n))
+    return M[:, :, n]
+
+
+def _reduced_solve(A, rhs):
+    """Reduced r x r solves: Jacobi-equilibrated Gauss-Jordan + one
+    f64 iterative-refinement pass.
+
+    The reduced diagonal inherits the sweep's decade span (A_ll ~
+    sigma-weighted Rayleigh quotients), so raw elimination leaves a
+    backward error of kappa * eps that FLOORS the N-vector certificate
+    (measured at megatet: worst lanes plateaued at ~1.5e-8 > tol with
+    the basis provably able to do better).  Symmetric equilibration
+    removes the span from kappa and one refinement step pushes the
+    reduced-solve error to machine precision, so the certificate is
+    limited by the BASIS, not by the dense solve."""
+    d = jnp.sqrt(jnp.maximum(
+        jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), 1e-300))
+    As = A / (d[:, :, None] * d[:, None, :])
+    bs = rhs / d
+    y = _gauss_solve(As, bs)
+    r = bs - jnp.einsum("lrs,ls->lr", As, y, precision=_HP)
+    y = y + _gauss_solve(As, r)
+    return y / d
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StencilROM:
@@ -185,22 +234,40 @@ def _insert_row_lean(rom: StencilROM, v, w):
         rank=k + 1)
 
 
-def rom_extend(rom: StencilROM, scase: StencilCase, v_flat):
-    """Orthonormalize v against the live basis (2-pass MGS, host) and
-    append; returns rom unchanged if v is already in the span or the
-    capacity is full."""
+@jax.jit
+def _project_out(V, v):
+    """2-pass MGS projection of v against V's live rows (padded rows
+    are zero, so no rank masking is needed); returns (v_orth, ||v_orth||,
+    ||v||) without ever shipping the basis to host — the host MGS this
+    replaces pulled k * G f64 per extend (~30 MB at megatet rank 12),
+    a multi-second axon readback per snapshot."""
+    n0 = jnp.sqrt(jnp.sum(v * v))
+    for _ in range(2):
+        c = jnp.einsum("rg,g->r", V, v, precision=_HP)
+        v = v - jnp.einsum("rg,r->g", V, c, precision=_HP)
+    return v, jnp.sqrt(jnp.sum(v * v)), n0
+
+
+def rom_extend(rom: StencilROM, scase: StencilCase, v_flat,
+               drop_tol: float = 1e-12):
+    """Orthonormalize v against the live basis (2-pass MGS, on device)
+    and append; returns rom unchanged if v is already in the span or
+    the capacity is full.
+
+    drop_tol: relative remainder norm below which the snapshot counts
+    as in-span.  Deliberately tiny by default: near-noise directions
+    (remainder ~solver tol) sometimes measurably HELP certification at
+    hard conditioning and sometimes degrade it, so the greedy loops
+    guard with best-state tracking/revert instead of a threshold here
+    (see rom_sweep_refined)."""
     k = int(rom.rank)
     if k >= rom.capacity:
         return rom
-    v = np.asarray(v_flat, np.float64)
-    Vh = np.asarray(rom.V[:k]) if k else None
-    if k:
-        for _ in range(2):
-            v = v - Vh.T @ (Vh @ v)
-    nv = float(np.linalg.norm(v))
-    if nv < 1e-12 * max(1.0, float(np.linalg.norm(np.asarray(v_flat)))):
+    vo, nv, n0 = _project_out(rom.V, jnp.asarray(v_flat, jnp.float64))
+    nv, n0 = float(nv), float(n0)       # two scalar readbacks only
+    if nv < drop_tol * max(1.0, n0):
         return rom                      # snapshot already in the span
-    v = jnp.asarray(v / nv)
+    v = vo / nv
     insert = _insert_row if rom.W is not None else _insert_row_lean
     return insert(rom, v, _apply_bodies(scase, v))
 
@@ -215,7 +282,7 @@ def _rom_eval(rom: StencilROM, tables):
          + jnp.diag(pad.astype(jnp.float64))[None])
     rhs = rom.r0[None] + jnp.einsum("lb,br->lr", s, rom.rb,
                                     precision=_HP)
-    y = jnp.linalg.solve(A, rhs[..., None])[..., 0]   # (L, cap)
+    y = _reduced_solve(A, rhs)                        # (L, cap)
     bfull = rom.b0[None] + jnp.einsum("lb,bg->lg", s, rom.bb,
                                       precision=_HP)
     t = jnp.einsum("lb,lr->lbr", s, y, precision=_HP)
@@ -227,18 +294,26 @@ def _rom_eval(rom: StencilROM, tables):
 
 def _lean_apply_sum(scase: StencilCase, X, *svecs):
     """sum_b s[:, b] * masked(C_b @ X_l) for a batch X (L, G) of
-    free-masked flat grid fields, for each weight table s in svecs
-    (the per-body applies are shared) — B vmapped 27-point applies,
-    no (B, cap, G) or (L, 27, G) intermediate ever materialized."""
+    free-masked flat grid fields, for each weight table s in svecs —
+    via the body-factored fused SpMV (stencil.batched_stencil_spmv_fused,
+    the certified fused solvers' operator): the per-body stencils are
+    read ONCE per apply and broadcast over lanes, ~(27 + B*27/L) * L*G
+    traffic instead of the per-body vmapped form's ~B*27*L*G (measured
+    at megatet L=100: the per-round certificate was the dominant cost
+    of the whole greedy sweep).  No (B, cap, G) or (L, 27, G)
+    intermediate is ever materialized."""
+    from pelvistim_fem_tpu.ops.stencil import batched_stencil_spmv_fused
     free = scase.free
     Xg = X.reshape((-1,) + free.shape)
     coeff = scase.coeff.astype(jnp.float64)
-    accs = [jnp.zeros_like(X) for _ in svecs]
-    for b in range(coeff.shape[0]):
-        ap = jax.vmap(lambda xg: stencil_spmv(xg, coeff[b]))(Xg)
-        ap = jnp.where(free[None], ap, 0.0).reshape(X.shape)
-        accs = [a + s[:, b, None] * ap for a, s in zip(accs, svecs)]
-    return accs[0] if len(svecs) == 1 else tuple(accs)
+    outs = []
+    for s in svecs:
+        # sigma_tables layout: body b lives at column b+1
+        tab = jnp.concatenate(
+            [jnp.zeros((s.shape[0], 1), s.dtype), s], axis=1)
+        ap = batched_stencil_spmv_fused(Xg, coeff, tab)
+        outs.append(jnp.where(free[None], ap, 0.0).reshape(X.shape))
+    return outs[0] if len(svecs) == 1 else tuple(outs)
 
 
 @jax.jit
@@ -252,7 +327,7 @@ def _rom_eval_lean(rom: StencilROM, scase: StencilCase, tables):
          + jnp.diag(pad.astype(jnp.float64))[None])
     rhs = rom.r0[None] + jnp.einsum("lb,br->lr", s, rom.rb,
                                     precision=_HP)
-    y = jnp.linalg.solve(A, rhs[..., None])[..., 0]   # (L, cap)
+    y = _reduced_solve(A, rhs)                        # (L, cap)
     bfull = rom.b0[None] + jnp.einsum("lb,bg->lg", s, rom.bb,
                                       precision=_HP)
     X = jnp.einsum("lr,rg->lg", y, rom.V, precision=_HP)
@@ -296,19 +371,39 @@ def rom_reconstruct(rom: StencilROM, scase: StencilCase, y):
 
 def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
                       max_snapshots=40, seed_tables=None,
-                      store_w="auto", verbose=False):
+                      store_w="auto", snapshots_per_round=4,
+                      verbose=False):
     """Greedy certified sweep: reduced-evaluate every lane, full-solve
-    only the worst uncertified one, extend the basis, repeat.
+    a small BATCH of the worst uncertified ones, extend the basis,
+    repeat; revert to the best-certifying state seen if extra
+    directions stop helping; warm-polish whatever the basis cannot
+    certify.
 
     store_w="auto" switches to the LEAN basis (V only, direct-apply
     certificates) above ~1.5 GB of applied-basis storage, which is what
     makes this compose with the megatet flagship (dev/rom_megatet_ab.py).
 
+    snapshots_per_round: lanes full-solved per greedy round (as ONE
+    batched refined solve), picked as the per-block argmax residuals
+    over the uncertified index range — the certificate pass (B direct
+    stencil applies over ALL lanes in the lean form) is the expensive
+    step at megatet scale, so amortizing it over several snapshots cuts
+    the sweep wall several-fold at identical certificates.
+
+    Best-state tracking replaces a remainder threshold: directions with
+    remainder ~solver-tol sometimes HELP (megatet rank 14 jumped
+    certification 14 -> 27 lanes) and sometimes HURT (rank 18 dropped
+    it 73 -> 23), so the loop keeps the (certified count, -worst
+    residual) maximizer and reverts to it when two consecutive rounds
+    fail to improve.
+
     Returns dict: phi (L, N) mesh-order fields, residual (L,) TRUE
     rel residuals (all <= tol on success), y, rom, n_full (full
-    certified solves spent), converged.
+    certified solves spent), n_polish (warm-started fallback lanes),
+    converged.
     """
-    from pelvistim_fem_tpu.ops.multigrid import solve_stencil_mg_refined
+    from pelvistim_fem_tpu.ops.multigrid import (
+        batched_mg_solve_fused_refined_chunked, solve_stencil_mg_refined)
     from pelvistim_fem_tpu.ops.solve import require_x64
     require_x64("rom_sweep_refined")
     tabs = jnp.asarray(np.atleast_2d(np.asarray(tables, np.float64)))
@@ -325,36 +420,74 @@ def rom_sweep_refined(scase: StencilCase, hier, tables, *, tol=1e-8,
         assert bool(np.asarray(res.converged))
         rom = rom_extend(rom, scase, _snapshot_vector(scase, res.phi))
 
+    best = None          # (score, y, rel_h, rom) — score maximized
+    stall = 0
     while True:
         y, rel = rom_solve(rom, tabs, scase)
-        rel_h = np.asarray(rel)
-        worst = int(np.argmax(rel_h))
+        rel_h = np.array(rel)               # writable host copy
+        n_cert = int((rel_h <= tol).sum())
+        worst = float(rel_h.max())
         if verbose:
             print(f"  [rom] rank {int(rom.rank)}: certified "
-                  f"{(rel_h <= tol).sum()}/{len(rel_h)} lanes, "
-                  f"worst {rel_h[worst]:.2e}")
-        if rel_h[worst] <= tol or int(rom.rank) >= max_snapshots:
+                  f"{n_cert}/{len(rel_h)} lanes, worst {worst:.2e}")
+        score = (n_cert, -worst)
+        if best is None or score > best[0]:
+            best, stall = (score, y, rel_h, rom), 0
+        else:
+            stall += 1
+        if worst <= tol or int(rom.rank) >= max_snapshots or stall >= 2:
             break
-        res = solve_stencil_mg_refined(scase, hier, tabs[worst],
-                                       tol=tol)
-        n_full += 1
-        assert bool(np.asarray(res.converged))
+        # pick up to snapshots_per_round uncertified lanes, spread over
+        # the family: per-block argmax of the residual profile (the
+        # parameter family is 1-D and lane-ordered, so adjacent worst
+        # lanes would be near-duplicate snapshots)
+        bad = np.flatnonzero(rel_h > tol)
+        kb = int(min(snapshots_per_round, bad.size,
+                     max_snapshots - int(rom.rank)))
+        pick = sorted({int(b[np.argmax(rel_h[b])])
+                       for b in np.array_split(bad, kb) if b.size})
+        res = batched_mg_solve_fused_refined_chunked(
+            scase, hier, tabs[np.asarray(pick)],
+            lanes_per_chunk=snapshots_per_round, tol=tol)
+        assert bool(np.asarray(res.converged).all())
+        n_full += len(pick)
         rank_before = int(rom.rank)
-        rom = rom_extend(rom, scase, _snapshot_vector(scase, res.phi))
+        for j in range(len(pick)):
+            rom = rom_extend(rom, scase,
+                             _snapshot_vector(scase, res.phi[j]))
         if int(rom.rank) == rank_before:    # span stalled: cannot improve
             break
 
-    phi = np.asarray(rom_reconstruct(rom, scase, y))
-    # unconditional certificate: any lane the basis could not certify
-    # (capacity exhausted / span stalled) is full-solved directly
-    for i in np.flatnonzero(rel_h > tol):
-        res = solve_stencil_mg_refined(scase, hier, tabs[i], tol=tol)
-        n_full += 1
-        assert bool(np.asarray(res.converged))
-        phi[i] = np.asarray(res.phi)
-        rel_h[i] = float(np.asarray(res.residual))
+    _, y, rel_h, rom = best                 # best-certifying state
+    phi = np.array(rom_reconstruct(rom, scase, y))
+    # Unconditional certificate: lanes the basis could not certify
+    # (capacity exhausted / span stalled / the r x r solve's
+    # kappa(K) * eps conditioning floor at megatet scale) are POLISHED
+    # by the fused refined solver WARM-STARTED from the reduced
+    # reconstruction — each costs the few inner iterations its own
+    # ~10x-tol residual warrants, not a cold full solve.
+    bad = np.flatnonzero(rel_h > tol)
+    n_polish = int(bad.size)
+    if bad.size:
+        from pelvistim_fem_tpu.ops.multigrid import \
+            batched_mg_solve_fused_refined_chunked
+        free = np.asarray(scase.free)
+        gi = np.asarray(scase.grid_index)
+        lift = np.where(free, 0.0,
+                        np.asarray(scase.dirichlet, np.float64)) \
+            .reshape(-1)
+        Xw = np.tile(lift[None], (n_polish, 1))
+        Xw[:, gi] = phi[bad]                # mesh order -> grid slots
+        Xw = np.where(free.reshape(-1)[None], Xw, lift[None])
+        res = batched_mg_solve_fused_refined_chunked(
+            scase, hier, jnp.asarray(np.asarray(tabs)[bad]),
+            jnp.asarray(Xw.reshape((n_polish,) + free.shape)), tol=tol)
+        assert bool(np.asarray(res.converged).all())
+        phi[bad] = np.asarray(res.phi)
+        rel_h[bad] = np.asarray(res.residual)
     return {"phi": phi, "y": y, "residual": rel_h, "rom": rom,
-            "n_full": n_full, "converged": bool((rel_h <= tol).all())}
+            "n_full": n_full, "n_polish": n_polish,
+            "converged": bool((rel_h <= tol).all())}
 
 
 # ── spectral (EQS) ROM ───────────────────────────────────────────────────────
@@ -387,7 +520,7 @@ def _rom_eval_eqs(rom: StencilROM, kr_tables, ki_tables):
                                       precision=_HP)
     rhs_i = jnp.einsum("lb,br->lr", si, rom.rb, precision=_HP)
     rhs = jnp.concatenate([rhs_r, rhs_i], axis=1)
-    y = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    y = _reduced_solve(M, rhs)
     yr, yi = y[:, :cap], y[:, cap:]
 
     br = rom.b0[None] + jnp.einsum("lb,bg->lg", sr, rom.bb,
@@ -424,7 +557,7 @@ def _rom_eval_eqs_lean(rom: StencilROM, scase: StencilCase, kr_tables,
                                       precision=_HP)
     rhs_i = jnp.einsum("lb,br->lr", si, rom.rb, precision=_HP)
     rhs = jnp.concatenate([rhs_r, rhs_i], axis=1)
-    y = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+    y = _reduced_solve(M, rhs)
     yr, yi = y[:, :cap], y[:, cap:]
 
     br = rom.b0[None] + jnp.einsum("lb,bg->lg", sr, rom.bb,
@@ -519,7 +652,7 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
         n_full += 1
     while True:
         yr, yi, rel = rom_solve_eqs(rom, kr, ki, scase)
-        rel_h = np.asarray(rel)
+        rel_h = np.array(rel)               # writable host copy
         worst = int(np.argmax(rel_h))
         if verbose:
             print(f"  [rom-eqs] rank {int(rom.rank)}: certified "
@@ -533,7 +666,7 @@ def rom_spectrum_refined(scase: StencilCase, hier, ki_tables,
         if int(rom.rank) == rank_before:    # span stalled
             break
 
-    phi = np.asarray(rom_reconstruct_eqs(rom, scase, yr, yi))
+    phi = np.array(rom_reconstruct_eqs(rom, scase, yr, yi))
     # unconditional certificate: full-solve any lane the basis could
     # not certify (capacity exhausted / span stalled)
     for i in np.flatnonzero(rel_h > tol):
