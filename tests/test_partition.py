@@ -200,3 +200,34 @@ def test_owned_refined_true_residual_is_honest():
     rel = float(jnp.linalg.norm(res) / jnp.linalg.norm(b_eff))
     assert rel <= 1.2e-8, rel
     assert abs(rel - float(np.asarray(r.residual))) <= 0.3 * max(rel, 1e-12)
+
+
+def test_owned_refined_amg_preconditioned():
+    """AMG-composed owned partition (round-4 VERDICT item 5): the
+    node-owned refined solve with the AMG V-cycle (distributed fine
+    smoothing + replicated coarse tail) keeps the certified contract,
+    matches the Jacobi-inner fields, and cuts inner iterations by
+    >= 2x at 2/4/8 devices."""
+    from pelvistim_fem_tpu.models.pressure import build_pressure_case
+    from pelvistim_fem_tpu.ops.amg import build_amg
+    from pelvistim_fem_tpu.parallel.partition import (
+        partition_case_owned, sharded_solve_owned_refined)
+
+    case, params, mesh = build_pressure_case(coarse=True,
+                                             dtype=jnp.float64,
+                                             with_mesh=True)
+    amg = build_amg(case, mesh=mesh, fine_ell=False)
+    assert len(amg.levels) >= 2
+    for n_dev in (2, 4, 8):
+        pc = partition_case_owned(case, n_dev)
+        m = Mesh(np.asarray(jax.devices()[:n_dev]), ("x",))
+        rj = sharded_solve_owned_refined(pc, m, tol=1e-8)
+        ra = sharded_solve_owned_refined(pc, m, tol=1e-8, amg=amg)
+        assert bool(np.asarray(ra.converged)), n_dev
+        assert float(np.asarray(ra.residual)) <= 1e-8, n_dev
+        scale = float(np.abs(np.asarray(rj.phi)).max())
+        np.testing.assert_allclose(
+            np.asarray(ra.phi), np.asarray(rj.phi), rtol=0,
+            atol=4e-7 * scale)
+        it_j, it_a = int(rj.iterations), int(ra.iterations)
+        assert it_a * 2 <= it_j, (n_dev, it_a, it_j)

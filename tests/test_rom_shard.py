@@ -112,7 +112,13 @@ def test_sharded_greedy_sweep_end_to_end(problem):
     out = rom_sweep_refined_sharded(scase, hier, tables, mesh, tol=TOL)
     assert out["converged"]
     assert out["residual"].max() <= TOL
-    assert out["n_full"] <= 24 and out["n_full"] <= L
+    # Non-vacuous economy (round-4 VERDICT item 1): the 1-D contact
+    # family's manifold saturates at rank ~17 over these 3 decades
+    # (measured; margin 3), so the basis certifies lanes it never
+    # snapshotted — n_full + n_polish strictly below the lane count.
+    assert out["n_full"] <= 20, (out["n_full"], out["n_polish"])
+    assert out["n_full"] + out["n_polish"] < L, \
+        (out["n_full"], out["n_polish"])
     assert isinstance(out["rom"].V, np.ndarray)   # host-resident basis
     for i in (0, L // 2, L - 1):
         r = sharded_stencil_solve_mg_refined(
@@ -148,3 +154,23 @@ def test_host_extend_matches_device_insert(problem):
                                rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(hrom.rb, np.asarray(drom.rb),
                                rtol=1e-10, atol=1e-300)
+
+
+@pytest.mark.parametrize("n_dev", [3, 8])
+def test_apply_bodies_sharded_matches_single(problem, n_dev):
+    """The slab-local per-body applies that extend the host basis equal
+    the single-device ops/rom._apply_bodies (incl. padded inert planes
+    at n_dev=3)."""
+    from pelvistim_fem_tpu.ops.rom import _apply_bodies
+    from pelvistim_fem_tpu.parallel.rom_shard import _apply_bodies_sharded
+    scase, _, _ = problem
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("x",))
+    rng = np.random.default_rng(7)
+    G = int(np.prod(scase.free.shape))
+    v = np.where(np.asarray(scase.free).reshape(-1),
+                 rng.standard_normal(G), 0.0)
+    w_ref = np.asarray(_apply_bodies(scase, jnp.asarray(v)))
+    w_sh = _apply_bodies_sharded(scase, v, mesh)
+    scale = float(np.abs(w_ref).max())
+    np.testing.assert_allclose(w_sh, w_ref, rtol=1e-12,
+                               atol=1e-13 * scale)

@@ -127,3 +127,38 @@ def test_sharded_mg_refined_certified_1e8(mg_problem, refined_ref, n_dev):
     np.testing.assert_allclose(
         np.asarray(r.phi), np.asarray(refined_ref.phi),
         atol=2e-8 * float(np.abs(np.asarray(refined_ref.phi)).max()))
+
+
+def test_sharded_mg_refined_warm_start(mg_problem, refined_ref):
+    """x0 warm start (the sharded ROM's polish fallback, round-4
+    VERDICT item 1a): starting the refined solve from a near-solution
+    must (a) still meet the certified contract, (b) cost fewer inner
+    iterations than the cold solve, (c) reproduce the cold fields."""
+    from pelvistim_fem_tpu.parallel.stencil_shard import \
+        sharded_stencil_solve_mg_refined
+    sc, hier, _ = mg_problem
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    cold = sharded_stencil_solve_mg_refined(sc, hier, mesh, tol=1e-8,
+                                            maxiter=2000)
+    assert bool(cold.converged)
+    # grid-shaped warm start: the converged solution + a 1e-3 relative
+    # perturbation on the free slots (a "reduced reconstruction"-grade
+    # initial guess)
+    free = np.asarray(sc.free)
+    gi = np.asarray(sc.grid_index)
+    xg = np.zeros(free.size)
+    xg[gi] = np.asarray(cold.phi)
+    rng = np.random.default_rng(0)
+    scale = 1e-3 * float(np.abs(xg).max())
+    x0 = np.where(free.reshape(-1),
+                  xg + scale * rng.standard_normal(free.size), 0.0)
+    warm = sharded_stencil_solve_mg_refined(
+        sc, hier, mesh, x0=jnp.asarray(x0.reshape(free.shape)),
+        tol=1e-8, maxiter=2000)
+    assert bool(warm.converged)
+    assert float(np.asarray(warm.residual)) <= 1e-8
+    assert int(warm.iterations) < int(cold.iterations), \
+        (int(warm.iterations), int(cold.iterations))
+    np.testing.assert_allclose(
+        np.asarray(warm.phi), np.asarray(cold.phi),
+        atol=2e-8 * float(np.abs(np.asarray(cold.phi)).max()))
