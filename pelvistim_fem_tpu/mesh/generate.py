@@ -247,6 +247,8 @@ def layered_slab_mesh(
     contact_h_z: float = None,
     h_fine: float = 0.0015,      # xy spacing under electrodes
     h_coarse: float = 0.003,     # xy spacing elsewhere
+    rim_refine: float = 0.0,     # >1: electrode-rim bands at h_fine/rim_refine
+    rim_band_w: float = 0.0,     # band half-width override [m]
     cross_section: str = "rect",
     ankle_z_top_fn=None,         # (x, y) -> z_top for "ankle" deformation
     outline_polygon=None,        # [(x, y)] for "ankle" cross-section carve
@@ -259,6 +261,7 @@ def layered_slab_mesh(
         Lx, Ly, Lz, layers=layers, electrodes=electrodes,
         elec_shape=elec_shape, contact_t=contact_t,
         contact_h_z=contact_h_z, h_fine=h_fine, h_coarse=h_coarse,
+        rim_refine=rim_refine, rim_band_w=rim_band_w,
         cross_section=cross_section, ankle_z_top_fn=ankle_z_top_fn,
         outline_polygon=outline_polygon, explicit_zs=explicit_zs).mesh()
 
@@ -275,6 +278,8 @@ def layered_slab_recipe(
     contact_h_z: float = None,
     h_fine: float = 0.0015,
     h_coarse: float = 0.003,
+    rim_refine: float = 0.0,
+    rim_band_w: float = 0.0,
     cross_section: str = "rect",
     ankle_z_top_fn=None,
     outline_polygon=None,
@@ -292,12 +297,28 @@ def layered_slab_recipe(
 
     (e1x, e1y, r1), (e2x, e2y, r2) = electrodes
     pad = 1.15  # refine slightly past the footprint edge
-    xs = graded_axis(0, Lx, [(e1x - r1 * pad, e1x + r1 * pad),
-                             (e2x - r2 * pad, e2x + r2 * pad)],
-                     h_fine, h_coarse)
-    ys = graded_axis(0, Ly, [(e1y - r1 * pad, e1y + r1 * pad),
-                             (e2y - r2 * pad, e2y + r2 * pad)],
-                     h_fine, h_coarse)
+    fine_x = [(e1x - r1 * pad, e1x + r1 * pad),
+              (e2x - r2 * pad, e2x + r2 * pad)]
+    fine_y = [(e1y - r1 * pad, e1y + r1 * pad),
+              (e2y - r2 * pad, e2y + r2 * pad)]
+    if rim_refine > 1.0:
+        # Extra-fine RIM BANDS (round-4 VERDICT item 4: the staircase
+        # rim dominates the geometric flux_err).  A band of width w
+        # around every axis-coordinate the rim crosses at spacing
+        # h_fine/rim_refine: per-axis tensor banding refines the cells
+        # the rim traverses while leaving the footprint interior (and
+        # the sweep's node budget) nearly untouched.
+        h_rim = h_fine / rim_refine
+        w = rim_band_w if rim_band_w > 0 else max(3 * h_rim, 0.12 * r1)
+        for (cx, cy, r) in ((e1x, e1y, r1), (e2x, e2y, r2)):
+            for frac in (1.0, 0.7071):
+                for s in (-1.0, 1.0):
+                    fine_x.append((cx + s * frac * r - w,
+                                   cx + s * frac * r + w, h_rim))
+                    fine_y.append((cy + s * frac * r - w,
+                                   cy + s * frac * r + w, h_rim))
+    xs = graded_axis(0, Lx, fine_x, h_fine, h_coarse)
+    ys = graded_axis(0, Ly, fine_y, h_fine, h_coarse)
     # Exact footprint extents as knots: square footprints become exact;
     # circular rims gain on-axis anchor points for rim snapping below.
     def _merge_knots(base, extra, tol):
@@ -394,6 +415,11 @@ def layered_slab_recipe(
     # the staircase-footprint error in mesh electrode area and geometric
     # flux integration (the reference gets smooth rims from Gmsh's CAD
     # fragment, step02 run_sweep.py:66-79).
+    # Rim-band refinement shrinks the local column spacing at the rim;
+    # the snap band/clamp must follow it or two band columns could land
+    # on the same radius (squashed cells).
+    h_snap = h_fine / rim_refine if rim_refine > 1.0 else h_fine
+
     def _snap_rims(nodes):
         if elec_shape != "circle":
             return nodes
@@ -406,8 +432,8 @@ def layered_slab_recipe(
             # the rim move onto the circle.  Snapping from both sides
             # would land radially-adjacent columns on the same radius
             # and squash the cells between them to zero volume.
-            band = (d < r) & (d > r - 0.5 * h_fine) & (d > 1e-12)
-            disp = np.minimum(r - d[band], 0.35 * h_fine)
+            band = (d < r) & (d > r - 0.5 * h_snap) & (d > 1e-12)
+            disp = np.minimum(r - d[band], 0.35 * h_snap)
             scale = (d[band] + disp) / d[band]
             nodes[band, 0] = cx + dx[band] * scale
             nodes[band, 1] = cy + dy[band] * scale

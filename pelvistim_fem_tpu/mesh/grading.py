@@ -56,39 +56,51 @@ def graded_axis(a: float, b: float, fine_regions, h_fine: float,
                 h_coarse: float, ratio: float = 1.35) -> np.ndarray:
     """Monotone knot vector on [a, b].
 
-    fine_regions: iterable of (lo, hi) intervals meshed at spacing h_fine
-    (clipped to [a, b]); gaps are graded geometrically up to h_coarse.
-    Interval endpoints become exact knots, so features such as electrode
-    footprint extents land on grid lines.
+    fine_regions: iterable of (lo, hi) intervals meshed at spacing
+    h_fine — or (lo, hi, h) for a per-region spacing override (e.g.
+    extra-fine electrode-rim bands) — clipped to [a, b]; gaps are graded
+    geometrically up to h_coarse.  Interval endpoints become exact
+    knots, so features such as electrode footprint extents land on grid
+    lines.  Overlapping regions are split so the FINEST requested
+    spacing wins on the overlap.
     """
     regions = []
-    for lo, hi in fine_regions:
+    for reg in fine_regions:
+        lo, hi = reg[0], reg[1]
+        h = reg[2] if len(reg) > 2 else h_fine
         lo, hi = max(a, lo), min(b, hi)
         if hi - lo > 1e-12:
-            regions.append((lo, hi))
-    regions.sort()
-    # merge overlaps
+            regions.append((lo, hi, h))
+    # split into elementary intervals where the finest h wins
+    cuts = sorted({a, b} | {r[0] for r in regions}
+                  | {r[1] for r in regions})
     merged: list[list[float]] = []
-    for lo, hi in regions:
-        if merged and lo <= merged[-1][1] + 1e-12:
-            merged[-1][1] = max(merged[-1][1], hi)
+    for lo, hi in zip(cuts, cuts[1:]):
+        hs = [h for (rl, rh, h) in regions
+              if rl <= lo + 1e-12 and rh >= hi - 1e-12]
+        if not hs:
+            continue
+        h = min(hs)
+        if merged and abs(lo - merged[-1][1]) <= 1e-12 \
+                and merged[-1][2] == h:
+            merged[-1][1] = hi
         else:
-            merged.append([lo, hi])
+            merged.append([lo, hi, h])
 
     knots = [a]
     cursor = a
     h_at_cursor = h_coarse
-    for lo, hi in merged:
+    for lo, hi, h in merged:
         if lo > cursor + 1e-12:
-            inner = _fill_segment(cursor, lo, h_at_cursor, h_fine, ratio)
+            inner = _fill_segment(cursor, lo, h_at_cursor, h, ratio)
             knots.extend(inner.tolist())
             knots.append(lo)
         elif lo > cursor:
             knots.append(lo)
-        fine = uniform_axis(lo, hi, h_fine)
+        fine = uniform_axis(lo, hi, h)
         knots.extend(fine[1:].tolist())
         cursor = hi
-        h_at_cursor = h_fine
+        h_at_cursor = h
     if b > cursor + 1e-12:
         inner = _fill_segment(cursor, b, h_at_cursor, h_coarse, ratio)
         knots.extend(inner.tolist())

@@ -111,6 +111,12 @@ def layered_model_inputs(params: dict | None = None, *,
         contact_h_z=t_contact if t_contact > 0 else None,
         h_fine=lc_elec,
         h_coarse=lc_bulk,
+        # Electrode-rim band refinement (round-5: kills the staircase
+        # flux_err plateau — mesh/generate.py rim bands; the lattice
+        # analogue of the reference's Distance/Threshold rim sizing,
+        # step02 run_sweep.py:112-121)
+        rim_refine=float(m.get("rim_refine", 0.0)),
+        rim_band_w=float(m.get("rim_band_w_mm", 0.0)) * 1e-3,
         cross_section=cross,
         ankle_z_top_fn=(
             (lambda x, y: ankle_z_top(x, y, Lx, Ly, Lz))

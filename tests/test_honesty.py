@@ -91,3 +91,35 @@ def test_step03_anchor_flux_err_margin():
     assert cur["flux_err_consistent"] < 1e-8
     # reference banner is 2%; require headroom
     assert cur["flux_err"] < 0.02, cur["flux_err"]
+
+    # PARITY-DRIFT GUARD (round-4 VERDICT item 8): the judged parity
+    # document went stale in round 3 because nothing failed when it
+    # did.  Re-derive the headline anchor numbers cited in PARITY.md's
+    # top table ("Ours, base lattice" column) and pin them to what this
+    # full-res solve actually produces, at a coarse tolerance band.
+    import re
+    from pathlib import Path
+
+    from pelvistim_fem_tpu.ops.metrics import extract_results
+    row = extract_results(case, r.phi, params, verbose=False)
+    text = Path(__file__).resolve().parents[1].joinpath(
+        "PARITY.md").read_text()
+    table = text.split("## step01")[0]
+
+    def cited(metric):
+        m = re.search(rf"\| {re.escape(metric)} \|[^|]*\|([^|]*)\|",
+                      table)
+        assert m, f"PARITY.md anchor table lost its {metric} row"
+        v = re.search(r"[-+]?\d+\.?\d*", m.group(1).replace("%", ""))
+        return float(v.group(0))
+
+    assert abs(cited("compliance_V") - row["compliance_V"]) \
+        <= 0.02 * row["compliance_V"], \
+        (cited("compliance_V"), row["compliance_V"])
+    assert abs(cited("flux_err (geometric)") / 100
+               - row["flux_err"]) <= 0.003, \
+        (cited("flux_err (geometric)"), row["flux_err"])
+    assert abs(cited("peak_J_skin_no_elec")
+               - row["peak_J_skin_no_elec"]) \
+        <= 0.05 * row["peak_J_skin_no_elec"], \
+        (cited("peak_J_skin_no_elec"), row["peak_J_skin_no_elec"])
