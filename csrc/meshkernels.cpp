@@ -435,4 +435,116 @@ void stencil_apply(const double* x, const double* C, int64_t X,
   }
 }
 
+// Free-dof stiffness CSR assembly (the AMG setup hot phase: the
+// scipy coo->csr + fancy-index slicing path measured 9.5 s of a 12 s
+// build at 870k tets — dev/amg_setup_breakdown.py).  One counting pass
+// over the 16 entries per element, a per-row sort, and in-place
+// duplicate merge.
+//
+// tets: (m,4) int32; ke: (m,16) f64 row-major (a-major: entry 4a+b);
+// fmap: (n_nodes,) int32 node -> free-dof index or -1 (Dirichlet).
+// indptr: caller-allocated (nf+1) int64.
+// indices/data: caller-allocated worst-case (16m) int32/f64.
+// Returns nnz after duplicate merge; rows are sorted ascending.
+static int64_t assemble_csr_core(const int32_t* tets, const double* ke,
+                                 const double* grads,
+                                 const double* sigvol,
+                                 const int32_t* fmap, int64_t m,
+                                 int64_t nf, int64_t* indptr,
+                                 int32_t* indices, double* data) {
+  // pass 1: per-row raw entry counts
+  std::vector<int64_t> cnt(nf + 1, 0);
+  for (int64_t e = 0; e < m; ++e) {
+    const int32_t* nd = tets + 4 * e;
+    for (int a = 0; a < 4; ++a) {
+      const int32_t r = fmap[nd[a]];
+      if (r < 0) continue;
+      for (int b = 0; b < 4; ++b)
+        if (fmap[nd[b]] >= 0) ++cnt[r + 1];
+    }
+  }
+  for (int64_t r = 0; r < nf; ++r) cnt[r + 1] += cnt[r];
+  std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+  // pass 2: scatter raw entries (ke given, or k_ab = sigvol g_a.g_b
+  // computed inline from grads)
+  for (int64_t e = 0; e < m; ++e) {
+    const int32_t* nd = tets + 4 * e;
+    double kbuf[16];
+    const double* k;
+    if (ke) {
+      k = ke + 16 * e;
+    } else {
+      const double* g = grads + 12 * e;
+      const double sv = sigvol[e];
+      for (int a = 0; a < 4; ++a)
+        for (int b = a; b < 4; ++b) {
+          const double v = sv * (g[3 * a] * g[3 * b] +
+                                 g[3 * a + 1] * g[3 * b + 1] +
+                                 g[3 * a + 2] * g[3 * b + 2]);
+          kbuf[4 * a + b] = v;
+          kbuf[4 * b + a] = v;
+        }
+      k = kbuf;
+    }
+    int32_t f[4];
+    for (int a = 0; a < 4; ++a) f[a] = fmap[nd[a]];
+    for (int a = 0; a < 4; ++a) {
+      const int32_t r = f[a];
+      if (r < 0) continue;
+      for (int b = 0; b < 4; ++b) {
+        if (f[b] < 0) continue;
+        const int64_t p = cursor[r]++;
+        indices[p] = f[b];
+        data[p] = k[4 * a + b];
+      }
+    }
+  }
+  // pass 3: per-row sort + merge duplicates, compacting in place
+  std::vector<std::pair<int32_t, double>> row;
+  int64_t w = 0;
+  indptr[0] = 0;
+  for (int64_t r = 0; r < nf; ++r) {
+    const int64_t lo = cnt[r];       // raw row extent (w <= lo always,
+    const int64_t hi = cnt[r + 1];   // so compaction never overruns)
+    row.clear();
+    for (int64_t p = lo; p < hi; ++p) row.push_back({indices[p], data[p]});
+    std::sort(row.begin(), row.end(),
+              [](const std::pair<int32_t, double>& x,
+                 const std::pair<int32_t, double>& y) {
+                return x.first < y.first;
+              });
+    for (size_t i = 0; i < row.size();) {
+      double s = row[i].second;
+      size_t j = i + 1;
+      while (j < row.size() && row[j].first == row[i].first)
+        s += row[j++].second;
+      indices[w] = row[i].first;
+      data[w] = s;
+      ++w;
+      i = j;
+    }
+    indptr[r + 1] = w;
+  }
+  return w;
+}
+
+int64_t assemble_csr_free(const int32_t* tets, const double* ke,
+                          const int32_t* fmap, int64_t m, int64_t nf,
+                          int64_t* indptr, int32_t* indices,
+                          double* data) {
+  return assemble_csr_core(tets, ke, nullptr, nullptr, fmap, m, nf,
+                           indptr, indices, data);
+}
+
+// Variant computing k_ab = sigvol * (g_a . g_b) inline from grads
+// (m,4,3) + sigvol (m,) — skips materializing the (m,16) Ke array.
+int64_t assemble_csr_free_grads(const int32_t* tets, const double* grads,
+                                const double* sigvol,
+                                const int32_t* fmap, int64_t m,
+                                int64_t nf, int64_t* indptr,
+                                int32_t* indices, double* data) {
+  return assemble_csr_core(tets, nullptr, grads, sigvol, fmap, m, nf,
+                           indptr, indices, data);
+}
+
 }  // extern "C"

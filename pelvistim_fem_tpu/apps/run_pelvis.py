@@ -86,14 +86,25 @@ def run_sweep(args, n_cases):
     t0 = time.perf_counter()
     if args.rom:
         # Certified reduced basis (ops/rom.py): the 1-D contact axis is
-        # exactly the low-Kolmogorov-width family the ROM pays for —
-        # ~rank full solves certify ALL lanes at the same TRUE-residual
-        # 1e-8.  store_w='auto' picks the lean (W-free) form at
-        # pelvis/megatet grid sizes where a (B, cap, G) applied basis
-        # cannot exist.
+        # the low-Kolmogorov-width family the ROM pays for at sweep-grid
+        # scale (~rank full solves certify all lanes at TRUE 1e-8).
+        # store_w='auto' picks the lean (W-free) form at pelvis/megatet
+        # grid sizes where a (B, cap, G) applied basis cannot exist —
+        # but see the G-scale NOTE below: past ~1e5 slots the
+        # certificate floor kills the economy (SCALING.md round 5).
         from types import SimpleNamespace
 
         from pelvistim_fem_tpu.ops.rom import rom_sweep_refined
+        if G > 100_000:
+            # Measured (dev/rom_megatet_ab.py, SCALING.md round 5): at
+            # megatet-class G the reduced system's kappa*eps floor
+            # blocks 1e-8 certificates, the greedy degenerates to
+            # warm-polishing every lane, and the fused full-order path
+            # is ~2.5x faster at the same certified contract.
+            print(f"  NOTE: G={G:,} grid slots is beyond the ROM "
+                  f"certificate-economy scale — the fused full-order "
+                  f"sweep (without --rom) is faster at the same "
+                  f"certified 1e-8 contract (SCALING.md round 5)")
         ro = rom_sweep_refined(scase, hier, tables, tol=1e-8)
         out = SimpleNamespace(
             phi=jnp.asarray(ro["phi"]),

@@ -182,18 +182,29 @@ def run_adapt_local(args):
     for cycle in range(args.adapt_local + 1):
         t0 = time.perf_counter()
         mesh = bm.mesh()
+        t_mesh = time.perf_counter() - t0
+        t1 = time.perf_counter()
         case = build_case(mesh, sigma_by_body, meta_extra=meta_extra,
                           **bc_kwargs)
+        t_case = time.perf_counter() - t1
+        t1 = time.perf_counter()
         res = solve_auto(case, mesh, tol=1e-8)
+        t_solve = time.perf_counter() - t1
         assert bool(np.asarray(res.converged))
+        t1 = time.perf_counter()
         eta = np.asarray(zz_error_indicators(case, res.phi))
         _, rel = (float(v) for v in zz_global_error(case, res.phi))
+        t_est = time.perf_counter() - t1
+        t1 = time.perf_counter()
         row = extract_results(case, res.phi, p, verbose=False)
+        t_ext = time.perf_counter() - t1
         print(f"cycle {cycle}: {mesh.n_tets:,} tets  "
               f"est rel energy err {rel:.3%}  "
               f"flux_err {row['flux_err']:.2%}  "
               f"peak_J_no_elec {row['peak_J_skin_no_elec']:.1f} A/m^2  "
-              f"({time.perf_counter() - t0:.1f} s)", flush=True)
+              f"({time.perf_counter() - t0:.1f} s: mesh {t_mesh:.1f}, "
+              f"case {t_case:.1f}, solve+amg {t_solve:.1f}, "
+              f"zz {t_est:.1f}, extract {t_ext:.1f})", flush=True)
         if rel_prev is not None and rel > 1.10 * rel_prev:
             print(f"  FAIL: estimate grew >10% ({rel_prev:.3%} -> "
                   f"{rel:.3%})")

@@ -74,6 +74,14 @@ def _load():
     lib.parse_elmer_elements.restype = ctypes.c_int64
     lib.parse_elmer_elements.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i32p, i64p]
+    lib.assemble_csr_free.restype = ctypes.c_int64
+    lib.assemble_csr_free.argtypes = [
+        i32p, f64p, i32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p,
+        f64p]
+    lib.assemble_csr_free_grads.restype = ctypes.c_int64
+    lib.assemble_csr_free_grads.argtypes = [
+        i32p, f64p, f64p, i32p, ctypes.c_int64, ctypes.c_int64, i64p,
+        i32p, f64p]
     _LIB = lib
     return _LIB
 
@@ -229,3 +237,43 @@ def parse_elmer_elements(text: bytes):
     nodes4 = np.empty((max_n, 4), np.int64)
     n = lib.parse_elmer_elements(text, len(text), max_n, bodies, nodes4)
     return bodies[:n].copy(), nodes4[:n].copy()
+
+
+def assemble_csr_free(tets, ke, fmap, nf):
+    """Native free-dof stiffness CSR assembly (the AMG setup hot phase;
+    scipy path measured 9.5 s of a 12 s hierarchy build at 870k tets).
+    Returns (indptr i64 (nf+1), indices i32 (nnz,), data f64 (nnz,)) or
+    None when the library is absent (caller falls back to scipy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    tets = np.ascontiguousarray(tets, np.int32)
+    ke = np.ascontiguousarray(ke.reshape(len(tets), 16), np.float64)
+    fmap = np.ascontiguousarray(fmap, np.int32)
+    m = tets.shape[0]
+    indptr = np.empty(nf + 1, np.int64)
+    indices = np.empty(16 * m, np.int32)
+    data = np.empty(16 * m, np.float64)
+    nnz = lib.assemble_csr_free(tets, ke, fmap, m, nf, indptr, indices,
+                                data)
+    return indptr, indices[:nnz].copy(), data[:nnz].copy()
+
+
+def assemble_csr_free_grads(tets, grads, sigvol, fmap, nf):
+    """assemble_csr_free with k_ab = sigvol * (g_a . g_b) computed
+    inline (no (M,16) Ke materialization).  None when the library is
+    absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    tets = np.ascontiguousarray(tets, np.int32)
+    grads = np.ascontiguousarray(grads, np.float64)
+    sigvol = np.ascontiguousarray(sigvol, np.float64)
+    fmap = np.ascontiguousarray(fmap, np.int32)
+    m = tets.shape[0]
+    indptr = np.empty(nf + 1, np.int64)
+    indices = np.empty(16 * m, np.int32)
+    data = np.empty(16 * m, np.float64)
+    nnz = lib.assemble_csr_free_grads(tets, grads, sigvol, fmap, m, nf,
+                                      indptr, indices, data)
+    return indptr, indices[:nnz].copy(), data[:nnz].copy()

@@ -83,7 +83,29 @@ def _assemble_csr(tets, grads, vol, body, free, sigma_table):
     """
     import scipy.sparse as sp
 
+    n = free.shape[0]
+    free_idx = np.flatnonzero(free)
     sig_e = sigma_table[body]
+
+    # Native path (csrc assemble_csr_free[_grads]): one counting pass +
+    # per-row merge — the scipy coo->csr->slice chain below measured
+    # 9.5 s of a 12 s hierarchy build at 870k tets
+    # (dev/amg_setup_breakdown.py), i.e. the dominant cost of every
+    # --adapt-local cycle.  The scalar-sigma form computes k_ab inline
+    # from grads (no (M,16) Ke materialization at all).
+    from pelvistim_fem_tpu import native
+    fmap = np.full(n, -1, np.int32)
+    fmap[free_idx] = np.arange(free_idx.size, dtype=np.int32)
+    if sig_e.ndim != 3:
+        nat = native.assemble_csr_free_grads(
+            np.asarray(tets), np.asarray(grads, np.float64),
+            np.asarray(sig_e * vol, np.float64), fmap, free_idx.size)
+        if nat is not None:
+            indptr, indices, data = nat
+            A = sp.csr_matrix((data, indices, indptr),
+                              shape=(free_idx.size, free_idx.size))
+            return A, free_idx
+
     if sig_e.ndim == 3:          # (T, 3, 3) tensor table (ops/aniso.py)
         Ke = np.einsum("mid,mde,mje->mij", grads, sig_e,
                        grads) * vol[:, None, None]
@@ -91,12 +113,18 @@ def _assemble_csr(tets, grads, vol, body, free, sigma_table):
         sigvol = sig_e * vol
         Ke = np.einsum("mid,mjd->mij", grads,
                        grads) * sigvol[:, None, None]
+    nat = native.assemble_csr_free(np.asarray(tets), Ke, fmap,
+                                   free_idx.size)
+    if nat is not None:
+        indptr, indices, data = nat
+        A = sp.csr_matrix((data, indices, indptr),
+                          shape=(free_idx.size, free_idx.size))
+        return A, free_idx
+
     rows = np.repeat(tets, 4, axis=1).reshape(-1)         # (M*16,)
     cols = np.tile(tets, (1, 4)).reshape(-1)
-    n = free.shape[0]
     A = sp.coo_matrix((Ke.reshape(-1), (rows, cols)),
                       shape=(n, n)).tocsr()
-    free_idx = np.flatnonzero(free)
     A = A[free_idx][:, free_idx].tocsr()
     A.sum_duplicates()
     return A, free_idx

@@ -73,3 +73,33 @@ def test_native_elmer_parse_matches_python(slab, tmp_path):
     np.testing.assert_allclose(a.nodes, b.nodes, rtol=1e-15)
     np.testing.assert_array_equal(a.tets, b.tets)
     np.testing.assert_array_equal(a.tet_body, b.tet_body)
+
+
+@needs_native
+def test_native_csr_assembly_matches_scipy(slab):
+    """assemble_csr_free[_grads] == the scipy coo->csr->slice path
+    (the AMG setup hot phase it replaces — 9.5 s of a 12 s build at
+    870k tets, dev/amg_setup_breakdown.py)."""
+    import jax.numpy as jnp
+
+    from pelvistim_fem_tpu.models.case import build_case
+    from pelvistim_fem_tpu.ops import amg as amg_mod
+    case = build_case(slab, {1: 0.35, 2: 0.04, 3: 1e-3, 4: 5e-3,
+                             5: 5e-3},
+                      mode="current", injected_current_A=5e-3,
+                      dtype=jnp.float64, to_device=False)
+    args = amg_mod._host_problem(case, slab, None)
+    A_nat, fi_nat = amg_mod._assemble_csr(*args)
+    import pelvistim_fem_tpu.native as nat
+    lib_backup = nat._LIB
+    try:
+        nat._LIB = None
+        nat._TRIED = True
+        A_ref, fi_ref = amg_mod._assemble_csr(*args)
+    finally:
+        nat._LIB = lib_backup
+    np.testing.assert_array_equal(fi_nat, fi_ref)
+    assert A_nat.nnz == A_ref.nnz
+    d = abs(A_nat - A_ref)
+    err = d.max() if d.nnz else 0.0
+    assert err <= 1e-14 * abs(A_ref.data).max(), err
